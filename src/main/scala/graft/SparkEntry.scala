@@ -1,13 +1,156 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one or more operators from
+  * SURVEY.md §2 over the driver-provided parquet tables; [[oracleSql]]
+  * holds the DuckDB-equivalent SQL the driver hash-compares against.
+  * Floating-point outputs are rounded on BOTH sides so cross-engine
+  * summation-order differences cannot flip the hash.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text corpus (assignment-2 family): P1-P5, A1-A5, J1 ----
+    "q_wordcount" -> ((s, dir) =>
+      TextOps.wordCount(docs(s, dir), "text")),
+    "q_bigram_count" -> ((s, dir) =>
+      TextOps.bigramCount(docs(s, dir), "text")),
+    "q_cooc_pairs" -> ((s, dir) =>
+      TextOps.coocPairs(docs(s, dir), "text", window = 2)),
+    "q_cooc_stripes" -> ((s, dir) =>
+      // stripes layout (map column), exploded back to rows for the oracle
+      TextOps.coocStripes(docs(s, dir), "text", window = 2)
+        .select(col("term"), explode(col("stripe")).as(Seq("neighbor", "cnt")))),
+    "q_pair_doccount" -> ((s, dir) =>
+      TextOps.pairDocCounts(docs(s, dir), "doc_id", "text")),
+    "q_pmi" -> ((s, dir) =>
+      TextOps.pmi(docs(s, dir), "doc_id", "text", minCount = 10)
+        .select(col("x"), col("y"), col("n_docs"), round(col("pmi"), 6).as("pmi"))),
+
+    // ---- relational / join surface (SURVEY §2.4): J1-J3 analogues ----
+    "q1_pricing" -> ((s, dir) =>
+      RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
+    "q_revenue_by_nation" -> ((s, dir) =>
+      RelationalOps.revenueByNation(s, dir)),
+    "q_top_customers" -> ((s, dir) =>
+      RelationalOps.topCustomers(s, dir, k = 10)),
+    "q_segments_with_orders" -> ((s, dir) =>
+      RelationalOps.segmentsWithOrders(s, dir)),
+    "q_customers_without_orders" -> ((s, dir) =>
+      RelationalOps.customersWithoutOrders(s, dir)),
+
+    // ---- time series (assignment-6 family): P6-P9, T4 ----
+    "q_hourly_counts" -> ((s, dir) =>
+      TimeSeriesOps.hourlyCounts(events(s, dir), "ts")),
+    "q_hourly_filtered" -> ((s, dir) =>
+      TimeSeriesOps.hourlyCountsFiltered(events(s, dir), "ts",
+        "event_type", "(?i)(click|view)")),
+    "q_topk_per_type" -> ((s, dir) =>
+      TimeSeriesOps.topKPerGroup(
+        events(s, dir).select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "value", "event_id", k = 3)),
+  )
+
+  // DuckDB-side tokenization mirroring TextOps.tokens.
+  private val toksSql =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |GROUP BY word""".stripMargin,
+    "q_bigram_count" ->
+      s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
+         |i AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM d)
+         |SELECT toks[i] || '_' || toks[i+1] AS bigram, count(*) AS cnt
+         |FROM i GROUP BY 1""".stripMargin,
+    "q_cooc_pairs" -> coocSql,
+    "q_cooc_stripes" -> coocSql,
+    "q_pair_doccount" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($toksSql) AS terms FROM documents),
+         |x AS (SELECT doc_id, unnest(terms) AS x, terms FROM d),
+         |xy AS (SELECT doc_id, x, unnest(terms) AS y FROM x)
+         |SELECT x, y, count(*) AS n_docs FROM xy WHERE x < y GROUP BY x, y""".stripMargin,
+    "q_pmi" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($toksSql) AS terms FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |m AS (SELECT t, count(*) AS df FROM (SELECT unnest(terms) AS t FROM d) GROUP BY t),
+         |x1 AS (SELECT doc_id, unnest(terms) AS x, terms FROM d),
+         |xy AS (SELECT doc_id, x, unnest(terms) AS y FROM x1),
+         |p AS (SELECT x, y, count(*) AS n_docs FROM xy WHERE x < y
+         |      GROUP BY x, y HAVING count(*) >= 10)
+         |SELECT p.x, p.y, p.n_docs,
+         |       round(ln(p.n_docs * (SELECT n FROM n) / (mx.df * my.df)), 6) AS pmi
+         |FROM p JOIN m mx ON p.x = mx.t JOIN m my ON p.y = my.t""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |       round(sum(o_totalprice), 2) AS total_spent,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY total_spent DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_segments_with_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_hourly_counts" ->
+      """SELECT month(ts) AS m, day(ts) AS d, hour(ts) AS h, count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_hourly_filtered" ->
+      """SELECT month(ts) AS m, day(ts) AS d, hour(ts) AS h, count(*) AS cnt
+        |FROM events WHERE regexp_matches(event_type, '(?i)(click|view)')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_topk_per_type" ->
+      """SELECT event_type, event_id, value, rn FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+  )
+
+  private def coocSql: String =
+    s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
+       |i AS (SELECT toks, unnest(generate_series(1, len(toks))) AS i FROM d),
+       |ij AS (SELECT toks, i,
+       |       unnest(generate_series(greatest(1, i-2), least(len(toks), i+2))) AS j FROM i)
+       |SELECT toks[i] AS term, toks[j] AS neighbor, count(*) AS cnt
+       |FROM ij WHERE j <> i GROUP BY 1, 2""".stripMargin
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series operators: the assignment-6 family of the reference
+  * (hourly tweet counts, regex-filtered variant, per-group top-k).
+  *
+  * Reference semantics:
+  *  - hourly counts = group by (month, day, hour) of a parsed timestamp,
+  *    count rows (reference/assignment6/src/main/ExtractHourlyCountsAll.java;
+  *    Pig equivalent assignment6/assignment6.md:7-27)
+  *  - the "egypt" variant first applies a case-insensitive regex filter on
+  *    the message (ExtractHourlyCountsEgypt.java:44)
+  *  - per-source top-k uses a bounded priority queue per group
+  *    (ExtractTopPersonalizedPageRankNodes.java:75-117) — here a window
+  *    rank, which Spark executes with a single shuffle on the partition key.
+  *
+  * The reference's RFC-822 string surgery (month-name mapping, substring
+  * slicing, ExtractHourlyCountsEgypt.java:46-73) is replaced by native
+  * timestamp functions: the events table carries a real TimestampType, so
+  * month/day/hour are codegen'd field extractions, and the grouping
+  * benefits from partial aggregation. A date-formatting helper reproduces
+  * the reference's "M/dd \t HH" rendering for golden-file parity.
+  */
+object TimeSeriesOps {
+
+  /** (month, day, hour, cnt) tumbling hourly counts. */
+  def hourlyCounts(events: DataFrame, tsCol: String): DataFrame =
+    events
+      .groupBy(
+        month(col(tsCol)).as("m"),
+        dayofmonth(col(tsCol)).as("d"),
+        hour(col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Hourly counts restricted by a case-insensitive regex on `filterCol` —
+    * the reference's egypt|cairo filter (ExtractHourlyCountsEgypt.java:44).
+    * The filter is a pushed-down predicate: it runs before the shuffle.
+    */
+  def hourlyCountsFiltered(events: DataFrame, tsCol: String,
+                           filterCol: String, pattern: String): DataFrame =
+    hourlyCounts(events.where(col(filterCol).rlike(pattern)), tsCol)
+
+  /** Reference golden rendering: "M/dd<tab>HH<tab>count" (hourly-counts-all.txt). */
+  def renderHourly(hourly: DataFrame): DataFrame =
+    hourly.select(
+      concat_ws("\t",
+        concat_ws("/", col("m"), lpad(col("d"), 2, "0")),
+        lpad(col("h"), 2, "0"),
+        col("cnt")).as("line"))
+
+  /** Top-k rows per group by a value column, deterministic tiebreak — T4. */
+  def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).desc, col(tieCol).asc)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** Sessionize events per user: gap > `gapMinutes` starts a new session.
+    * A classic large-scale log-pipeline operator (window lag + running sum —
+    * two passes over one shuffle partitioning, no self-join).
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_session")
+  }
+}

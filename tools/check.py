@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+  1. assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran
+  2. loads each <outDir>/<name> parquet result
+  3. runs the oracle SQL from <outDir>/oracle_sql.json in DuckDB with one
+     view per testdata parquet table
+  4. compares: columns sorted by name, rows sorted, values hashed
+"""
+import sys, json, glob, os, hashlib
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize numerics to plain python for stable stringification
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def digest(df: pd.DataFrame) -> str:
+    rows = df.to_csv(index=False, float_format="%.10g")
+    return hashlib.md5(rows.encode()).hexdigest()
+
+fails, passes, skips = [], [], []
+result_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+for d in result_dirs:
+    name = os.path.basename(d)
+    got = pq.read_table(d).to_pandas()
+    if name not in oracle:
+        skips.append((name, len(got)))
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        fails.append((name, f"schema mismatch: spark={list(g.columns)} oracle={list(e.columns)}"))
+        continue
+    if len(g) != len(e):
+        fails.append((name, f"row count: spark={len(g)} oracle={len(e)}"))
+        continue
+    if digest(g) != digest(e):
+        # find first differing cell for debugging
+        diff_info = "hash mismatch"
+        for col in g.columns:
+            a, b = g[col].tolist(), e[col].tolist()
+            bad = [i for i in range(len(a)) if str(a[i]) != str(b[i])][:3]
+            if bad:
+                diff_info += f"; col {col} rows {bad}: spark={[a[i] for i in bad]} oracle={[b[i] for i in bad]}"
+                break
+        fails.append((name, diff_info))
+        continue
+    passes.append((name, len(g)))
+
+for n, c in passes:
+    print(f"PASS  {n} ({c} rows)")
+for n, c in skips:
+    print(f"SKIP  {n} ({c} rows, no oracle)")
+for n, msg in fails:
+    print(f"FAIL  {n}: {msg}")
+missing = set(oracle) - {os.path.basename(d) for d in result_dirs}
+for n in sorted(missing):
+    print(f"MISS  {n}: oracle declared but no result parquet")
+print(f"\n{len(passes)} pass, {len(skips)} rows-only, {len(fails)} fail, {len(missing)} missing")
+sys.exit(1 if fails or missing else 0)
