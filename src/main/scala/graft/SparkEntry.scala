@@ -52,6 +52,19 @@ object SparkEntry {
     "q_customers_without_orders" -> ((s, dir) =>
       RelationalOps.customersWithoutOrders(s, dir)),
 
+    // ---- graph / iterative (assignment-4 family): G1-G10, T3, T4 ----
+    // Test graph derived from lineitem: part -> supplier edges. Suppliers
+    // (keys 0-99, also part keys) close cycles; parts never bought are
+    // absent; high-degree suppliers exercise the gather shuffle.
+    "q_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(graphEdges(s, dir), iterations = 5)
+        .select(col("nodeid"), round(col("rank"), 9).as("pr"))),
+    "q_ppr_topk" -> ((s, dir) => {
+      val pr = GraphOps.personalizedPageRank(graphEdges(s, dir), Seq(1L, 2L), iterations = 5)
+        .select(col("source"), col("nodeid"), round(col("rank"), 9).as("rank"))
+      GraphOps.topKPerSource(pr, 5).withColumnRenamed("rank", "pr")
+    }),
+
     // ---- time series (assignment-6 family): P6-P9, T4 ----
     "q_hourly_counts" -> ((s, dir) =>
       TimeSeriesOps.hourlyCounts(events(s, dir), "ts")),
@@ -63,6 +76,10 @@ object SparkEntry {
         events(s, dir).select(col("event_type"), col("event_id"), col("value")),
         "event_type", "value", "event_id", k = 3)),
   )
+
+  private def graphEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
 
   // DuckDB-side tokenization mirroring TextOps.tokens.
   private val toksSql =
@@ -131,6 +148,8 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_pagerank" -> pageRankOracle(5),
+    "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
     "q_hourly_counts" ->
       """SELECT month(ts) AS m, day(ts) AS d, hour(ts) AS h, count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
@@ -145,6 +164,67 @@ object SparkEntry {
         |                            ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
   )
+
+  // Shared graph CTEs: part->supplier edges from lineitem (deduped, as the
+  // engine dedupes), vertex set = src UNION dst, out-degrees.
+  private val graphBaseSql =
+    """e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+      |v AS (SELECT src AS nodeid FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+      |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src)""".stripMargin
+
+  /** PageRank unrolled to `iters` CTE rounds (DuckDB has no loops; the
+    * unrolled plan is the exact dataflow the engine runs per iteration). */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (SELECT COALESCE(sum(pr), 0) AS d FROM r${i - 1}
+         |        WHERE nodeid NOT IN (SELECT src FROM e)),
+         |g$i AS (SELECT e.dst AS nodeid, sum(r.pr / deg.outdeg) AS mass
+         |        FROM r${i - 1} r JOIN e ON r.nodeid = e.src JOIN deg ON e.src = deg.src
+         |        GROUP BY e.dst),
+         |r$i AS (SELECT v.nodeid,
+         |        CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |        + CAST(0.85 AS DOUBLE) * (COALESCE(g$i.mass, 0)
+         |            + (SELECT d FROM d$i) / (SELECT n FROM nn)) AS pr
+         |        FROM v LEFT JOIN g$i ON v.nodeid = g$i.nodeid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphBaseSql,
+       |r0 AS (SELECT nodeid, 1.0 / (SELECT n FROM nn) AS pr FROM v),
+       |$rounds
+       |SELECT nodeid, round(pr, 9) AS pr FROM r$iters""".stripMargin
+  }
+
+  /** Personalized PageRank: teleport + dangling mass go to the walk's own
+    * source only; state keyed by (source, nodeid). Top-k per source after
+    * rounding (rounding first makes the rank/tie order engine-stable). */
+  private def pprTopkOracle(iters: Int, sources: Seq[Long], k: Int): String = {
+    val srcVals = sources.map(s => s"($s)").mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (SELECT source, COALESCE(sum(pr), 0) AS d FROM r${i - 1}
+         |        WHERE nodeid NOT IN (SELECT src FROM e) GROUP BY source),
+         |g$i AS (SELECT r.source, e.dst AS nodeid, sum(r.pr / deg.outdeg) AS mass
+         |        FROM r${i - 1} r JOIN e ON r.nodeid = e.src JOIN deg ON e.src = deg.src
+         |        GROUP BY r.source, e.dst),
+         |r$i AS (SELECT vs.source, vs.nodeid,
+         |        CASE WHEN vs.nodeid = vs.source THEN CAST(0.15 AS DOUBLE) ELSE 0 END
+         |        + CAST(0.85 AS DOUBLE) * (COALESCE(g$i.mass, 0)
+         |            + CASE WHEN vs.nodeid = vs.source THEN COALESCE(d$i.d, 0) ELSE 0 END) AS pr
+         |        FROM vs
+         |        LEFT JOIN g$i ON vs.nodeid = g$i.nodeid AND vs.source = g$i.source
+         |        LEFT JOIN d$i ON vs.source = d$i.source)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphBaseSql,
+       |s AS (SELECT CAST(source AS BIGINT) AS source FROM (VALUES $srcVals) AS t(source)),
+       |vs AS (SELECT s.source, v.nodeid FROM v CROSS JOIN s),
+       |r0 AS (SELECT source, nodeid,
+       |       CASE WHEN nodeid = source THEN CAST(1.0 AS DOUBLE) ELSE 0 END AS pr FROM vs),
+       |$rounds
+       |SELECT source, nodeid, pr, rn FROM (
+       |  SELECT source, nodeid, round(pr, 9) AS pr,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY round(pr, 9) DESC, nodeid ASC) AS rn
+       |  FROM r$iters) WHERE rn <= $k""".stripMargin
+  }
 
   private def coocSql: String =
     s"""WITH d AS (SELECT $toksSql AS toks FROM documents),

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Graph / iterative operators: the assignment-4 family of the reference
+  * (PageRank, personalized multi-source PageRank, top-k extraction).
+  *
+  * Reference semantics (capability parity, not a port):
+  *  - rank update: p' = alpha/N + (1-alpha) * (sum of incoming mass +
+  *    missing/N), where missing = total rank held by dangling nodes
+  *    (reference/assignment4/src/main/basic/RunPageRankBasic.java:323-349,
+  *    437-450; alpha = 0.15 at :352)
+  *  - personalized: the teleport AND all missing (dangling) mass route to
+  *    the personalization source only — non-source nodes get jump mass 0
+  *    (reference/assignment4/src/main/RunPersonalizedPageRankBasic.java:312-340)
+  *  - graph input: adjacency lines `node \t out1 \t out2 ...`, every node
+  *    has a line even if dangling
+  *    (reference/assignment4/src/main/basic/BuildPageRankRecords.java:79-95)
+  *
+  * Architecture (Spark-first, NOT the reference's design):
+  *  - The reference multiplexes mass messages and node structure through one
+  *    shuffle via a tagged-union Writable (PageRankNode.java:36-54). Here the
+  *    adjacency relation is built once, hash-partitioned on `src`, and
+  *    persisted; each iteration is scatter (join + explode) -> gather
+  *    (groupBy sum, with automatic partial aggregation standing in for the
+  *    reference's combiner, RunPageRankBasic.java:206-237).
+  *  - The reference computes total mass via reducer side-files read by the
+  *    driver (RunPageRankBasic.java:304-318,515-523); here the dangling mass
+  *    is one driver-side scalar `agg(sum)` per iteration.
+  *  - The reference materializes every iteration to HDFS (iterXXXX dirs);
+  *    here `localCheckpoint()` truncates lineage, keeping the plan O(1) per
+  *    iteration instead of O(iterations).
+  *  - The reference does float32 log-space arithmetic to dodge underflow
+  *    (sumLogProbs, RunPageRankBasic.java:570-582). Double-precision linear
+  *    space is safe far beyond 1e9 nodes (rank >= alpha/N >= 1e-10 at
+  *    N=1e9, comfortably inside double range) and keeps every operation
+  *    codegen-friendly, so the engine uses doubles.
+  *
+  * Scale notes: at 100 TB the iteration state is (nodeid, rank) — tiny next
+  * to the edge relation. The edge/adjacency table is the big side: it is
+  * shuffled ONCE at build, then every per-iteration join reuses its
+  * partitioning (`repartition(src)` + persist). Skewed high-degree nodes
+  * fan out through `explode`, which is map-side and spill-free; the gather
+  * groupBy benefits from partial aggregation before the shuffle.
+  */
+object GraphOps {
+
+  /** Parse reference-format adjacency lines (`node WS out1 WS out2 ...`)
+    * into an edge relation (src, dst) plus an all-vertices relation that
+    * includes dangling nodes (they have a line but no out-edges).
+    */
+  def edgesFromAdjacencyText(lines: DataFrame): (DataFrame, DataFrame) = {
+    val toks = lines
+      .select(split(trim(col(lines.columns.head)), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 1)
+    val verts = toks.select(col("toks").getItem(0).cast("long").as("nodeid")).distinct()
+    val edges = toks
+      .where(size(col("toks")) >= 2)
+      .select(col("toks").getItem(0).cast("long").as("src"),
+        explode(slice(col("toks"), 2, Int.MaxValue)).as("dst"))
+      .select(col("src"), col("dst").cast("long").as("dst"))
+    (edges, verts)
+  }
+
+  /** Vertex set implied by an edge relation (src union dst). */
+  def verticesOf(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("nodeid"))
+      .union(edges.select(col("dst").as("nodeid")))
+      .distinct()
+
+  /** (src, adj: array<long>, outdeg) — built once, reused every iteration.
+    * `dedupe=false` preserves repeated out-edges (the reference keeps
+    * duplicates in adjacency lists and divides by the raw list length).
+    */
+  private def adjacencyOf(edges: DataFrame, parts: Int, dedupe: Boolean): DataFrame =
+    (if (dedupe) edges.distinct() else edges)
+      .repartition(parts, col("src"))
+      .groupBy("src")
+      .agg(collect_list(col("dst")).as("adj"), count(lit(1)).as("outdeg"))
+
+  /** PageRank over a directed edge relation — G1/G3-G7/G9.
+    *
+    * @param edges    (src, dst); duplicates are collapsed
+    * @param vertices optional explicit vertex set (needed when dangling
+    *                 nodes never appear as src/dst); defaults to src∪dst
+    * @return (nodeid, rank) with sum(rank) == 1
+    */
+  def pageRank(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
+               vertices: Option[DataFrame] = None, numPartitions: Int = 32,
+               dedupeEdges: Boolean = true): DataFrame = {
+    val verts = vertices.getOrElse(verticesOf(edges))
+      .repartition(numPartitions, col("nodeid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val adj = adjacencyOf(edges, numPartitions, dedupeEdges).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = verts.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val withAdj = ranks.join(adj, ranks("nodeid") === adj("src"), "left_outer")
+      // dangling nodes hold mass that re-enters uniformly (the reference's
+      // "missing mass", RunPageRankBasic.java:437-450) — one driver scalar.
+      val missing = withAdj.where(col("adj").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val gathered = withAdj.where(col("adj").isNotNull)
+        .select(explode(col("adj")).as("dst"), (col("rank") / col("outdeg")).as("m"))
+        .groupBy("dst").agg(sum(col("m")).as("in_mass"))
+      ranks = verts.join(gathered, verts("nodeid") === gathered("dst"), "left_outer")
+        .select(verts("nodeid"),
+          (lit(alpha / n) +
+            lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) + lit(missing / n)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    adj.unpersist(); verts.unpersist()
+    ranks
+  }
+
+  /** Personalized (multi-source) PageRank — G2/G8.
+    *
+    * State is the relation (source, nodeid, rank): all sources iterate in
+    * ONE job per step, grouped by (source, dst) — the relational analogue of
+    * the reference widening rank to a per-source float vector
+    * (PersonalizedPageRankNode.java:36-37). Teleport and dangling mass go
+    * only to each walk's own source (RunPersonalizedPageRankBasic.java:312-340).
+    *
+    * @return (source, nodeid, rank); per source, sum(rank) == 1
+    */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Long], iterations: Int,
+                           alpha: Double = 0.15, vertices: Option[DataFrame] = None,
+                           numPartitions: Int = 32, dedupeEdges: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts = vertices.getOrElse(verticesOf(edges))
+      .repartition(numPartitions, col("nodeid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = adjacencyOf(edges, numPartitions, dedupeEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    val srcDf = sources.toDF("source")
+
+    var state = verts.crossJoin(srcDf)
+      .withColumn("rank", when(col("nodeid") === col("source"), lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to iterations) {
+      val withAdj = state.join(adj, state("nodeid") === adj("src"), "left_outer")
+      // per-source dangling mass: tiny (|sources| rows) -> broadcast back in.
+      // Aggregated sides get renamed keys (gsource/gdst/msource) so the
+      // re-join against the vertex frame has no ambiguous attributes.
+      val missing = withAdj.where(col("adj").isNull)
+        .groupBy("source").agg(sum(col("rank")).as("miss"))
+        .withColumnRenamed("source", "msource")
+      val gathered = withAdj.where(col("adj").isNotNull)
+        .select(col("source"), explode(col("adj")).as("dst"),
+          (col("rank") / col("outdeg")).as("m"))
+        .groupBy("source", "dst").agg(sum(col("m")).as("in_mass"))
+        .withColumnRenamed("source", "gsource").withColumnRenamed("dst", "gdst")
+      state = verts.crossJoin(srcDf)
+        .join(gathered,
+          col("nodeid") === col("gdst") && col("source") === col("gsource"),
+          "left_outer")
+        .join(broadcast(missing), col("source") === col("msource"), "left_outer")
+        .select(col("source"), col("nodeid"),
+          (when(col("nodeid") === col("source"), lit(alpha)).otherwise(lit(0.0)) +
+            lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) +
+              when(col("nodeid") === col("source"), coalesce(col("miss"), lit(0.0)))
+                .otherwise(lit(0.0))))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    adj.unpersist(); verts.unpersist()
+    state
+  }
+
+  /** Global top-k by rank — T3 (plans as TakeOrderedAndProject). */
+  def topK(ranks: DataFrame, k: Int): DataFrame =
+    ranks.orderBy(col("rank").desc, col("nodeid").asc).limit(k)
+
+  /** Per-source top-k — T4 (window rank; one shuffle on source). */
+  def topKPerSource(ranks: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rank").desc, col("nodeid").asc)
+    ranks.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** PageRank-family tests.
+  *
+  * The distributed results are checked against (a) an independent in-test
+  * sequential implementation and (b) the reference's published golden
+  * top-10 tables for personalized PageRank on sample-large.txt
+  * (reference/assignment4/assignment4.md:6-32 — which the reference itself
+  * produced with 20 iterations; verified: a sequential run at 20 iterations
+  * reproduces every printed %.5f digit).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential personalized PageRank, reference semantics: teleport and
+    * dangling mass to the source only; mass sent to nodes without their own
+    * adjacency line vanishes; out-degree counts all listed neighbors.
+    */
+  private def seqPpr(adj: Map[Long, Seq[Long]], source: Long, iters: Int,
+                     alpha: Double = 0.15): Map[Long, Double] = {
+    val nodes = adj.keys.toSeq.sorted
+    var r = nodes.map(n => n -> (if (n == source) 1.0 else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val nr = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
+      var miss = 0.0
+      for (n <- nodes) {
+        val out = adj(n)
+        if (out.isEmpty) miss += r(n)
+        else {
+          val m = r(n) / out.size
+          out.foreach(d => if (nr.contains(d)) nr(d) += m)
+        }
+      }
+      r = nodes.map { n =>
+        val jump = if (n == source) alpha else 0.0
+        val extra = if (n == source) miss else 0.0
+        n -> (jump + (1 - alpha) * (nr(n) + extra))
+      }.toMap
+    }
+    r
+  }
+
+  private def seqPageRank(adj: Map[Long, Seq[Long]], iters: Int,
+                          alpha: Double = 0.15): Map[Long, Double] = {
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val nr = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
+      var miss = 0.0
+      for (nd <- nodes) {
+        val out = adj(nd)
+        if (out.isEmpty) miss += r(nd)
+        else out.foreach(d => if (nr.contains(d)) nr(d) += r(nd) / out.size)
+      }
+      r = nodes.map(nd => nd -> (alpha / n + (1 - alpha) * (nr(nd) + miss / n))).toMap
+    }
+    r
+  }
+
+  private val smallAdj: Map[Long, Seq[Long]] = Map(
+    1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L), 4L -> Seq(1L, 2L, 3L),
+    5L -> Seq.empty) // 5 dangling
+
+  private def smallEdges =
+    smallAdj.toSeq.flatMap { case (s, ds) => ds.map(d => (s, d)) }.toDF("src", "dst")
+  private def smallVerts = smallAdj.keys.toSeq.toDF("nodeid")
+
+  test("pageRank matches sequential oracle on a small graph with dangling node") {
+    val got = GraphOps.pageRank(smallEdges, iterations = 10,
+      vertices = Some(smallVerts), numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = seqPageRank(smallAdj, 10)
+    assert(got.keySet === exp.keySet)
+    for ((k, v) <- exp) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass conserved")
+  }
+
+  test("personalizedPageRank matches sequential oracle on a small graph") {
+    val got = GraphOps.personalizedPageRank(smallEdges, Seq(1L, 4L), iterations = 10,
+      vertices = Some(smallVerts), numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (src <- Seq(1L, 4L)) {
+      val exp = seqPpr(smallAdj, src, 10)
+      for ((k, v) <- exp) assert(math.abs(got((src, k)) - v) < 1e-12, s"source $src node $k")
+    }
+  }
+
+  test("personalized PageRank reproduces reference goldens on sample-large.txt") {
+    val path = "/root/reference/assignment4/sample-large.txt"
+    assume(new java.io.File(path).exists(), "reference dataset not present")
+    val (edges, verts) = GraphOps.edgesFromAdjacencyText(spark.read.text(path))
+    val ranks = GraphOps.personalizedPageRank(edges, Seq(9470136L, 9300650L),
+      iterations = 20, vertices = Some(verts), numPartitions = 4, dedupeEdges = false)
+      .select(col("source"), col("nodeid"), round(col("rank"), 5).as("r"))
+      .collect()
+    val all = ranks.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def topVals(src: Long): Seq[Double] =
+      ranks.filter(_.getLong(0) == src).map(_.getDouble(2)).sorted.reverse.take(10).toSeq
+
+    // reference/assignment4/assignment4.md:8-17 (source 9470136)
+    val golden1 = Seq(9470136L -> 0.38857, 7992850L -> 0.09418, 7891871L -> 0.08586,
+      10208640L -> 0.08063, 9427340L -> 0.06603, 8747858L -> 0.06603,
+      8702415L -> 0.03546, 8669492L -> 0.03183, 7970234L -> 0.02246,
+      8846238L -> 0.01693)
+    // reference/assignment4/assignment4.md:22-31 (source 9300650)
+    val golden2 = Seq(9300650L -> 0.44688, 10765057L -> 0.09108, 9074395L -> 0.08888,
+      9621997L -> 0.07597, 8832646L -> 0.07597, 10687744L -> 0.07597,
+      10448801L -> 0.01556, 9785148L -> 0.01511, 8846237L -> 0.01511,
+      11890488L -> 0.01511)
+    // Per-node rank values must reproduce every printed %.5f digit. Node
+    // IDENTITY in the golden tail is not well-defined: ranks 8-10 of source
+    // 9300650 are a 0.01511 tie the reference's priority queue broke
+    // arbitrarily, so the tied tail is checked by value sequence instead.
+    for ((n, v) <- golden1)
+      assert(math.abs(all((9470136L, n)) - v) <= 1e-5, s"source 9470136 node $n")
+    for ((n, v) <- golden2)
+      assert(math.abs(all((9300650L, n)) - v) <= 1e-5, s"source 9300650 node $n")
+    assert(topVals(9470136L) === golden1.map(_._2))
+    assert(topVals(9300650L) === golden2.map(_._2))
+  }
+}
