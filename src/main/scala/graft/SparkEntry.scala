@@ -52,6 +52,31 @@ object SparkEntry {
     "q_customers_without_orders" -> ((s, dir) =>
       RelationalOps.customersWithoutOrders(s, dir)),
 
+    // ---- inverted index / retrieval (assignment-3 family): A6, R1-R4, J3 ----
+    "q_term_doctf" -> ((s, dir) =>
+      IndexOps.termDocTf(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("docid", "doc_id")),
+    "q_index_stats" -> ((s, dir) =>
+      IndexOps.invertedIndex(docs(s, dir), "doc_id", "text")
+        .select(col("term"), col("df"),
+          aggregate(col("postings"), lit(0L), (acc, x) => acc + x.getField("tf"))
+            .as("total_tf"),
+          element_at(col("postings"), 1).getField("docid").as("min_docid"),
+          element_at(col("postings"), -1).getField("docid").as("max_docid"))),
+    // exercises the d-gap+VInt codec end-to-end: encode then decode must
+    // reproduce the raw postings relation
+    "q_postings_roundtrip" -> ((s, dir) =>
+      IndexOps.decodeIndex(
+        IndexOps.compressedIndex(IndexOps.invertedIndex(docs(s, dir), "doc_id", "text")))
+        .where(col("term").isin("join", "hash", "vector"))
+        .select(col("term"), explode(col("postings")).as("p"))
+        .select(col("term"), col("p._1").as("doc_id"), col("p._2").as("tf"))),
+    "q_bool_retrieval" -> ((s, dir) =>
+      IndexOps.booleanRetrieve(
+        IndexOps.termDocTf(docs(s, dir), "doc_id", "text"),
+        Seq("join", "hash", "AND", "vector", "OR"))
+        .withColumnRenamed("docid", "doc_id")),
+
     // ---- graph / iterative (assignment-4 family): G1-G10, T3, T4 ----
     // Test graph derived from lineitem: part -> supplier edges. Suppliers
     // (keys 0-99, also part keys) close cycles; parts never bought are
@@ -148,6 +173,23 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_term_doctf" -> termDocTfSql,
+    "q_index_stats" ->
+      s"""WITH t AS ($termDocTfSql)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+         |       min(doc_id) AS min_docid, max(doc_id) AS max_docid
+         |FROM t GROUP BY term""".stripMargin,
+    "q_postings_roundtrip" ->
+      s"""WITH t AS ($termDocTfSql)
+         |SELECT term, doc_id, tf FROM t
+         |WHERE term IN ('join', 'hash', 'vector')""".stripMargin,
+    "q_bool_retrieval" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |(SELECT doc_id FROM d WHERE list_contains(toks, 'join')
+         | INTERSECT
+         | SELECT doc_id FROM d WHERE list_contains(toks, 'hash'))
+         |UNION
+         |SELECT doc_id FROM d WHERE list_contains(toks, 'vector')""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
     "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
     "q_hourly_counts" ->
@@ -164,6 +206,11 @@ object SparkEntry {
         |                            ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
   )
+
+  private val termDocTfSql =
+    s"""SELECT term, doc_id, count(*) AS tf
+       |FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |GROUP BY term, doc_id""".stripMargin
 
   // Shared graph CTEs: part->supplier edges from lineitem (deduped, as the
   // engine dedupes), vertex set = src UNION dst, out-degrees.

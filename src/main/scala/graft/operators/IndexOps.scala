@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index / retrieval operators: the assignment-3 family of the
+  * reference (compressed index build, postings lookup, boolean retrieval).
+  *
+  * Reference semantics:
+  *  - docid = byte offset of the line in the UNCOMPRESSED collection
+  *    (reference/assignment3/src/main/BuildInvertedIndexCompressed.java:76;
+  *    the driver later seek()s that offset to print the matching line,
+  *    BooleanRetrievalCompressed.java:124-129)
+  *  - postings = (docid, tf) pairs, docid-ascending, stored d-gap + VInt
+  *    byte-packed (BuildInvertedIndexCompressed.java:125-126)
+  *  - boolean queries are RPN: term -> push docid set, AND -> intersect,
+  *    OR -> union (BooleanRetrievalCompressed.java:47-102)
+  *
+  * Architecture: the reference needs a secondary sort (composite (term,docid)
+  * key + custom partitioner) and cross-reducer-call mutable state to stream
+  * postings in docid order; Spark replaces all of it with
+  * `sort_array(collect_list(struct(docid,tf)))` inside one aggregation —
+  * partial aggregation handles the combining, no operator-scoped state. The
+  * MapFile random-access store becomes a term-keyed DataFrame: a point
+  * lookup is `filter($"term" === t)`, which at scale is served by parquet
+  * predicate pushdown over term-sorted files (S5/S9).
+  */
+object IndexOps {
+
+  /** Read a text collection keeping byte offsets as docids — S1/S6.
+    * `spark.read.text` drops offsets; the Hadoop LineRecordReader surfaces
+    * them, and they are the docids every golden output is keyed by.
+    */
+  def corpusWithOffsets(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .newAPIHadoopFile[LongWritable, Text, TextInputFormat](path)
+      .map { case (off, line) => (off.get(), line.toString) }
+      .toDF("docid", "text")
+  }
+
+  /** (term, docid, tf) — A6: per-document term frequencies. */
+  def termDocTf(corpus: DataFrame, docidCol: String, textCol: String): DataFrame =
+    corpus
+      .select(col(docidCol).as("docid"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term", "docid").agg(count(lit(1)).as("tf"))
+
+  /** term -> (df, postings sorted by docid) — R1/T2 structural index. */
+  def invertedIndex(corpus: DataFrame, docidCol: String, textCol: String): DataFrame =
+    termDocTf(corpus, docidCol, textCol)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("docid"), col("tf")))).as("postings"))
+
+  // ---- d-gap + VInt codec (R1/R2) ------------------------------------
+  // Same wire format as Hadoop's WritableUtils.writeVLong, the encoding the
+  // reference packs postings with (BuildInvertedIndexCompressed.java:125-126).
+
+  private def writeV(out: java.io.DataOutput, v: Long): Unit =
+    org.apache.hadoop.io.WritableUtils.writeVLong(out, v)
+
+  /** Encode docid-ascending (docid, tf) postings as d-gap + VInt bytes. */
+  val encodePostings: Seq[Row] => Array[Byte] = { postings =>
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    var prev = 0L
+    postings.foreach { r =>
+      val docid = r.getLong(0)
+      writeV(out, docid - prev); writeV(out, r.getLong(1))
+      prev = docid
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  /** Decode d-gap + VInt bytes back to (docid, tf) postings. */
+  val decodePostings: Array[Byte] => Seq[(Long, Long)] = { bytes =>
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var prev = 0L
+    while (in.available() > 0) {
+      val gap = org.apache.hadoop.io.WritableUtils.readVLong(in)
+      val tf = org.apache.hadoop.io.WritableUtils.readVLong(in)
+      prev += gap
+      buf += ((prev, tf))
+    }
+    buf.toSeq
+  }
+
+  private val encodeUdf = udf(encodePostings)
+  private val decodeUdf = udf(decodePostings)
+
+  /** Index with byte-packed postings column — the compressed form. */
+  def compressedIndex(index: DataFrame): DataFrame =
+    index.select(col("term"), col("df"),
+      encodeUdf(col("postings")).as("packed"))
+
+  /** Inverse of [[compressedIndex]] (docids reconstructed from d-gaps). */
+  def decodeIndex(compressed: DataFrame): DataFrame =
+    compressed.select(col("term"), col("df"),
+      decodeUdf(col("packed")).as("postings"))
+
+  /** Point lookup — S5 (MapFile.get analogue). */
+  def lookupPostings(index: DataFrame, term: String): DataFrame =
+    index.where(col("term") === term)
+
+  /** tf-value histogram for one term's postings — A7/R4. */
+  def tfHistogram(termDocTf: DataFrame, term: String): DataFrame =
+    termDocTf.where(col("term") === term)
+      .groupBy("tf").agg(count(lit(1)).as("cnt")).orderBy("tf")
+
+  /** RPN boolean retrieval — R3/J3. Tokens are terms or AND/OR; terms push
+    * their docid relation, AND pops two and intersects, OR pops two and
+    * unions. The stack lives in the driver (exactly like the reference's,
+    * BooleanRetrievalCompressed.java:47-66) but every operand is a
+    * distributed relation and the set ops are Spark `intersect`/`union`.
+    */
+  def booleanRetrieve(termDocTf: DataFrame, rpn: Seq[String]): DataFrame = {
+    var stack = List.empty[DataFrame]
+    def docsOf(t: String): DataFrame =
+      termDocTf.where(col("term") === t).select(col("docid"))
+    rpn.foreach {
+      case "AND" =>
+        val (b :: a :: rest) = stack: @unchecked
+        stack = a.intersect(b) :: rest
+      case "OR" =>
+        val (b :: a :: rest) = stack: @unchecked
+        stack = a.union(b).distinct() :: rest
+      case term => stack = docsOf(term) :: stack
+    }
+    require(stack.size == 1, s"malformed RPN query: $rpn")
+    stack.head.orderBy("docid")
+  }
+
+  /** Retrieval with source lines attached — S6 (the reference's raw-file
+    * seek becomes a join against the offset-keyed corpus). */
+  def booleanRetrieveWithLines(corpus: DataFrame, docidCol: String, textCol: String,
+                               rpn: Seq[String]): DataFrame = {
+    val hits = booleanRetrieve(termDocTf(corpus, docidCol, textCol), rpn)
+    hits.join(corpus.withColumnRenamed(docidCol, "docid"), "docid")
+      .select(col("docid"), col(textCol)).orderBy("docid")
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.IndexOps
+import org.apache.spark.sql.functions._
+
+/** Inverted-index + retrieval tests: codec round-trip property, and golden
+  * reproduction of the reference's committed outputs on its own corpus
+  * (reference/assignment3/LookupPostingsCompressed.out,
+  * BooleanRetrievalCompressed.out — docids are byte offsets of the
+  * uncompressed collection).
+  */
+class IndexOpsSpec extends SparkSpec {
+
+  test("postings codec round-trips (d-gap + VInt), 200 random lists") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(51)
+      val docids = Seq.fill(n)(rnd.nextLong(10000000L)).distinct.sorted
+      val postings = docids.map(d => (d, 1L + rnd.nextInt(100)))
+      val rows = postings.map { case (d, t) => org.apache.spark.sql.Row(d, t) }
+      val decoded = IndexOps.decodePostings(IndexOps.encodePostings(rows))
+      assert(decoded === postings)
+    }
+  }
+
+  // ---- golden corpus fixtures ----------------------------------------
+
+  private val gzPath = "/root/reference/assignment2/bible+shakes.nopunc.gz"
+
+  private lazy val corpus = {
+    // retrieval docids are byte offsets of the UNCOMPRESSED file (the
+    // reference refuses .gz input for exactly this reason,
+    // BooleanRetrievalCompressed.java:168-171)
+    val plain = new java.io.File("/tmp/graft-bibleshakes.txt")
+    if (!plain.exists()) {
+      val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(gzPath))
+      java.nio.file.Files.copy(in, plain.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.close()
+    }
+    IndexOps.corpusWithOffsets(spark, plain.getPath)
+  }
+
+  private lazy val tdf = {
+    val t = IndexOps.termDocTf(corpus, "docid", "text")
+    t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count()
+    t
+  }
+
+  private def haveCorpus = new java.io.File(gzPath).exists()
+
+  test("postings for starcross'd / gold / silver / bronze match LookupPostingsCompressed.out") {
+    assume(haveCorpus)
+    // starcross'd: single posting at byte offset 5047738, tf 1
+    val sc = tdf.where(col("term") === "starcross'd")
+      .select("docid", "tf").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sc.toSeq === Seq((5047738L, 1L)))
+
+    val gold = tdf.where(col("term") === "gold").orderBy("docid")
+      .select("docid", "tf").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gold.length === 584)
+    assert(gold.take(5).toSeq ===
+      Seq((5303L, 1L), (5408L, 1L), (36555L, 1L), (74434L, 1L), (76001L, 1L)))
+    assert(gold.last === ((9012048L, 1L)))
+    val goldHist = IndexOps.tfHistogram(tdf, "gold")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(goldHist.toSeq === Seq((1L, 523L), (2L, 58L), (3L, 3L)))
+
+    val silverHist = IndexOps.tfHistogram(tdf, "silver")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(silverHist.toSeq === Seq((1L, 314L), (2L, 39L), (3L, 1L)))
+    assert(tdf.where(col("term") === "silver").count() === 354)
+
+    assert(tdf.where(col("term") === "bronze").count() === 0, "bronze absent")
+  }
+
+  test("boolean RPN queries match BooleanRetrievalCompressed.out") {
+    assume(haveCorpus)
+    def run(rpn: String*): Seq[Long] =
+      IndexOps.booleanRetrieve(tdf, rpn).collect().map(_.getLong(0)).toSeq
+
+    assert(run("outrageous", "fortune", "AND") === Seq(4442172L))
+    assert(run("means", "deceit", "AND") === Seq(6870153L, 8135048L))
+    assert(run("white", "rose", "AND") === Seq(7841087L, 7841354L, 7841879L,
+      7841972L, 7842315L, 7842458L, 7845524L, 8237199L, 8275306L, 9067070L))
+    assert(run("white", "red", "OR", "rose", "AND", "pluck", "AND") ===
+      Seq(7841087L, 7841229L, 7841354L, 7841396L, 7842315L))
+    assert(run("unhappy", "outrageous", "OR", "good", "your", "AND", "OR",
+      "fortune", "AND") === Seq(4442172L, 5167827L, 7110114L))
+  }
+
+  test("retrieval with lines fetches the golden source text") {
+    assume(haveCorpus)
+    val rows = IndexOps.booleanRetrieveWithLines(corpus, "docid", "text",
+      Seq("outrageous", "fortune", "AND")).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(0) === 4442172L)
+    assert(rows(0).getString(1) === " the slings and arrows of outrageous fortune")
+  }
+
+  test("compressed index round-trips through the codec on a real corpus slice") {
+    assume(haveCorpus)
+    val idx = IndexOps.invertedIndex(
+      corpus.where(col("docid") < 100000L), "docid", "text")
+    val back = IndexOps.decodeIndex(IndexOps.compressedIndex(idx))
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p._1").as("docid"), col("p._2").as("tf"))
+    val orig = idx
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.docid"), col("p.tf"))
+    assert(back.except(orig).count() === 0)
+    assert(orig.except(back).count() === 0)
+  }
+}
