@@ -90,6 +90,33 @@ object SparkEntry {
       GraphOps.topKPerSource(pr, 5).withColumnRenamed("rank", "pr")
     }),
 
+    // ---- training-data pipeline: dedup family ----
+    "q_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDedup(docs(s, dir), "doc_id",
+        DedupOps.tokenSetFingerprint(col("text")))
+        .select(col("doc_id"), col("fp"), col("canonical_id"), col("is_dup"))),
+    "q_dedup_minhash" -> ((s, dir) =>
+      DedupOps.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+        .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.3)
+        .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))),
+    "q_simhash" -> ((s, dir) =>
+      DedupOps.simhash(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // ---- training-data pipeline: similarity search over embeddings ----
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+    }),
+    "q_embed_neardup" -> ((s, dir) =>
+      SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.4)),
+
     // ---- time series (assignment-6 family): P6-P9, T4 ----
     "q_hourly_counts" -> ((s, dir) =>
       TimeSeriesOps.hourlyCounts(events(s, dir), "ts")),
@@ -192,6 +219,62 @@ object SparkEntry {
          |SELECT doc_id FROM d WHERE list_contains(toks, 'vector')""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
     "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
+    "q_dedup_exact" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |  FROM documents),
+         |c AS (SELECT fp, min(doc_id) AS canonical_id FROM d GROUP BY fp)
+         |SELECT d.doc_id, d.fp, c.canonical_id,
+         |       d.doc_id <> c.canonical_id AS is_dup
+         |FROM d JOIN c USING (fp)""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH d AS ($shinglesSql),
+         |sig AS (SELECT doc_id, sh,
+         |  [list_min([md5(i || ':' || s) FOR s IN sh])
+         |   FOR i IN generate_series(0, 11)] AS sig FROM d),
+         |bands AS (SELECT doc_id, sh, b,
+         |  md5(b || '|' || array_to_string(sig[b*3+1 : b*3+3], ',')) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT ida, idb, round($jaccardSql, 6) AS jaccard
+         |FROM cand JOIN d a ON cand.ida = a.doc_id JOIN d b ON cand.idb = b.doc_id
+         |WHERE $jaccardSql >= 0.5""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH d AS ($shinglesSql)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb, round($jaccardSql, 6) AS jaccard
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE $jaccardSql >= 0.3""".stripMargin,
+    "q_simhash" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |h AS (SELECT doc_id, tf,
+         |  CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM tf),
+         |bitsum AS (SELECT doc_id, j,
+         |  sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+         |    AS simhash
+         |FROM bitsum GROUP BY doc_id""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH e AS ($embSql),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         |s AS (SELECT query_id, vec_id, round(${cosSql("qv", "v")}, 6) AS cos
+         |      FROM e CROSS JOIN q WHERE vec_id <> query_id)
+         |SELECT query_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM s) WHERE rn <= 5""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH e AS ($embSql)
+         |SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |       round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4""".stripMargin,
     "q_hourly_counts" ->
       """SELECT month(ts) AS m, day(ts) AS d, hour(ts) AS h, count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
@@ -211,6 +294,25 @@ object SparkEntry {
     s"""SELECT term, doc_id, count(*) AS tf
        |FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
        |GROUP BY term, doc_id""".stripMargin
+
+  // 3-gram shingles in DuckDB, mirroring DedupOps.shingles(n=3).
+  private val shinglesSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                       FOR i IN generate_series(1, len(toks)-2)])
+       |    ELSE [array_to_string(toks, ' ')] END AS sh
+       |FROM (SELECT doc_id, $toksSql AS toks FROM documents)""".stripMargin
+
+  private val jaccardSql =
+    "len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+
+  // Cosine over double-cast embedding lists, mirroring SimilarityOps.cosine.
+  private val embSql =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+  private def cosSql(a: String, b: String) =
+    s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 
   // Shared graph CTEs: part->supplier edges from lineitem (deduped, as the
   // engine dedupes), vertex set = src UNION dst, out-degrees.

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity-search semantics on planted duplicates, plus
+  * LSH-vs-brute-force agreement on the driver's synthetic tables.
+  */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"), // same token SET as 1
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups byte-identical and token-set-identical docs") {
+    val bySet = DedupOps.exactDedup(docs, "doc_id",
+      DedupOps.tokenSetFingerprint(col("text")))
+      .select("doc_id", "canonical_id", "is_dup")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // docs 1, 3, 5 share a token set; 1 is canonical
+    assert(bySet(1L) === ((1L, false)))
+    assert(bySet(3L) === ((1L, true)))
+    assert(bySet(5L) === ((1L, true)))
+    assert(bySet(2L)._2 === false)
+    assert(bySet(4L)._2 === false)
+
+    val byText = DedupOps.exactDedup(docs, "doc_id", md5(col("text")))
+      .where(col("is_dup")).select("doc_id").collect().map(_.getLong(0))
+    assert(byText.toSeq === Seq(5L), "only the byte-identical copy")
+  }
+
+  test("minhash LSH finds planted near-dups and agrees with exact jaccard") {
+    val brute = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(brute.contains((1L, 5L)) && brute((1L, 5L)) === 1.0)
+    assert(brute.contains((1L, 2L)) && brute((1L, 2L)) > 0.5)
+
+    val lsh = DedupOps.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // LSH output must be a subset of brute force with identical jaccards,
+    // and must catch the j=1.0 planted pair
+    lsh.foreach { case (k, v) => assert(brute(k) === v) }
+    assert(lsh.contains((1L, 5L)))
+  }
+
+  test("minhash LSH recall is 100% on the testdata's planted near-dups (j>=0.9)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val brute = DedupOps.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashNearDupPairs(d, "doc_id", "text", 3, 12, 4, 0.9)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain planted near-dups")
+    assert(brute.subsetOf(lsh) && lsh.subsetOf(brute))
+  }
+
+  test("simhash: identical docs collide, near-dups are close, others far") {
+    val sh = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
+    val pairs = DedupOps.simhashNearDupPairs(
+      DedupOps.simhash(docs, "doc_id", "text"), "id", "simhash", maxDist = 3)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("brute-force ANN ranks a perturbed copy first; LSH agrees on its candidates") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 2)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // a planted near-copy: query vector + tiny noise must rank itself top-1
+    val v = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val perturbed = v.map(x => x + 0.001f)
+    val augmented = emb.select("vec_id", "embedding")
+      .union(Seq((9999L, perturbed.toSeq)).toDF("vec_id", "embedding"))
+    val top1 = SimilarityOps.bruteForceTopK(augmented, "vec_id", "embedding",
+      augmented.where(col("vec_id") === 0), "vec_id", "embedding", k = 1)
+      .head()
+    assert(top1.getLong(1) === 9999L)
+    assert(top1.getDouble(2) > 0.999)
+
+    // LSH candidates carry the same cosine scores as brute force
+    val lsh = SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    lsh.foreach { case (k, c) => assert(brute.get(k).forall(_ === c)) }
+  }
+}
