@@ -117,6 +117,24 @@ object SparkEntry {
       SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", threshold = 0.4)),
 
+    // ---- training-data pipeline: text analysis ----
+    "q_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysisOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))),
+    "q_quality" -> ((s, dir) =>
+      TextAnalysisOps.qualityScore(docs(s, dir), "doc_id", "text")),
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalysisOps.tokenCounts(docs(s, dir), "doc_id", "text")),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysisOps.fingerprintSketch(docs(s, dir), "doc_id", "text",
+        shingleN = 4, window = 4)),
+
+    // ---- training-data pipeline: multimodal plumbing (STUB kernels) ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      MultimodalOps.extractMeta(
+        MultimodalOps.asAssets(docs(s, dir), "doc_id", "text", "text/plain"))
+        .toDF()),
+
     // ---- time series (assignment-6 family): P6-P9, T4 ----
     "q_hourly_counts" -> ((s, dir) =>
       TimeSeriesOps.hourlyCounts(events(s, dir), "ts")),
@@ -275,6 +293,71 @@ object SparkEntry {
          |       round(${cosSql("a.v", "b.v")}, 6) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4""".stripMargin,
+    "q_langid" ->
+      s"""WITH r AS (SELECT doc_id,
+         |  ${stopRatioSql("en")} AS r_en, ${stopRatioSql("es")} AS r_es,
+         |  ${stopRatioSql("de")} AS r_de, ${stopRatioSql("fr")} AS r_fr
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |SELECT doc_id,
+         |  CASE WHEN greatest(r_en, r_es, r_de, r_fr) >= 0.02 THEN
+         |    CASE WHEN r_en >= r_es AND r_en >= r_de AND r_en >= r_fr THEN 'en'
+         |         WHEN r_es >= r_de AND r_es >= r_fr THEN 'es'
+         |         WHEN r_de >= r_fr THEN 'de' ELSE 'fr' END
+         |  ELSE 'und' END AS lang_pred
+         |FROM r""".stripMargin,
+    "q_quality" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    list_sum(list_transform(toks, s -> length(s)))::DOUBLE / len(toks)
+         |  ELSE 0.0 END AS mean_len,
+         |  ${stopRatioSql("en")} AS stop_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dr,
+         |  CASE WHEN length(text) > 0 THEN
+         |    (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+         |      / length(text) ELSE 0.0 END AS ar
+         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
+         |SELECT doc_id, n_tokens, round(mean_len, 6) AS mean_token_len,
+         |  round(stop_ratio, 6) AS stopword_ratio, round(dr, 6) AS distinct_ratio,
+         |  round(ar, 6) AS alpha_ratio,
+         |  round((CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0
+         |              WHEN mean_len > 0 THEN 0.5 ELSE 0.0 END) * 0.25
+         |    + least(stop_ratio * 5.0, 1.0) * 0.25 + dr * 0.25 + ar * 0.25, 6)
+         |    AS quality
+         |FROM c""".stripMargin,
+    "q_token_counts" ->
+      s"""SELECT doc_id, len($toksSql) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+         |    AS regex_tokens,
+         |  CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS approx_subwords
+         |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 4
+         |    THEN [array_to_string(toks[i:i+3], ' ')
+         |          FOR i IN generate_series(1, len(toks)-3)]
+         |    ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |h AS (SELECT doc_id,
+         |  [CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) FOR s IN sh] AS hs
+         |  FROM sh),
+         |w AS (SELECT doc_id,
+         |  CASE WHEN len(hs) >= 4 THEN
+         |    list_sort(list_distinct([list_min(hs[i:i+3])
+         |                             FOR i IN generate_series(1, len(hs)-3)]))
+         |  WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END AS fps
+         |  FROM h)
+         |SELECT doc_id, len(fps) AS n_fingerprints,
+         |       md5(array_to_string(fps, ',')) AS fp_digest
+         |FROM w""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CAST(('0x' || substring(md5(text), 1, 4)) AS INT) % 1920 + 1 AS width,
+        |  CAST(('0x' || substring(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
     "q_hourly_counts" ->
       """SELECT month(ts) AS m, day(ts) AS d, hour(ts) AS h, count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
@@ -295,14 +378,22 @@ object SparkEntry {
        |FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
        |GROUP BY term, doc_id""".stripMargin
 
-  // 3-gram shingles in DuckDB, mirroring DedupOps.shingles(n=3).
-  private val shinglesSql =
+  // Token n-gram shingles in DuckDB, mirroring DedupOps.shingles.
+  private def shinglesSqlN(n: Int): String =
     s"""SELECT doc_id,
-       |  CASE WHEN len(toks) >= 3
-       |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
-       |                       FOR i IN generate_series(1, len(toks)-2)])
+       |  CASE WHEN len(toks) >= $n
+       |    THEN list_distinct([array_to_string(toks[i:i+${n - 1}], ' ')
+       |                       FOR i IN generate_series(1, len(toks)-${n - 1})])
        |    ELSE [array_to_string(toks, ' ')] END AS sh
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)""".stripMargin
+  private val shinglesSql = shinglesSqlN(3)
+
+  private def stopListSql(lang: String): String =
+    operators.TextAnalysisOps.stopwordProfiles(lang)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+  private def stopRatioSql(lang: String): String =
+    s"len(list_filter(toks, s -> list_contains(${stopListSql(lang)}, s)))::DOUBLE" +
+      " / greatest(len(toks), 1)"
 
   private val jaccardSql =
     "len(list_intersect(a.sh, b.sh))::DOUBLE / " +

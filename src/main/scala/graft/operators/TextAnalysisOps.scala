@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, and winnowing document fingerprints.
+  * Everything is pure column expressions (whole-stage codegen, no UDFs);
+  * each operator is a per-row map, so the only shuffles are whatever the
+  * caller aggregates afterwards.
+  */
+object TextAnalysisOps {
+
+  /** Tiny embedded stopword profiles. Deliberately small and deterministic:
+    * language ID here is a scoring *operator* (the capability), not a model —
+    * swap in bigger profiles for production use.
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "von", "ist", "mit", "den", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que", "pour", "dans"))
+
+  /** Per-language stopword hit ratio: hits(lang) / n_tokens. */
+  def stopwordRatio(toks: Column, lang: String): Column = {
+    val words = array(stopwordProfiles(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(words, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** n-gram-heuristic language ID: argmax stopword ratio, "und" when no
+    * profile scores above `minRatio`. Deterministic tiebreak: profile order
+    * en > es > de > fr (strict > comparison keeps the earlier winner). */
+  def langId(toks: Column, minRatio: Double = 0.02): Column = {
+    val langs = Seq("en", "es", "de", "fr")
+    val scored = langs.map(l => (l, stopwordRatio(toks, l)))
+    val best = scored.tail.foldLeft(struct(lit(scored.head._1).as("lang"),
+      scored.head._2.as("score"))) { case (acc, (l, s)) =>
+      when(s > acc.getField("score"), struct(lit(l).as("lang"), s.as("score")))
+        .otherwise(acc)
+    }
+    when(best.getField("score") >= minRatio, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality components + composite score in [0, 1]:
+    * mean token length band, English-stopword presence, repetition penalty,
+    * alphabetic-character ratio. Deterministic; weights sum to 1. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = TextOps.tokens(text)
+    val nToks = size(toks)
+    val meanLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      .otherwise(lit(0.0))
+    val stopRatio = stopwordRatio(toks, "en")
+    val distinctRatio = when(nToks > 0,
+      size(array_distinct(toks)).cast("double") / nToks).otherwise(lit(0.0))
+    val alphaRatio = when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double") /
+        length(text)).otherwise(lit(0.0))
+    val lenScore = when(meanLen >= 3 && meanLen <= 10, lit(1.0))
+      .otherwise(when(meanLen > 0, lit(0.5)).otherwise(lit(0.0)))
+    val score = lenScore * 0.25 + least(stopRatio * lit(5.0), lit(1.0)) * 0.25 +
+      distinctRatio * 0.25 + alphaRatio * 0.25
+    Seq(nToks.as("n_tokens"), round(meanLen, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      round(alphaRatio, 6).as("alpha_ratio"), round(score, 6).as("quality"))
+  }
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +: qualityColumns(col(textCol)): _*)
+
+  /** Token counts three ways: whitespace tokens, BPE-ish regex tokens
+    * (word runs + single non-space punctuation — the classic pre-tokenizer
+    * shape), and a chars/4 approximation of subword count. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+        .as("regex_tokens"),
+      ceil(length(col(textCol)).cast("double") / 4).cast("long").as("approx_subwords"))
+
+  /** Winnowing fingerprint sets (Schleimer et al., SIGMOD'03): hash every
+    * sequential `shingleN`-gram (60-bit md5 prefix), keep the min hash of
+    * every `window`-length sliding window, dedupe + sort. Docs with fewer
+    * than `window` shingles contribute their single global min.
+    *
+    * Relational implementation: shingles explode to (id, pos, hash) rows
+    * and the sliding min is a window frame (`ROWS window-1 PRECEDING`) —
+    * one shuffle on id. A pure-column version (transform over
+    * array_min(slice(...))) is quadratic in the expression tree: Catalyst
+    * inlines the hash-array subexpression into every window lambda and
+    * re-evaluates all the md5s per window (measured 200x slower).
+    *
+    * @return (id, fps: array<bigint> sorted distinct)
+    */
+  def winnowingFingerprintSets(docs: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int = 4, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("id"),
+      posexplode(DedupOps.shingles(TextOps.tokens(col(textCol)), shingleN,
+        distinct = false)).as(Seq("pos", "s")))
+      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    sh.withColumn("m", min(col("h")).over(frame))
+      .groupBy("id").agg(
+        max(col("pos")).as("maxpos"),
+        array_sort(array_distinct(
+          collect_list(when(col("pos") >= window - 1, col("m"))))).as("fullfps"),
+        min(col("h")).as("minh"))
+      .select(col("id"),
+        when(col("maxpos") >= window - 1, col("fullfps"))
+          .otherwise(array(col("minh"))).as("fps"))
+  }
+
+  /** (id, n_fingerprints, fingerprint digest) — a compact winnowing sketch
+    * per document; equal digests mean heavily-overlapping content. */
+  def fingerprintSketch(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 4, window: Int = 4): DataFrame =
+    winnowingFingerprintSets(docs, idCol, textCol, shingleN, window)
+      .select(col("id").as("doc_id"), size(col("fps")).as("n_fingerprints"),
+        md5(concat_ws(",", transform(col("fps"), x => x.cast("string"))))
+          .as("fp_digest"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{MultimodalOps, TextAnalysisOps, TextOps}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies stopword-marked languages, und for gibberish") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the dog"),
+      (2L, "el gato esta en la casa y el perro con los ninos en el jardin"),
+      (3L, "der hund und die katze sind nicht mit den kindern zu hause"),
+      (4L, "le chat et le chien dans la maison pour les enfants que nous aimons"),
+      (5L, "zzz qqq xxx yyy www vvv")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysisOps.langId(TextOps.tokens(col("text"))).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "und"))
+  }
+
+  test("tokenCounts three ways on a known string") {
+    val df = Seq((1L, "hello, world! it's 42")).toDF("doc_id", "text")
+    val r = TextAnalysisOps.tokenCounts(df, "doc_id", "text").head()
+    assert(r.getInt(1) === 4) // ws tokens: hello, world! it's 42
+    // regex: hello , world ! it ' s 42 -> 8
+    assert(r.getInt(2) === 8)
+    assert(r.getLong(3) === math.ceil(21 / 4.0).toLong)
+  }
+
+  test("quality score is bounded and orders clean text above junk") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the hill"),
+      (2L, "aa aa aa aa aa aa aa aa aa aa aa aa"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysisOps.qualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L) && q(2L) > q(3L))
+  }
+
+  test("winnowing fingerprints: identical docs match, shared content overlaps") {
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val df = Seq((1L, text), (2L, text), (3L, text + " tail1 tail2 tail3 tail4"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysisOps.fingerprintSketch(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L)._1 > 0)
+    val sets = TextAnalysisOps.winnowingFingerprintSets(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((sets(1L) & sets(3L)).nonEmpty, "shared prefix shares fingerprints")
+  }
+
+  test("multimodal: meta is deterministic, frame features batch-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val assets = MultimodalOps.asAssets(docs, "doc_id", "text", "text/plain")
+    val meta = MultimodalOps.extractMeta(assets).collect()
+    assert(meta.length === docs.count())
+    meta.foreach { m =>
+      assert(m.width >= 1 && m.width <= 1920)
+      assert(m.height >= 1 && m.height <= 1080)
+      assert(m.digest.length === 32)
+      assert(m.n_bytes > 0)
+    }
+    val f1 = MultimodalOps.frameFeatures(assets, framesPerAsset = 3,
+      featureDim = 8, batchSize = 64)
+      .collect().map(f => (f.asset_id, f.frame_idx) -> f.feature.toSeq).toMap
+    val f2 = MultimodalOps.frameFeatures(assets.repartition(7), framesPerAsset = 3,
+      featureDim = 8, batchSize = 2)
+      .collect().map(f => (f.asset_id, f.frame_idx) -> f.feature.toSeq).toMap
+    assert(f1.size === docs.count() * 3)
+    assert(f1 === f2, "features independent of partitioning and batch size")
+  }
+}
