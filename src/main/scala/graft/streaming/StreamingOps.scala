@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expressions of the engine's batch time-series
+  * surface (SURVEY.md §2.9 — a capability extension; the reference has no
+  * streaming).
+  *
+  * Scale notes: windowed counts shuffle on (window, key) with partial
+  * aggregation; the watermark bounds state. Sessionization state lives in
+  * the state store keyed by user — with event-time timeout so abandoned
+  * sessions close and their state is freed (unbounded state is the classic
+  * streaming-job killer at 100 TB/day ingest).
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour event counts with a watermark for late data.
+    * Works identically on a batch DataFrame (watermark is a no-op there) —
+    * one definition serves both the backfill and the live pipeline.
+    */
+  def hourlyCountsStream(events: DataFrame, tsCol: String,
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour_start"), col("cnt"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionId: Long, lastTsMs: Long, nEvents: Int,
+                          startTsMs: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Int,
+                        start_ts_ms: Long, end_ts_ms: Long, closed: Boolean)
+
+  /** Stateful gap-based sessionization: an event more than `gapMinutes`
+    * after the previous one starts a new session; completed sessions are
+    * emitted when superseded or on event-time timeout. Batch analogue:
+    * [[graft.operators.TimeSeriesOps.sessionize]] (lag + running sum).
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30):
+      Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.sessionId, s.nEvents, s.startTsMs,
+              s.lastTsMs, closed = true))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTsMs <= gapMs =>
+                  cur = Some(s.copy(lastTsMs = math.max(s.lastTsMs, t),
+                    nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.sessionId, s.nEvents,
+                    s.startTsMs, s.lastTsMs, closed = true)
+                  cur = Some(SessionState(s.sessionId + 1, t, 1, t))
+                case None =>
+                  cur = Some(SessionState(0L, t, 1, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTsMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming regex-filtered hourly counts — the egypt/cairo pipeline
+    * (P6) as a live query. */
+  def filteredHourlyStream(events: DataFrame, tsCol: String, filterCol: String,
+                           pattern: String, watermark: String = "2 hours"): DataFrame =
+    hourlyCountsStream(events.where(col(filterCol).rlike(pattern)), tsCol, watermark)
+}

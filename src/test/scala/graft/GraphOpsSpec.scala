@@ -89,6 +89,21 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("mass sent to nonexistent nodes vanishes (FIXTURES.md B3)") {
+    // node 9 is referenced but has no adjacency line -> not a vertex; the
+    // reference drops mass addressed to it (RunPageRankBasic.java:288-296)
+    val edges = Seq((1L, 2L), (1L, 9L), (2L, 1L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L).toDF("nodeid")
+    val ranks = GraphOps.pageRank(edges, iterations = 5,
+      vertices = Some(verts), numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet === Set(1L, 2L), "phantom node gets no rank row")
+    assert(ranks.values.sum < 1.0 - 1e-6, "mass to the phantom node is lost")
+    // independent sequential model with the same vanishing semantics
+    val exp = seqPageRank(Map(1L -> Seq(2L, 9L), 2L -> Seq(1L)), 5)
+    for ((k, v) <- exp) assert(math.abs(ranks(k) - v) < 1e-12, s"node $k")
+  }
+
   test("personalized PageRank reproduces reference goldens on sample-large.txt") {
     val path = "/root/reference/assignment4/sample-large.txt"
     assume(new java.io.File(path).exists(), "reference dataset not present")

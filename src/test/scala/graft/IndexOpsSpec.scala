@@ -23,6 +23,15 @@ class IndexOpsSpec extends SparkSpec {
     }
   }
 
+  test("postings codec handles VInt size boundaries (FIXTURES.md B4)") {
+    // gaps straddling Hadoop VInt 1/2/3/4/5-byte encodings
+    val docids = Seq(0x7FL, 0x7FL + 0x80L, 0x7FL + 0x80L + 0x3FFFL,
+      0x10000L + 0x7FL + 0x80L + 0x3FFFL, 0x100000000L)
+    val postings = docids.map(d => (d, 1L))
+    val rows = postings.map { case (d, t) => org.apache.spark.sql.Row(d, t) }
+    assert(IndexOps.decodePostings(IndexOps.encodePostings(rows)) === postings)
+  }
+
   // ---- golden corpus fixtures ----------------------------------------
 
   private val gzPath = "/root/reference/assignment2/bible+shakes.nopunc.gz"

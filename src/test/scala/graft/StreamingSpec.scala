@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new java.sql.Timestamp(minute * 60000L)
+
+  test("streaming hourly counts with watermark match batch counts") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val counts = StreamingOps.hourlyCountsStream(
+      input.toDF().toDF("ts", "user_id"), "ts")
+    val q = counts.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      input.addData((0 until 90).map(m => (ts(m), m.toLong)): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT hour_start, cnt FROM hourly ORDER BY hour_start")
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1))
+      assert(got.toSeq === Seq(0L -> 60L, 3600000L -> 30L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap splits sessions, timeout closes them") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamingOps.sessionizeStream(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // base offset: an event exactly AT the initial watermark (epoch 0)
+    // is dropped by the late-row filter, so keep event times above it
+    def t(minute: Int) = ts(60 + minute)
+    try {
+      // user 1: two bursts 90 minutes apart -> first session closes when
+      // the second burst arrives
+      input.addData(Event(1L, t(0), 1.0), Event(1L, t(10), 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1L, t(100), 1.0), Event(1L, t(105), 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the second burst's timeout
+      input.addData(Event(2L, t(500), 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2L, t(501), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_id)
+      assert(got.length >= 1)
+      assert(got(0).session_id === 0L && got(0).n_events === 2 &&
+        got(0).start_ts_ms === t(0).getTime && got(0).end_ts_ms === t(10).getTime)
+      if (got.length > 1) // second session closed by event-time timeout
+        assert(got(1).session_id === 1L && got(1).n_events === 2)
+    } finally q.stop()
+  }
+
+  test("hourlyCountsStream definition also runs as a plain batch query") {
+    val batch = Seq((ts(0), 1L), (ts(59), 2L), (ts(61), 3L)).toDF("ts", "user_id")
+    val got = StreamingOps.hourlyCountsStream(batch, "ts")
+      .orderBy("hour_start").collect().map(_.getLong(1))
+    assert(got.toSeq === Seq(2L, 1L))
+  }
+}
