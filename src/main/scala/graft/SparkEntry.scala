@@ -99,9 +99,12 @@ object SparkEntry {
       DedupOps.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
         shingleN = 3, k = 12, bands = 4, threshold = 0.5)
         .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))),
+    // brute-force O(n²) oracle baseline for the LSH path — bounded to the
+    // first 1000 docs so bench cost stays bounded (the LSH variant above is
+    // the full-corpus path)
     "q_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        shingleN = 3, threshold = 0.3)
+      DedupOps.ngramJaccardPairs(docs(s, dir).where(col("doc_id") < 1000),
+        "doc_id", "text", shingleN = 3, threshold = 0.3)
         .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))),
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(docs(s, dir), "doc_id", "text")
@@ -113,8 +116,11 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 5)
     }),
+    // brute-force O(n²) pair scan — bounded to the first 2000 vectors; the
+    // hyperplane-LSH bucketing in SimilarityOps is the full-corpus path
     "q_embed_neardup" -> ((s, dir) =>
-      SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, dir),
+      SimilarityOps.cosineNearDupPairs(
+        Tables.embeddings(s, dir).where(col("vec_id") < 2000),
         "vec_id", "embedding", threshold = 0.4)),
 
     // ---- training-data pipeline: text analysis ----
@@ -245,22 +251,30 @@ object SparkEntry {
          |SELECT d.doc_id, d.fp, c.canonical_id,
          |       d.doc_id <> c.canonical_id AS is_dup
          |FROM d JOIN c USING (fp)""".stripMargin,
-    "q_dedup_minhash" ->
+    "q_dedup_minhash" -> {
+      // same 60-bit hash + odd-multiplier permutations as DedupOps
+      // (30-bit-split modular multiply, identical in both engines)
+      val mods = DedupOps.minhashMultipliers(12).map(c =>
+        s"list_min([${DedupOps.permuteHashSql("x", c)} FOR x IN hs])")
+        .mkString(",\n|    ")
       s"""WITH d AS ($shinglesSql),
-         |sig AS (SELECT doc_id, sh,
-         |  [list_min([md5(i || ':' || s) FOR s IN sh])
-         |   FOR i IN generate_series(0, 11)] AS sig FROM d),
-         |bands AS (SELECT doc_id, sh, b,
+         |h AS (SELECT doc_id, $hashListSql AS hs FROM d),
+         |sig AS (SELECT doc_id, [
+         |    $mods
+         |  ] AS sig FROM h),
+         |bands AS (SELECT doc_id, b,
          |  md5(b || '|' || array_to_string(sig[b*3+1 : b*3+3], ',')) AS bh
          |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |  FROM bands a JOIN bands b
          |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT ida, idb, round($jaccardSql, 6) AS jaccard
-         |FROM cand JOIN d a ON cand.ida = a.doc_id JOIN d b ON cand.idb = b.doc_id
-         |WHERE $jaccardSql >= 0.5""".stripMargin,
+         |FROM cand JOIN h a ON cand.ida = a.doc_id JOIN h b ON cand.idb = b.doc_id
+         |WHERE $jaccardSql >= 0.5""".stripMargin
+    },
     "q_ngram_jaccard" ->
-      s"""WITH d AS ($shinglesSql)
+      s"""WITH d0 AS ($shinglesSql),
+         |d AS (SELECT doc_id, $hashListSql AS hs FROM d0 WHERE doc_id < 1000)
          |SELECT a.doc_id AS ida, b.doc_id AS idb, round($jaccardSql, 6) AS jaccard
          |FROM d a JOIN d b ON a.doc_id < b.doc_id
          |WHERE $jaccardSql >= 0.3""".stripMargin,
@@ -280,19 +294,22 @@ object SparkEntry {
          |FROM bitsum GROUP BY doc_id""".stripMargin,
     "q_ann_topk" ->
       s"""WITH e AS ($embSql),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-         |s AS (SELECT query_id, vec_id, round(${cosSql("qv", "v")}, 6) AS cos
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+         |      WHERE vec_id < 3),
+         |s AS (SELECT query_id, vec_id,
+         |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
          |      FROM e CROSS JOIN q WHERE vec_id <> query_id)
          |SELECT query_id, vec_id, cos, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY cos DESC, vec_id ASC) AS rn
          |  FROM s) WHERE rn <= 5""".stripMargin,
     "q_embed_neardup" ->
-      s"""WITH e AS ($embSql)
+      s"""WITH e0 AS ($embSql),
+         |e AS (SELECT * FROM e0 WHERE vec_id < 2000)
          |SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |       round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4""".stripMargin,
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4""".stripMargin,
     "q_langid" ->
       s"""WITH r AS (SELECT doc_id,
          |  ${stopRatioSql("en")} AS r_en, ${stopRatioSql("es")} AS r_es,
@@ -395,15 +412,19 @@ object SparkEntry {
     s"len(list_filter(toks, s -> list_contains(${stopListSql(lang)}, s)))::DOUBLE" +
       " / greatest(len(toks), 1)"
 
+  // jaccard over the 60-bit shingle-hash lists (matches DedupOps refine)
   private val jaccardSql =
-    "len(list_intersect(a.sh, b.sh))::DOUBLE / " +
-      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    "len(list_intersect(a.hs, b.hs))::DOUBLE / " +
+      "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))"
+  private val hashListSql =
+    "[CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]"
 
-  // Cosine over double-cast embedding lists, mirroring SimilarityOps.cosine.
+  // Cosine over double-cast embedding lists with per-row precomputed norms,
+  // mirroring SimilarityOps (dot(a,b) / (nrm_a * nrm_b)).
   private val embSql =
-    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
-  private def cosSql(a: String, b: String) =
-    s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+    """SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
 
   // Shared graph CTEs: part->supplier edges from lineitem (deduped, as the
   // engine dedupes), vertex set = src UNION dst, out-degrees.

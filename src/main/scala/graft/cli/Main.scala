@@ -1,0 +1,137 @@
+package graft.cli
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI mirroring the reference's tool surface — one subcommand per driver
+  * class (reference runs `hadoop jar ... ToolName -input -output ...`;
+  * here `runMain graft.cli.Main <tool> --input ... --output ...`).
+  *
+  * | reference tool                          | subcommand            |
+  * |-----------------------------------------|-----------------------|
+  * | WordCount (a2)                          | wordcount             |
+  * | BigramCount (a2)                        | bigrams               |
+  * | ComputeCooccurrenceMatrixPairs (a2)     | cooc-pairs            |
+  * | ComputeCooccurrenceMatrixStripes (a2)   | cooc-stripes          |
+  * | PairsPMI / StripesPMI (a2)              | pmi                   |
+  * | BuildInvertedIndexCompressed (a3)       | build-index           |
+  * | LookupPostingsCompressed (a3)           | lookup-postings       |
+  * | BooleanRetrievalCompressed (a3)         | boolean-retrieval     |
+  * | RunPageRankBasic + FindMax... (a4)      | pagerank              |
+  * | RunPersonalizedPageRank + ExtractTop (a4)| personalized-pagerank|
+  * | ExtractHourlyCountsAll/Egypt (a6)       | hourly-counts         |
+  *
+  * Output is TSV part files (the reference's text-sink shape, S7) with
+  * overwrite-before-run semantics (S10).
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): (String, Map[String, String]) = {
+    require(args.nonEmpty, usage)
+    val opts = args.tail.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+    (args.head, opts)
+  }
+
+  private val usage =
+    """usage: graft.cli.Main <tool> --input PATH --output PATH [options]
+      |tools: wordcount bigrams cooc-pairs cooc-stripes pmi build-index
+      |       lookup-postings boolean-retrieval pagerank
+      |       personalized-pagerank hourly-counts
+      |options: --window N --min-count N --iterations N --alpha F
+      |         --sources a,b --top K --term T --query "x y AND"
+      |         --egypt true --partitions N""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val (cmd, opts) = parseArgs(args)
+    val parts = opts.getOrElse("partitions", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[*]"))
+      .appName(s"graft-$cmd")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cmd, opts)
+    finally spark.stop()
+  }
+
+  private[cli] def run(spark: SparkSession, cmd: String,
+                       opts: Map[String, String]): Unit = {
+    def in = opts("input")
+    def out = opts("output")
+    def text = spark.read.text(in) // gzip-transparent, like TextInputFormat
+    def writeTsv(df: DataFrame): Unit =
+      df.write.mode("overwrite").option("sep", "\t").csv(out)
+
+    cmd match {
+      case "wordcount" =>
+        writeTsv(TextOps.wordCount(text, "value"))
+      case "bigrams" =>
+        writeTsv(TextOps.bigramCount(text, "value"))
+      case "cooc-pairs" =>
+        writeTsv(TextOps.coocPairs(text, "value",
+          opts.getOrElse("window", "2").toInt))
+      case "cooc-stripes" =>
+        // map column rendered as sorted "k:v,k:v" text for the TSV sink
+        writeTsv(TextOps.coocStripes(text, "value",
+            opts.getOrElse("window", "2").toInt)
+          .select(col("term"), concat_ws(",", transform(
+            map_entries(col("stripe")),
+            e => concat(e.getField("key"), lit(":"), e.getField("value"))))))
+      case "pmi" =>
+        val docs = text.withColumn("doc_id", monotonically_increasing_id())
+        writeTsv(TextOps.pmi(docs, "doc_id", "value",
+          opts.getOrElse("min-count", "10").toInt)
+          .select(col("x"), col("y"), round(col("pmi"), 6)))
+      case "build-index" =>
+        val corpus = IndexOps.corpusWithOffsets(spark, in)
+        IndexOps.compressedIndex(IndexOps.invertedIndex(corpus, "docid", "text"))
+          .write.mode("overwrite").parquet(out)
+      case "lookup-postings" =>
+        val idx = IndexOps.decodeIndex(spark.read.parquet(in))
+        val term = opts("term")
+        val rows = IndexOps.lookupPostings(idx, term).collect()
+        if (rows.isEmpty) println(s"the term $term does not appear in the collection")
+        else rows.foreach { r =>
+          println(s"Complete postings list for '$term': (${r.getLong(1)}, " +
+            r.getSeq[org.apache.spark.sql.Row](2)
+              .map(p => s"(${p.getLong(0)}, ${p.getLong(1)})").mkString("[", ", ", "]") + ")")
+        }
+      case "boolean-retrieval" =>
+        val corpus = IndexOps.corpusWithOffsets(spark, opts("collection"))
+        val rpn = opts("query").split("\\s+").toSeq
+        IndexOps.booleanRetrieveWithLines(corpus, "docid", "text", rpn)
+          .collect().foreach(r => println(s"${r.getLong(0)}\t${r.getString(1)}"))
+      case "pagerank" =>
+        val (edges, verts) = GraphOps.edgesFromAdjacencyText(text)
+        val ranks = GraphOps.pageRank(edges,
+          opts.getOrElse("iterations", "20").toInt,
+          opts.getOrElse("alpha", "0.15").toDouble,
+          vertices = Some(verts), dedupeEdges = false)
+        writeTsv(GraphOps.topK(ranks, opts.getOrElse("top", "10").toInt)
+          .select(format_string("%.5f", col("rank")).as("rank"), col("nodeid")))
+      case "personalized-pagerank" =>
+        val (edges, verts) = GraphOps.edgesFromAdjacencyText(text)
+        val sources = opts("sources").split(",").map(_.trim.toLong).toSeq
+        val ranks = GraphOps.personalizedPageRank(edges, sources,
+          opts.getOrElse("iterations", "20").toInt,
+          opts.getOrElse("alpha", "0.15").toDouble,
+          vertices = Some(verts), dedupeEdges = false)
+        // reference rendering: "%.5f %d" per source, rank-descending
+        // (ExtractTopPersonalizedPageRankNodes.java:112)
+        writeTsv(GraphOps.topKPerSource(ranks, opts.getOrElse("top", "10").toInt)
+          .select(col("source"), col("rn"),
+            format_string("%.5f", col("rank")).as("rank"), col("nodeid")))
+      case "hourly-counts" =>
+        val tweets = TweetOps.parseTsv(text)
+        val filter = if (opts.get("egypt").contains("true"))
+          Some(TweetOps.egyptPattern) else None
+        writeTsv(TweetOps.render(TweetOps.hourlyCounts(tweets, filter)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown tool '$other'\n$usage")
+    }
+  }
+}

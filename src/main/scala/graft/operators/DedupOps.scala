@@ -54,11 +54,52 @@ object DedupOps {
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 
-  /** MinHash signature: k md5-seeded minimum shingle hashes (hex strings —
-    * lexicographic min over uniform hashes is a valid min-hash). */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit(":"), s)))))
+  val mask60: Long = (1L << 60) - 1
+
+  /** Odd 60-bit multipliers (md5-derived, engine-portable constants): each
+    * seed's permutation is h -> (h * C_i) mod 2^60 — a bijection on
+    * [0, 2^60) because C_i is odd. One md5 per SHINGLE total; the k
+    * per-seed minima are cheap integer ops, not k md5s (measured ~10x
+    * cheaper on interpreted higher-order functions). */
+  def minhashMultipliers(k: Int): Seq[Long] = (0 until k).map { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) | 1L) & mask60
+  }
+
+  /** 60-bit md5-prefix hash per shingle. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
+  private val mask30: Long = (1L << 30) - 1
+
+  /** (h * c) mod 2^60 via 30-bit split — every intermediate stays below
+    * 2^61, so it runs under ANSI overflow checking (Spark 4 default) and
+    * in any engine with plain 64-bit ints:
+    * h*c ≡ h0*c0 + ((h0*c1 + h1*c0 mod 2^30) << 30)  (mod 2^60). */
+  def permuteHash(h: Column, c: Long): Column = {
+    val c1 = c >> 30
+    val c0 = c & mask30
+    val h1 = shiftright(h, 30)
+    val h0 = h.bitwiseAND(lit(mask30))
+    val mid = (h0 * lit(c1) + h1 * lit(c0)).bitwiseAND(lit(mask30))
+    (h0 * lit(c0) + shiftleft(mid, 30)).bitwiseAND(lit(mask60))
+  }
+
+  /** Same permutation as SQL text (for oracle generation). */
+  def permuteHashSql(x: String, c: Long): String = {
+    val c1 = c >> 30
+    val c0 = c & mask30
+    s"((($x & $mask30) * $c0 + (((($x & $mask30) * $c1 + ($x >> 30) * $c0)" +
+      s" & $mask30) << 30)) & $mask60)"
+  }
+
+  /** MinHash signature from precomputed shingle hashes: k minima of
+    * permuted hashes. */
+  def minhashSignature(hs: Column, k: Int): Column =
+    array(minhashMultipliers(k).map(c =>
+      array_min(transform(hs, h => permuteHash(h, c)))): _*)
 
   /** LSH band hashes: `bands` hashes of `rowsPerBand` consecutive signature
     * entries. Two docs share a band hash iff that band's sub-signature
@@ -66,7 +107,8 @@ object DedupOps {
   def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat(b.cast("string"), lit("|"),
-        concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+        concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string"))))))
 
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -83,18 +125,31 @@ object DedupOps {
                           threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
+    // Persisting (id, sh, hs) materializes the per-shingle md5s ONCE —
+    // without the cache boundary CollapseProject would inline `hs` into all
+    // k per-seed minima and recompute every md5 k times.
     val sh = docs.select(col(idCol).as("id"),
       shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
-    val banded = sh.select(col("id"), col("sh"),
-      posexplode(lshBandHashes(minhashSignature(col("sh"), k), bands, rowsPerBand))
+      .withColumn("hs", shingleHashes(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band join and pair-dedup move ONLY (band, hash, id) — the shingle
+    // arrays stay out of the self-join shuffle and are re-attached once per
+    // surviving candidate (at 100 TB the arrays dwarf the id pairs).
+    val banded = sh.select(col("id"),
+      posexplode(lshBandHashes(minhashSignature(col("hs"), k), bands, rowsPerBand))
         .as(Seq("band", "bh")))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .dropDuplicates("ida", "idb")
-    cands.select(col("ida"), col("idb"), jaccard(col("sha"), col("shb")).as("jaccard"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+    // exact-jaccard refine runs on the 60-bit hash arrays, not the shingle
+    // strings — integer set-intersection, same result (collision odds at
+    // 2^60 are negligible AND the oracle hashes identically)
+    cands
+      .join(sh.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
+      .join(sh.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
+      .select(col("ida"), col("idb"), jaccard(col("hsa"), col("hsb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -103,10 +158,11 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      shingleHashes(shingles(TextOps.tokens(col(textCol)), shingleN)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        jaccard(col("a.hs"), col("b.hs")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

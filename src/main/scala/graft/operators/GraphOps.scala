@@ -171,6 +171,51 @@ object GraphOps {
     state
   }
 
+  /** PageRank with ranks carried in LOG space — the reference's exact
+    * numeric regime (float32 log-space there; float64 log-space here):
+    * scatter is `rank - log(outdeg)`, gather is a grouped log-sum-exp
+    * (graft.functions.LogSpace.LogSumExpAgg — its merge is the combiner),
+    * teleport is `logAdd(log(α/N), log(1-α) + logAdd(in, missing - log N))`.
+    * Linear-space [[pageRank]] is the production path (double never
+    * underflows at realistic N); this variant exists for numeric parity
+    * and as the engine's typed-Aggregator showcase.
+    */
+  def pageRankLogSpace(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
+                       vertices: Option[DataFrame] = None,
+                       numPartitions: Int = 32): DataFrame = {
+    import graft.functions.LogSpace
+    val verts = vertices.getOrElse(verticesOf(edges))
+      .repartition(numPartitions, col("nodeid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val adj = adjacencyOf(edges, numPartitions, dedupe = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val negInf = lit(Double.NegativeInfinity)
+
+    var ranks = verts.withColumn("rank", lit(-math.log(n.toDouble)))
+    for (_ <- 1 to iterations) {
+      val withAdj = ranks.join(adj, ranks("nodeid") === adj("src"), "left_outer")
+      val missingLog = withAdj.where(col("adj").isNull)
+        .agg(coalesce(LogSpace.logSumExp(col("rank")), negInf)).head() match {
+          case r if r.isNullAt(0) => Double.NegativeInfinity
+          case r => r.getDouble(0)
+        }
+      val gathered = withAdj.where(col("adj").isNotNull)
+        .select(explode(col("adj")).as("dst"),
+          (col("rank") - log(col("outdeg").cast("double"))).as("m"))
+        .groupBy("dst").agg(LogSpace.logSumExp(col("m")).as("in_mass"))
+      val in = coalesce(col("in_mass"), negInf)
+      val linkAndMissing = LogSpace.logAdd(in, lit(missingLog - math.log(n.toDouble)))
+      ranks = verts.join(gathered, verts("nodeid") === gathered("dst"), "left_outer")
+        .select(verts("nodeid"),
+          LogSpace.logAdd(lit(math.log(alpha / n)),
+            lit(math.log(1 - alpha)) + linkAndMissing).as("rank"))
+        .localCheckpoint()
+    }
+    adj.unpersist(); verts.unpersist()
+    ranks
+  }
+
   /** Global top-k by rank — T3 (plans as TakeOrderedAndProject). */
   def topK(ranks: DataFrame, k: Int): DataFrame =
     ranks.orderBy(col("rank").desc, col("nodeid").asc).limit(k)

