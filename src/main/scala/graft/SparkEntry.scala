@@ -109,6 +109,10 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
+    "q_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashNearDupPairs(
+        DedupOps.simhash(docs(s, dir), "doc_id", "text"),
+        "id", "simhash", bits = 60, maxDist = 3)),
 
     // ---- training-data pipeline: similarity search over embeddings ----
     "q_ann_topk" -> ((s, dir) => {
@@ -278,20 +282,18 @@ object SparkEntry {
          |SELECT a.doc_id AS ida, b.doc_id AS idb, round($jaccardSql, 6) AS jaccard
          |FROM d a JOIN d b ON a.doc_id < b.doc_id
          |WHERE $jaccardSql >= 0.3""".stripMargin,
-    "q_simhash" ->
-      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
-         |  GROUP BY doc_id, term),
-         |h AS (SELECT doc_id, tf,
-         |  CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM tf),
-         |bitsum AS (SELECT doc_id, j,
-         |  sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
-         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
-         |  GROUP BY doc_id, j)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
-         |    AS simhash
-         |FROM bitsum GROUP BY doc_id""".stripMargin,
+    "q_simhash" -> simhashSql,
+    "q_simhash_pairs" ->
+      s"""WITH s AS ($simhashSql),
+         |blk AS (SELECT doc_id, simhash, b,
+         |  (simhash >> (b * 15)) & 32767 AS blkval
+         |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb,
+         |  x.simhash AS sa, y.simhash AS sb
+         |  FROM blk x JOIN blk y
+         |    ON x.b = y.b AND x.blkval = y.blkval AND x.doc_id < y.doc_id)
+         |SELECT ida, idb, bit_count(xor(sa, sb)) AS dist
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "q_ann_topk" ->
       s"""WITH e AS ($embSql),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
@@ -418,6 +420,23 @@ object SparkEntry {
       "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))"
   private val hashListSql =
     "[CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]"
+
+  // Relational SimHash mirroring DedupOps.simhash (60-bit, tf-weighted
+  // bit votes).
+  private val simhashSql =
+    s"""SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+       |    AS simhash
+       |FROM (SELECT doc_id, j,
+       |  sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+       |  FROM (SELECT doc_id, tf,
+       |    CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h
+       |    FROM (SELECT doc_id, term, count(*) AS tf
+       |      FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |      GROUP BY doc_id, term))
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+       |  GROUP BY doc_id, j)
+       |GROUP BY doc_id""".stripMargin
 
   // Cosine over double-cast embedding lists with per-row precomputed norms,
   // mirroring SimilarityOps (dot(a,b) / (nrm_a * nrm_b)).

@@ -58,8 +58,8 @@ object Main {
     finally spark.stop()
   }
 
-  private[cli] def run(spark: SparkSession, cmd: String,
-                       opts: Map[String, String]): Unit = {
+  private[graft] def run(spark: SparkSession, cmd: String,
+                         opts: Map[String, String]): Unit = {
     def in = opts("input")
     def out = opts("output")
     def text = spark.read.text(in) // gzip-transparent, like TextInputFormat
@@ -129,7 +129,10 @@ object Main {
         val tweets = TweetOps.parseTsv(text)
         val filter = if (opts.get("egypt").contains("true"))
           Some(TweetOps.egyptPattern) else None
-        writeTsv(TweetOps.render(TweetOps.hourlyCounts(tweets, filter)))
+        // pre-rendered single-column lines: the text sink writes them raw
+        // (the csv writer would quote the embedded tabs)
+        TweetOps.render(TweetOps.hourlyCounts(tweets, filter))
+          .write.mode("overwrite").text(out)
       case other =>
         throw new IllegalArgumentException(s"unknown tool '$other'\n$usage")
     }

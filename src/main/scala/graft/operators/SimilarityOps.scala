@@ -30,18 +30,14 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
-  /** Tight-loop dot product for PAIR SCANS. Spark's higher-order functions
+  /** Dot product for PAIR SCANS: the native codegen expression
+    * (graft.functions.DotProduct). Spark's higher-order functions
     * (aggregate/zip_with) are interpreted per element — fine once per row,
     * ~3x-10x too slow when evaluated per candidate pair. Same sequential
     * summation order as the columnar form and DuckDB's list_dot_product,
     * so results are bit-compatible. */
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var s = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
+  private def fastDot(df: DataFrame, a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot(df.sparkSession, a, b)
 
   /** (id, v, nrm): vectors with their norms precomputed ONCE — pair scans
     * then do a single dot per pair instead of three. */
@@ -59,7 +55,8 @@ object SimilarityOps {
     val q = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dotUdf(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+        round(fastDot(c, col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
@@ -132,7 +129,8 @@ object SimilarityOps {
     val scored = c.join(broadcast(q),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dotUdf(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+        round(fastDot(c, col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
