@@ -155,6 +155,14 @@ object SparkEntry {
       TimeSeriesOps.topKPerGroup(
         events(s, dir).select(col("event_type"), col("event_id"), col("value")),
         "event_type", "value", "event_id", k = 3)),
+    "q_sessionize" -> ((s, dir) =>
+      TimeSeriesOps.sessionize(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", gapMinutes = 30)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))),
   )
 
   private def graphEdges(s: SparkSession, dir: String): DataFrame =
@@ -384,6 +392,23 @@ object SparkEntry {
       """SELECT month(ts) AS m, day(ts) AS d, hour(ts) AS h, count(*) AS cnt
         |FROM events WHERE regexp_matches(event_type, '(?i)(click|view)')
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_sessionize" ->
+      """WITH w AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |n AS (SELECT user_id, ts,
+        |  CASE WHEN prev_ts IS NULL
+        |         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |       ELSE 0 END AS ns
+        |  FROM w),
+        |s AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM n)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events,
+        |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q_topk_per_type" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

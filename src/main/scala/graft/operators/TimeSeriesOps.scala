@@ -66,12 +66,14 @@ object TimeSeriesOps {
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
                  gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
-    val gapSec = gapMinutes * 60L
+    // microsecond arithmetic: unix_timestamp() floors to seconds, which
+    // misclassifies gaps within one second of the threshold
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col(tsCol)) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          unix_micros(col(tsCol)) - unix_micros(col("prev_ts")) > gapUs, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
