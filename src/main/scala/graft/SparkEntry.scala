@@ -120,6 +120,12 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 5)
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2)
+    }),
     // brute-force O(n²) pair scan — bounded to the first 2000 vectors; the
     // hyperplane-LSH bucketing in SimilarityOps is the full-corpus path
     "q_embed_neardup" -> ((s, dir) =>
@@ -309,6 +315,33 @@ object SparkEntry {
          |s AS (SELECT query_id, vec_id,
          |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
          |      FROM e CROSS JOIN q WHERE vec_id <> query_id)
+         |SELECT query_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM s) WHERE rn <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS ($embSql),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
+         |          WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, v, nrm, cent_id AS cell FROM (
+         |  SELECT e.vec_id, e.v, e.nrm, cents.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, cents.cv) / (e.nrm * cents.cnrm)
+         |        DESC, cents.cent_id ASC) AS rc
+         |  FROM e CROSS JOIN cents) WHERE rc = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+         |      WHERE vec_id < 3),
+         |probe AS (SELECT query_id, qv, qnrm, cent_id AS cell FROM (
+         |  SELECT q.query_id, q.qv, q.qnrm, cents.cent_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_dot_product(q.qv, cents.cv) / (q.qnrm * cents.cnrm)
+         |        DESC, cents.cent_id ASC) AS rc
+         |  FROM q CROSS JOIN cents) WHERE rc <= 2),
+         |s AS (SELECT probe.query_id, asg.vec_id,
+         |  round(list_dot_product(probe.qv, asg.v) / (probe.qnrm * asg.nrm), 6)
+         |    AS cos
+         |  FROM asg JOIN probe ON asg.cell = probe.cell
+         |  WHERE asg.vec_id <> probe.query_id)
          |SELECT query_id, vec_id, cos, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY cos DESC, vec_id ASC) AS rn

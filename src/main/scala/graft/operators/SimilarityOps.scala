@@ -136,6 +136,52 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every corpus vector to its nearest centroid cell ONCE; queries probe
+    * only their `nprobe` nearest cells. With `nprobe == nlist` this is
+    * exhaustive and equals [[bruteForceTopK]] exactly (tested); smaller
+    * nprobe trades recall for a ~nlist/nprobe scan reduction.
+    *
+    * The quantizer here is deterministic (centroids = the `nlist`
+    * lowest-id corpus vectors — no training iterations); swapping in
+    * k-means centroids changes ONLY the broadcast array. At scale the
+    * cell assignment is one broadcast map pass and the probe is a
+    * cell-equality join — the corpus is never shuffled per query.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
+    val cents = c.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map { case (i, v, n) => (i, v.toArray, n) }
+    val bc = spark.sparkContext.broadcast(cents)
+    def cosTo(cent: (Long, Array[Double], Double), v: Seq[Double], nrm: Double): Double = {
+      var s = 0.0; var i = 0; val n = cent._2.length
+      while (i < n) { s += cent._2(i) * v(i); i += 1 }
+      s / (cent._3 * nrm)
+    }
+    val assignUdf = udf((v: Seq[Double], nrm: Double) =>
+      bc.value.maxBy(c => cosTo(c, v, nrm))._1)
+    val probeUdf = udf((v: Seq[Double], nrm: Double) =>
+      bc.value.map(c => (c._1, cosTo(c, v, nrm)))
+        .sortBy(-_._2).take(nprobe).map(_._1))
+    val assigned = c.withColumn("cell", assignUdf(col("v"), col("nrm")))
+    val q = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
+      .withColumn("cell", explode(probeUdf(col("qv"), col("qnrm"))))
+    val scored = assigned.join(broadcast(q),
+        assigned("cell") === q("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(fastDot(c, col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
   /** Random-hyperplane LSH code, packed: Σ (v·h_p > 0) << p. Bit p is the
     * sign of the projection onto an md5-derived ±1 hyperplane — SimHash for
     * vectors; cosine-similar vectors agree on most bits. */

@@ -97,4 +97,21 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
     lsh.foreach { case (k, c) => assert(brute.get(k).forall(_ === c)) }
   }
+
+  test("IVF top-k equals brute force under full probe, candidates agree under partial") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 2)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val brute = toMap(SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    val full = toMap(SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8))
+    assert(full === brute, "nprobe == nlist is exhaustive")
+    val partial = toMap(SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2))
+    partial.foreach { case (key, (cos, _)) =>
+      assert(brute.get(key).forall(_._1 === cos), s"score mismatch at $key")
+    }
+  }
 }

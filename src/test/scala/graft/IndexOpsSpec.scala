@@ -108,6 +108,20 @@ class IndexOpsSpec extends SparkSpec {
     assert(rows(0).getString(1) === " the slings and arrows of outrageous fortune")
   }
 
+  test("compressed index size is consistent with the reference's 6,553,277 bytes") {
+    assume(haveCorpus)
+    // reference/assignment3/assignment3.md:4 reports 6,553,277 bytes for the
+    // whole MapFile (d-gap+VInt postings PLUS SequenceFile key/len/sync
+    // overhead and the index file). Our pure payload must be deterministic
+    // and strictly smaller, same order of magnitude.
+    val c = IndexOps.compressedIndex(
+      IndexOps.invertedIndex(corpus, "docid", "text"))
+    val r = c.agg(sum(length(col("packed"))), count(lit(1))).head()
+    assert(r.getLong(0) === 5663448L, "packed postings bytes (deterministic)")
+    assert(r.getLong(1) === 41788L, "one postings list per vocabulary term")
+    assert(r.getLong(0) < 6553277L)
+  }
+
   test("compressed index round-trips through the codec on a real corpus slice") {
     assume(haveCorpus)
     val idx = IndexOps.invertedIndex(
