@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.IndexOps
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: these queries must keep the plan shape
+  * they were designed for — a silent fallback (broadcast -> sort-merge,
+  * TakeOrdered -> global sort, lost pushdown) is a scale bug even when
+  * results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("dimension-chain revenue joins broadcast (never sort-merge)") {
+    val p = planOf("q_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top customers plans two-phase TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_top_customers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("wordcount aggregates partially before the shuffle (combiner)") {
+    val p = SparkEntry.queries("q_wordcount")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    val formatted = SparkEntry.queries("q_wordcount")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("partial_count"), formatted)
+  }
+
+  test("semi/anti joins stay broadcast at dimension scale") {
+    assert(planOf("q_segments_with_orders").contains("LeftSemi"))
+    assert(planOf("q_customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("pricing summary prunes the lineitem scan to referenced columns") {
+    val p = planOf("q1_pricing")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("term point-lookup on the sorted postings store pushes the filter to parquet") {
+    // S5/S9: the MapFile random-access analogue — a sorted parquet postings
+    // table must serve `term = t` via parquet predicate pushdown
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx").toString + "/idx"
+    val corpus = Tables.documents(spark, dir)
+    IndexOps.compressedIndex(IndexOps.invertedIndex(corpus, "doc_id", "text"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(idx)
+    val lookup = spark.read.parquet(idx).where(col("term") === "join")
+    val p = lookup.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(term), EqualTo(term,join)]"), p)
+    assert(lookup.count() === 1)
+  }
+}
