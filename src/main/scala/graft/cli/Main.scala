@@ -125,6 +125,10 @@ object Main {
         writeTsv(GraphOps.topKPerSource(ranks, opts.getOrElse("top", "10").toInt)
           .select(col("source"), col("rn"),
             format_string("%.5f", col("rank")).as("rank"), col("nodeid")))
+      case "graph-stats" =>
+        val (edges, verts) = GraphOps.edgesFromAdjacencyText(text)
+        GraphOps.graphStats(edges, Some(verts)).toSeq.sortBy(_._1)
+          .foreach { case (k, v) => println(s"$k\t$v") }
       case "hourly-counts" =>
         val tweets = TweetOps.parseTsv(text)
         val filter = if (opts.get("egypt").contains("true"))

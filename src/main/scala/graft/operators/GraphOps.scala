@@ -216,6 +216,19 @@ object GraphOps {
     ranks
   }
 
+  /** Graph summary counters — A8 (the reference's job counters:
+    * BuildPageRankRecords.java:97-102 NODES/EDGES, RunPageRankBasic
+    * massMessages). One aggregation pass instead of side-channel counters.
+    */
+  def graphStats(edges: DataFrame, vertices: Option[DataFrame] = None): Map[String, Long] = {
+    val verts = vertices.getOrElse(verticesOf(edges))
+    val nEdges = edges.count()
+    val nNodes = verts.count()
+    val nDangling = verts.join(edges.select(col("src")).distinct(),
+      verts("nodeid") === col("src"), "left_anti").count()
+    Map("nodes" -> nNodes, "edges" -> nEdges, "dangling" -> nDangling)
+  }
+
   /** Global top-k by rank — T3 (plans as TakeOrderedAndProject). */
   def topK(ranks: DataFrame, k: Int): DataFrame =
     ranks.orderBy(col("rank").desc, col("nodeid").asc).limit(k)

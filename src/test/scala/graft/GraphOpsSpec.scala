@@ -89,6 +89,11 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("graphStats counts nodes, edges, dangling (A8 counters)") {
+    val stats = GraphOps.graphStats(smallEdges, Some(smallVerts))
+    assert(stats === Map("nodes" -> 5L, "edges" -> 7L, "dangling" -> 1L))
+  }
+
   test("mass sent to nonexistent nodes vanishes (FIXTURES.md B3)") {
     // node 9 is referenced but has no adjacency line -> not a vertex; the
     // reference drops mass addressed to it (RunPageRankBasic.java:288-296)

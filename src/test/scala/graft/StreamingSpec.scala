@@ -57,6 +57,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyCountsStream runs against a file source (readStream wiring)") {
+    // the production ingestion shape: new files appear in a directory and
+    // stream through the same windowed plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    Seq((ts(5), 1L), (ts(20), 2L), (ts(70), 3L)).toDF("ts", "user_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamingOps.hourlyCountsStream(stream, "ts")
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT cnt FROM file_hourly ORDER BY hour_start")
+        .collect().map(_.getLong(0))
+      assert(got.toSeq === Seq(2L, 1L))
+    } finally q.stop()
+  }
+
   test("hourlyCountsStream definition also runs as a plain batch query") {
     val batch = Seq((ts(0), 1L), (ts(59), 2L), (ts(61), 3L)).toDF("ts", "user_id")
     val got = StreamingOps.hourlyCountsStream(batch, "ts")
