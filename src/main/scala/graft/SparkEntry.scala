@@ -51,6 +51,21 @@ object SparkEntry {
       RelationalOps.segmentsWithOrders(s, dir)),
     "q_customers_without_orders" -> ((s, dir) =>
       RelationalOps.customersWithoutOrders(s, dir)),
+    // as-of join (operator Spark lacks): every event gets the user's most
+    // recent purchase value at or before its timestamp; verified against
+    // DuckDB's NATIVE ASOF LEFT JOIN
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      JoinOps.asofJoinBackward(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, "user_id", "ts", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+    }),
 
     // ---- inverted index / retrieval (assignment-3 family): A6, R1-R4, J3 ----
     "q_term_doctf" -> ((s, dir) =>
@@ -242,6 +257,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |       round(p.purchase_value, 6) AS purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
     "q_term_doctf" -> termDocTfSql,
     "q_index_stats" ->
       s"""WITH t AS ($termDocTfSql)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks natively. */
+object JoinOps {
+
+  /** Backward as-of join: attach to every left row the most recent right
+    * row with `rightTs <= leftTs` for the same key (the standard
+    * market-data / state-lookup join; DuckDB spells it ASOF LEFT JOIN with
+    * `left.ts >= right.ts`, which is exactly the oracle it's verified
+    * against).
+    *
+    * Spark has no as-of join. The naive encodings are a range-condition
+    * join (O(n·m) BroadcastNestedLoop blowup) or a per-left-row subquery.
+    * This implementation is the scalable shape: UNION the two sides tagged,
+    * sort each key's timeline once, and carry the latest right payload
+    * forward with last_value(ignoreNulls) over a running window — ONE
+    * shuffle on the key, linear work, no range explosion. Ties
+    * (leftTs == rightTs) match, as in DuckDB's `>=` semantics.
+    *
+    * Right-side (key, ts) pairs must be unique — pre-aggregate duplicates —
+    * otherwise "the" matching row is ambiguous in any engine.
+    *
+    * @param valueCols right-side payload columns attached to the output
+    *                  (NULL where no right row is at or before leftTs)
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTsCol: String, rightTsCol: String,
+                       valueCols: Seq[String]): DataFrame = {
+    val lStructType = left.select(struct(left.columns.map(col): _*).as("l"))
+      .schema("l").dataType
+    val rStructType = right.select(struct(valueCols.map(col): _*).as("r"))
+      .schema("r").dataType
+
+    val lTagged = left.select(
+      col(keyCol).as("__k"), col(leftTsCol).as("__ts"), lit(0).as("__isR"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rStructType).as("__r"))
+    val rTagged = right.select(
+      col(keyCol).as("__k"), col(rightTsCol).as("__ts"), lit(1).as("__isR"),
+      lit(null).cast(lStructType).as("__l"),
+      struct(valueCols.map(col): _*).as("__r"))
+
+    // at equal ts the right row sorts first (isR desc) so it is visible to
+    // the left row's frame -> >= tie semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__isR") === 0)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        valueCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}
