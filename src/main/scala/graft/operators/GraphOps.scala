@@ -216,6 +216,50 @@ object GraphOps {
     ranks
   }
 
+  /** PageRank iterated to convergence: stops when the max per-node rank
+    * change drops below `tol` (L∞), or at `maxIterations`. The reference
+    * runs a fixed iteration count chosen by hand (RunPageRankBasic takes
+    * -start/-end); a convergence criterion is what an engine should offer.
+    * Costs one extra max-delta aggregation per iteration.
+    *
+    * @return (ranks, iterationsRun)
+    */
+  def pageRankConverged(edges: DataFrame, tol: Double = 1e-7,
+                        maxIterations: Int = 100, alpha: Double = 0.15,
+                        vertices: Option[DataFrame] = None,
+                        numPartitions: Int = 32): (DataFrame, Int) = {
+    val verts = vertices.getOrElse(verticesOf(edges))
+      .repartition(numPartitions, col("nodeid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val adj = adjacencyOf(edges, numPartitions, dedupe = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var iters = 0
+    var delta = Double.MaxValue
+    while (delta > tol && iters < maxIterations) {
+      val withAdj = ranks.join(adj, ranks("nodeid") === adj("src"), "left_outer")
+      val missing = withAdj.where(col("adj").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val gathered = withAdj.where(col("adj").isNotNull)
+        .select(explode(col("adj")).as("dst"), (col("rank") / col("outdeg")).as("m"))
+        .groupBy("dst").agg(sum(col("m")).as("in_mass"))
+      val next = verts.join(gathered, verts("nodeid") === gathered("dst"), "left_outer")
+        .select(verts("nodeid"),
+          (lit(alpha / n) +
+            lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) + lit(missing / n)))
+            .as("rank"))
+        .localCheckpoint()
+      delta = next.join(ranks.withColumnRenamed("rank", "prev"), "nodeid")
+        .agg(max(abs(col("rank") - col("prev")))).head().getDouble(0)
+      ranks = next
+      iters += 1
+    }
+    adj.unpersist(); verts.unpersist()
+    (ranks, iters)
+  }
+
   /** Graph summary counters — A8 (the reference's job counters:
     * BuildPageRankRecords.java:97-102 NODES/EDGES, RunPageRankBasic
     * massMessages). One aggregation pass instead of side-channel counters.

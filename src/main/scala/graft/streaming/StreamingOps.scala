@@ -82,6 +82,19 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
+    * with state bounded by the watermark (a duplicate arriving later than
+    * `watermark` after the original may pass — the standard bounded-state
+    * trade-off; unbounded dropDuplicates state is the other option and a
+    * memory leak at 100 TB/day). Batch analogue:
+    * [[graft.operators.DedupOps.exactDedup]].
+    */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming regex-filtered hourly counts — the egypt/cairo pipeline
     * (P6) as a live query. */
   def filteredHourlyStream(events: DataFrame, tsCol: String, filterCol: String,

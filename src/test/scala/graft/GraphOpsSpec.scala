@@ -89,6 +89,17 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("pageRankConverged stops early and matches a long fixed run") {
+    val (ranks, iters) = GraphOps.pageRankConverged(smallEdges, tol = 1e-10,
+      maxIterations = 200, vertices = Some(smallVerts), numPartitions = 2)
+    assert(iters < 200, "should converge well before the cap")
+    val fixed = GraphOps.pageRank(smallEdges, iterations = 100,
+      vertices = Some(smallVerts), numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- fixed) assert(math.abs(got(k) - v) < 1e-8, s"node $k")
+  }
+
   test("graphStats counts nodes, edges, dangling (A8 counters)") {
     val stats = GraphOps.graphStats(smallEdges, Some(smallVerts))
     assert(stats === Map("nodes" -> 5L, "edges" -> 7L, "dangling" -> 1L))

@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops in-watermark duplicates") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StreamingOps.streamingDedup(
+      input.toDF().toDF("ts", "id", "payload"), "ts", Seq("id"),
+      watermark = "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(61), 1L, "a"), (ts(62), 1L, "dup"), (ts(63), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts(64), 2L, "dup2"), (ts(65), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L), "one row per id within watermark")
+    } finally q.stop()
+  }
+
   test("hourlyCountsStream definition also runs as a plain batch query") {
     val batch = Seq((ts(0), 1L), (ts(59), 2L), (ts(61), 3L)).toDF("ts", "user_id")
     val got = StreamingOps.hourlyCountsStream(batch, "ts")
