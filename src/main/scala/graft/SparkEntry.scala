@@ -176,6 +176,16 @@ object SparkEntry {
       TimeSeriesOps.topKPerGroup(
         events(s, dir).select(col("event_type"), col("event_id"), col("value")),
         "event_type", "value", "event_id", k = 3)),
+    // distribution stats per event type: exact interpolated quantiles
+    // (Spark percentile == DuckDB quantile_cont, linear interpolation)
+    "q_value_stats" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("mean"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(min(col("value")), 6).as("vmin"),
+          round(max(col("value")), 6).as("vmax"))),
     "q_sessionize" -> ((s, dir) =>
       TimeSeriesOps.sessionize(
         events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
@@ -447,6 +457,13 @@ object SparkEntry {
       """SELECT month(ts) AS m, day(ts) AS d, hour(ts) AS h, count(*) AS cnt
         |FROM events WHERE regexp_matches(event_type, '(?i)(click|view)')
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(value), 6) AS mean,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_sessionize" ->
       """WITH w AS (SELECT user_id, ts,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
