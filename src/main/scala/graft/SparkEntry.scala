@@ -86,6 +86,16 @@ object SparkEntry {
         .where(col("term").isin("join", "hash", "vector"))
         .select(col("term"), explode(col("postings")).as("p"))
         .select(col("term"), col("p._1").as("doc_id"), col("p._2").as("tf"))),
+    // ranked retrieval on top of the index family
+    "q_tfidf" -> ((s, dir) =>
+      IndexOps.tfidf(docs(s, dir), "doc_id", "text")
+        .where(col("term").isin("join", "hash", "vector"))
+        .select(col("term"), col("docid").as("doc_id"), col("tf"),
+          round(col("tfidf"), 6).as("tfidf"))),
+    "q_bm25_search" -> ((s, dir) =>
+      IndexOps.searchBM25(docs(s, dir), "doc_id", "text",
+        Seq("join", "hash", "vector"), k = 10)
+        .withColumnRenamed("docid", "doc_id")),
     "q_bool_retrieval" -> ((s, dir) =>
       IndexOps.booleanRetrieve(
         IndexOps.termDocTf(docs(s, dir), "doc_id", "text"),
@@ -284,6 +294,29 @@ object SparkEntry {
       s"""WITH t AS ($termDocTfSql)
          |SELECT term, doc_id, tf FROM t
          |WHERE term IN ('join', 'hash', 'vector')""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH t AS ($termDocTfSql),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |d AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+         |SELECT t.term, t.doc_id, t.tf,
+         |  round(t.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / d.df), 6)
+         |    AS tfidf
+         |FROM t JOIN d USING (term)
+         |WHERE t.term IN ('join', 'hash', 'vector')""".stripMargin,
+    "q_bm25_search" ->
+      s"""WITH t AS ($termDocTfSql),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+         |L AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+         |a AS (SELECT avg(dl) AS avgdl FROM L),
+         |s AS (SELECT t.doc_id,
+         |  ln(1.0 + (CAST((SELECT n FROM nn) AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         |  * (t.tf * ${1.2 + 1}) / (t.tf + 1.2 * (${1 - 0.75} + 0.75 * L.dl
+         |      / (SELECT avgdl FROM a))) AS sc
+         |  FROM t JOIN d USING (term) JOIN L USING (doc_id)
+         |  WHERE t.term IN ('join', 'hash', 'vector'))
+         |SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_bool_retrieval" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |(SELECT doc_id FROM d WHERE list_contains(toks, 'join')

@@ -111,6 +111,48 @@ object IndexOps {
     termDocTf.where(col("term") === term)
       .groupBy("tf").agg(count(lit(1)).as("cnt")).orderBy("tf")
 
+  /** TF-IDF scores per (term, doc): tf * ln(N/df) — the classic weighting,
+    * turning the boolean index into a ranked one. Marginals (df) broadcast. */
+  def tfidf(corpus: DataFrame, docidCol: String, textCol: String): DataFrame = {
+    val tdf = termDocTf(corpus, docidCol, textCol)
+    val n = corpus.count()
+    val dfs = tdf.groupBy("term").agg(count(lit(1)).as("df"))
+    tdf.join(broadcast(dfs), "term")
+      .select(col("term"), col("docid"), col("tf"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+  }
+
+  /** BM25 scores per (term, doc) — Robertson/Sparck-Jones with the
+    * +1 idf variant (never negative): doc length dl is derived from the
+    * SAME tf relation (sum of tf per doc == token count), so no second
+    * corpus scan; avgdl is one driver scalar.
+    */
+  def bm25(corpus: DataFrame, docidCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tdf = termDocTf(corpus, docidCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val dfs = tdf.groupBy("term").agg(count(lit(1)).as("df"))
+    val docLens = tdf.groupBy("docid").agg(sum(col("tf")).as("dl"))
+    val avgdl = docLens.agg(avg(col("dl"))).head().getDouble(0)
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    tdf.join(broadcast(dfs), "term").join(docLens, "docid")
+      .select(col("term"), col("docid"), col("tf"),
+        (idf * tfNorm).as("bm25"))
+  }
+
+  /** Ranked retrieval: top-k docs by summed BM25 over the query terms. */
+  def searchBM25(corpus: DataFrame, docidCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int): DataFrame =
+    bm25(corpus, docidCol, textCol)
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("docid").agg(round(sum(col("bm25")), 6).as("score"))
+      .orderBy(col("score").desc, col("docid").asc)
+      .limit(k)
+
   /** RPN boolean retrieval — R3/J3. Tokens are terms or AND/OR; terms push
     * their docid relation, AND pops two and intersects, OR pops two and
     * unions. The stack lives in the driver (exactly like the reference's,

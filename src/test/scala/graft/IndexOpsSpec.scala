@@ -99,6 +99,17 @@ class IndexOpsSpec extends SparkSpec {
       "fortune", "AND") === Seq(4442172L, 5167827L, 7110114L))
   }
 
+  test("BM25 ranked retrieval puts the both-terms doc first") {
+    assume(haveCorpus)
+    // 4442172 = "the slings and arrows of outrageous fortune" — the only
+    // doc containing both query terms (golden docid from
+    // BooleanRetrievalCompressed.out) must outrank single-term docs
+    val top = IndexOps.searchBM25(corpus, "docid", "text",
+      Seq("outrageous", "fortune"), k = 3).collect()
+    assert(top.head.getLong(0) === 4442172L)
+    assert(top.head.getDouble(1) > top(1).getDouble(1))
+  }
+
   test("retrieval with lines fetches the golden source text") {
     assume(haveCorpus)
     val rows = IndexOps.booleanRetrieveWithLines(corpus, "docid", "text",
