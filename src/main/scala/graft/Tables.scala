@@ -28,14 +28,32 @@ object Tables {
     * vectorized reader rejects. Read nanos as long (legacy conf) and convert
     * to TimestampType via integral division (double division would lose
     * precision at 1e18 nanos).
+    *
+    * The legacy conf is needed at schema-inference time (read.parquet below)
+    * AND at scan execution; we pin the inferred LongType schema with an
+    * explicit `.schema(...)` so later executions don't depend on the session
+    * conf, and restore the previous conf value before returning — loading
+    * events must not change how unrelated reads in the same session behave.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.LongType
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val raw = load(s, d, "events")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // re-read with the inferred schema pinned explicitly: execution of
+          // THIS DataFrame then works whatever the session conf says later
+          s.read.schema(raw.schema).parquet(s"$d/events.parquet")
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -29,8 +29,12 @@ object Main {
 
   private def parseArgs(args: Array[String]): (String, Map[String, String]) = {
     require(args.nonEmpty, usage)
-    val opts = args.tail.sliding(2, 2).collect {
+    val opts = args.tail.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case Array(k, v) =>
+        throw new IllegalArgumentException(s"expected --flag, got '$k $v'\n$usage")
+      case Array(k) =>
+        throw new IllegalArgumentException(s"flag '$k' is missing a value\n$usage")
     }.toMap
     (args.head, opts)
   }
@@ -42,6 +46,7 @@ object Main {
       |       personalized-pagerank hourly-counts
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
+      |         --collection PATH (boolean-retrieval corpus; defaults to --input)
       |         --egypt true --partitions N""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -101,7 +106,10 @@ object Main {
               .map(p => s"(${p.getLong(0)}, ${p.getLong(1)})").mkString("[", ", ", "]") + ")")
         }
       case "boolean-retrieval" =>
-        val corpus = IndexOps.corpusWithOffsets(spark, opts("collection"))
+        // --collection is the raw corpus (reference's -collection flag);
+        // fall back to --input so the documented flags alone work
+        val corpus = IndexOps.corpusWithOffsets(spark,
+          opts.getOrElse("collection", in))
         val rpn = opts("query").split("\\s+").toSeq
         IndexOps.booleanRetrieveWithLines(corpus, "docid", "text", rpn)
           .collect().foreach(r => println(s"${r.getLong(0)}\t${r.getString(1)}"))

@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Deterministic per-row salt from the hash of ALL columns. A salt from
+    * `monotonically_increasing_id()` (or `rand()`) is nondeterministic
+    * upstream of a shuffle: on stage retry the recomputed rows pick
+    * different salts than the shuffle files already fetched, silently
+    * duplicating or dropping rows. Hashing row content is retry-stable;
+    * duplicate rows share a salt, which only costs salting efficiency,
+    * never correctness. */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+
   /** Two-stage salted aggregation for buffer-building aggregates:
     * stage 1 groups on (key, salt) — the hot key's rows spread over
     * `salts` partitions and build bounded buffers; stage 2 merges the
@@ -25,7 +35,7 @@ object SkewOps {
   def saltedAgg(df: DataFrame, keyCol: String, salts: Int,
                 agg: Column => Column, valueCol: String,
                 merge: Column => Column): DataFrame =
-    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(col(keyCol), col("__salt"))
       .agg(agg(col(valueCol)).as("__partial"))
       .groupBy(col(keyCol))
@@ -59,8 +69,7 @@ object SkewOps {
     * `broadcast(right)` whenever right fits in memory. */
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
                  salts: Int = 8): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val saltedLeft = left.withColumn("__salt", rowSalt(left, salts))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(saltedRight, Seq(keyCol, "__salt")).drop("__salt")
