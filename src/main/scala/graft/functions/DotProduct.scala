@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -79,19 +79,64 @@ case class DotProduct(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.dotDescriptor)
+    GraftFunctions.injectInto(ext)
 }
 
 object GraftFunctions {
-  private[functions] val dotDescriptor =
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private[functions] val dotDescriptor: Descriptor =
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1)))
 
+  // n / distinct / k arrive as foldable literals from the Column helpers
+  private[functions] val shingleDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_shingle_hash"),
+      new ExpressionInfo(classOf[ShingleHash64].getName, "graft_shingle_hash"),
+      {
+        case Seq(t, Literal(n: Int, _), Literal(d: Boolean, _)) =>
+          ShingleHash64(t, n, d)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_shingle_hash(toks, <int literal n>, <bool literal distinct>)")
+      })
+
+  private[functions] val minhashDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      {
+        case Seq(hs, Literal(k: Int, _)) => MinHashSig(hs, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_minhash(hashes, <int literal k>)")
+      })
+
+  private[functions] val jaccardDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[Jaccard64].getName, "graft_jaccard"),
+      (children: Seq[Expression]) => Jaccard64(children.head, children(1)))
+
+  private[functions] val stopHitsDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_stop_hits"),
+      new ExpressionInfo(classOf[StopwordHits].getName, "graft_stop_hits"),
+      (children: Seq[Expression]) => StopwordHits(children.head))
+
+  private val descriptors: Seq[Descriptor] = Seq(
+    dotDescriptor, shingleDescriptor, minhashDescriptor, jaccardDescriptor,
+    stopHitsDescriptor)
+
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+  def register(spark: SparkSession): Unit = descriptors.foreach { d =>
+    spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+  }
+
+  private[functions] def injectInto(ext: SparkSessionExtensions): Unit =
+    descriptors.foreach(d => ext.injectFunction(d))
+
+  /** Register on whatever session is active at Column-construction time —
+    * lets pure-Column helpers (no DataFrame in scope) use the kernels. */
+  def registerActive(): Unit =
+    SparkSession.getActiveSession.foreach(register)
 
   /** dot(a, b) over array<double> columns via the native expression. */
   def dot(spark: SparkSession, a: Column, b: Column): Column = {

@@ -1,0 +1,281 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native JVM kernels for the hot text-hashing paths, invoked from compact
+  * Catalyst expressions ([[ShingleHash64]], [[MinHashSig]], [[Jaccard64]],
+  * [[StopwordHits]]).
+  *
+  * Why not pure column expressions: the equivalent
+  * `transform(shingles, s -> conv(substring(md5(s),1,15),16,10))` chain
+  * evaluates an interpreted lambda per array element and materializes a
+  * 32-char hex string + a string-parsed conv per shingle — measured 20-50x
+  * slower at bench scale. These kernels hash straight from the Tungsten
+  * `ArrayData` token bytes with no intermediate strings, while producing
+  * EXACTLY the same 60-bit values (`md5 hex prefix` == `big-endian first 8
+  * digest bytes >>> 4`), so the DuckDB oracle SQL in SparkEntry is
+  * unchanged.
+  */
+object Kernels {
+
+  val mask60: Long = (1L << 60) - 1
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of the digest = the value of the first 15 hex chars. */
+  private def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** 60-bit md5-prefix hash of one UTF8 string (equals
+    * `conv(substring(md5(s),1,15),16,10)`). */
+  def md560(s: UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    md.update(s.getBytes)
+    top60(md.digest())
+  }
+
+  /** 60-bit hashes of the space-joined token `n`-grams; whole doc as one
+    * shingle when shorter than n; optional keep-first-occurrence dedupe.
+    * Matches DedupOps.shingles + shingleHashes (null tokens are skipped the
+    * way concat_ws skips them).
+    */
+  def shingleHash64(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val md = mdLocal.get()
+    val nt = toks.numElements()
+
+    def hashRange(from: Int, until: Int): Long = {
+      md.reset()
+      var first = true
+      var j = from
+      while (j < until) {
+        if (!toks.isNullAt(j)) {
+          if (!first) md.update(' '.toByte)
+          md.update(toks.getUTF8String(j).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      top60(md.digest())
+    }
+
+    if (nt < n) return new GenericArrayData(Array(hashRange(0, nt)))
+    val m = nt - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = hashRange(i, i + n); i += 1 }
+    if (!distinct) return new GenericArrayData(out)
+    // keep-first dedupe (same order as array_distinct over the strings)
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val ded = new Array[Long](m)
+    var k = 0
+    i = 0
+    while (i < m) {
+      if (seen.add(out(i))) { ded(k) = out(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(ded, k))
+  }
+
+  /** Odd 60-bit md5-derived multipliers (same values as
+    * DedupOps.minhashMultipliers — the oracle SQL embeds them). */
+  private val multCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  def multipliers(k: Int): Array[Long] =
+    multCache.computeIfAbsent(k, kk => (0 until kk).map { i =>
+      val d = MessageDigest.getInstance("MD5").digest(i.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) | 1L) & mask60
+    }.toArray)
+
+  /** MinHash signature: per multiplier c_i, min over h of (h*c_i) mod 2^60.
+    * JVM multiply wraps mod 2^64 and 2^60 divides 2^64, so `(h*c) & mask60`
+    * equals the 30-bit-split modular form in DedupOps.permuteHash. */
+  def minhashSig(hs: ArrayData, k: Int): ArrayData = {
+    val cs = multipliers(k)
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * cs(j)) & mask60
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard |a∩b| / |a∪b| over two DISTINCT-element long arrays (the
+    * shingle-hash sets). Sort-merge intersection — no per-row hash sets. */
+  def jaccard64(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (x.length + y.length - inter)
+  }
+
+  /** token -> bitmask of stopword profiles containing it (profiles overlap:
+    * e.g. "la" is in both es and fr). */
+  private val stopMask: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    graft.operators.TextAnalysisOps.stopwordProfiles.toSeq
+      .sortBy(p => StopwordHits.langs.indexOf(p._1))
+      .foreach { case (lang, words) =>
+        val bit = 1 << StopwordHits.langs.indexOf(lang)
+        words.foreach { w =>
+          val u = UTF8String.fromString(w)
+          m.merge(u, Integer.valueOf(bit), (x, y) => Integer.valueOf(x | y))
+        }
+      }
+    m
+  }
+
+  /** Per-profile stopword hit counts (en, es, de, fr) in one token pass. */
+  def stopHits(toks: ArrayData): ArrayData = {
+    val counts = new Array[Long](StopwordHits.langs.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val mask = stopMask.get(toks.getUTF8String(i))
+        if (mask != null) {
+          val m = mask.intValue()
+          var j = 0
+          while (j < counts.length) {
+            if ((m & (1 << j)) != 0) counts(j) += 1
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+/** `graft_shingle_hash(toks, n, distinct)` — 60-bit md5-prefix hashes of
+  * token n-gram shingles, one codegen'd kernel call per row. */
+case class ShingleHash64(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash requires array<string> and n >= 1, got " +
+        s"${child.dataType.simpleString}, n=$n")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingleHash64(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Kernels.shingleHash64($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(hs, k)` — k-permutation MinHash signature of a 60-bit
+  * shingle-hash array. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<bigint> and k >= 1, got " +
+        s"${child.dataType.simpleString}, k=$k")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Kernels.minhashSig($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `graft_jaccard(a, b)` — exact Jaccard over two distinct-element
+  * array<bigint> columns (sort-merge, no per-row hash sets). */
+case class Jaccard64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaccard requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccard64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.jaccard64($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Jaccard64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object StopwordHits {
+  /** Profile order = output array order = langId tiebreak order. */
+  val langs: Seq[String] = Seq("en", "es", "de", "fr")
+}
+
+/** `graft_stop_hits(toks)` — stopword hit counts for all language profiles
+  * in one pass (vs one interpreted `filter` HOF per language). */
+case class StopwordHits(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_stop_hits requires array<string>, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_stop_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.stopHits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Kernels.stopHits($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,6 +73,18 @@ object DedupOps {
   def shingleHashes(sh: Column): Column =
     transform(sh, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
 
+  /** Shingle + hash fused into one native kernel call
+    * (graft.functions.ShingleHash64): same values as
+    * `shingleHashes(shingles(toks, n, distinct))` — the column form above
+    * evaluates an interpreted lambda and materializes a hex string per
+    * shingle; the kernel hashes straight from the token bytes (~20x at
+    * bench scale). The column forms stay as the cross-checked reference.
+    */
+  def shingleHashes64(toks: Column, n: Int, distinct: Boolean = true): Column = {
+    GraftFunctions.registerActive()
+    call_function("graft_shingle_hash", toks, lit(n), lit(distinct))
+  }
+
   private val mask30: Long = (1L << 30) - 1
 
   /** (h * c) mod 2^60 via 30-bit split — every intermediate stays below
@@ -101,6 +114,14 @@ object DedupOps {
     array(minhashMultipliers(k).map(c =>
       array_min(transform(hs, h => permuteHash(h, c)))): _*)
 
+  /** Native-kernel MinHash signature (graft.functions.MinHashSig): one pass
+    * over the hash array for all k permutations; values identical to
+    * [[minhashSignature]]. */
+  def minhashSignature64(hs: Column, k: Int): Column = {
+    GraftFunctions.registerActive()
+    call_function("graft_minhash", hs, lit(k))
+  }
+
   /** LSH band hashes: `bands` hashes of `rowsPerBand` consecutive signature
     * entries. Two docs share a band hash iff that band's sub-signature
     * matches exactly — the classic (b, r) S-curve. */
@@ -125,18 +146,17 @@ object DedupOps {
                           threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
-    // Persisting (id, sh, hs) materializes the per-shingle md5s ONCE —
-    // without the cache boundary CollapseProject would inline `hs` into all
-    // k per-seed minima and recompute every md5 k times.
+    // Persisting (id, hs) materializes the per-shingle hashing ONCE —
+    // without the cache boundary CollapseProject would inline `hs` into
+    // every consumer and recompute the kernel per use.
     val sh = docs.select(col(idCol).as("id"),
-      shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("hs", shingleHashes(col("sh")))
+      shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band join and pair-dedup move ONLY (band, hash, id) — the shingle
     // arrays stay out of the self-join shuffle and are re-attached once per
     // surviving candidate (at 100 TB the arrays dwarf the id pairs).
     val banded = sh.select(col("id"),
-      posexplode(lshBandHashes(minhashSignature(col("hs"), k), bands, rowsPerBand))
+      posexplode(lshBandHashes(minhashSignature64(col("hs"), k), bands, rowsPerBand))
         .as(Seq("band", "bh")))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -149,7 +169,8 @@ object DedupOps {
     cands
       .join(sh.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
       .join(sh.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
-      .select(col("ida"), col("idb"), jaccard(col("hsa"), col("hsb")).as("jaccard"))
+      .select(col("ida"), col("idb"),
+        call_function("graft_jaccard", col("hsa"), col("hsb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -158,11 +179,11 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      shingleHashes(shingles(TextOps.tokens(col(textCol)), shingleN)).as("hs"))
+      shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        jaccard(col("a.hs"), col("b.hs")).as("jaccard"))
+        call_function("graft_jaccard", col("a.hs"), col("b.hs")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

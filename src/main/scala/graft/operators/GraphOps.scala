@@ -81,6 +81,51 @@ object GraphOps {
       .groupBy("src")
       .agg(collect_list(col("dst")).as("adj"), count(lit(1)).as("outdeg"))
 
+  /** Iterative PageRank on a SMALL graph is latency-bound: per-iteration
+    * AQE re-planning + extra stages cost more than they save (measured ~2x
+    * per iteration at 2e4 nodes), while on a big graph AQE's skew-join and
+    * coalescing matter. Disable AQE for the iteration loop below this
+    * vertex count; the setup shuffles (edge dedup, adjacency build) run
+    * before the switch and keep AQE either way. */
+  private val aqeIterationCutoff = 1000000L
+
+  private def withIterationAqe[T](df: DataFrame, n: Long)(body: => T): T = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.getOption(key)
+    if (n < aqeIterationCutoff) conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
+  }
+
+  /** Shared setup: adjacency in ONE aggregation shuffle (collect_set does
+    * the per-source dedupe map-side; collect_list keeps the reference's
+    * duplicate out-edges when dedupe=false), vertex set derived from the
+    * adjacency relation (src ∪ exploded dst), both persisted + materialized.
+    * @return (vertices, vertexCount, adjacency(src, adj, outdeg))
+    */
+  private def buildGraph(edges: DataFrame, vertices: Option[DataFrame],
+                         numPartitions: Int, dedupeEdges: Boolean)
+      : (DataFrame, Long, DataFrame) = {
+    val adj = edges.repartition(numPartitions, col("src"))
+      .groupBy("src")
+      .agg((if (dedupeEdges) collect_set(col("dst")) else collect_list(col("dst")))
+        .as("adj"))
+      .withColumn("outdeg", size(col("adj")).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    val verts = vertices.getOrElse(
+        adj.select(col("src").as("nodeid"))
+          .union(adj.select(explode(col("adj")).as("nodeid")))
+          .distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    (verts, n, adj)
+  }
+
   /** PageRank over a directed edge relation — G1/G3-G7/G9.
     *
     * @param edges    (src, dst); duplicates are collapsed
@@ -91,29 +136,60 @@ object GraphOps {
   def pageRank(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
                vertices: Option[DataFrame] = None, numPartitions: Int = 32,
                dedupeEdges: Boolean = true): DataFrame = {
-    val verts = vertices.getOrElse(verticesOf(edges))
-      .repartition(numPartitions, col("nodeid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = verts.count()
-    val adj = adjacencyOf(edges, numPartitions, dedupeEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE shuffle builds the adjacency: collect_set dedupes per source
+    // during the aggregation itself (map-side partial included), replacing
+    // the old standalone edges.distinct() shuffle + regroup. The vertex set
+    // then derives from the (much smaller) adjacency relation.
+    val (verts, n, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges)
+    val small = n < aqeIterationCutoff
+    // on a SMALL graph the per-iteration relations are a few MB: hint both
+    // joins broadcast (the checkpointed gather's rewritten stats look huge
+    // to the planner, which would otherwise sort-merge every step). On a big
+    // graph the hints would be harmful — adj no longer fits an executor —
+    // so leave strategy choice to the planner/AQE.
+    def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     var ranks = verts.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
-      val withAdj = ranks.join(adj, ranks("nodeid") === adj("src"), "left_outer")
-      // dangling nodes hold mass that re-enters uniformly (the reference's
-      // "missing mass", RunPageRankBasic.java:437-450) — one driver scalar.
-      val missing = withAdj.where(col("adj").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val gathered = withAdj.where(col("adj").isNotNull)
-        .select(explode(col("adj")).as("dst"), (col("rank") / col("outdeg")).as("m"))
+    withIterationAqe(edges, n) { for (_ <- 1 to iterations) {
+      // One scatter pass: dangling nodes (no adjacency row) send their whole
+      // rank to a NULL sentinel destination; linked nodes send rank/outdeg to
+      // each neighbor. The gather aggregation then yields per-node in-mass
+      // AND the total dangling mass (the reference's "missing mass",
+      // RunPageRankBasic.java:437-450) from the SAME shuffle — one
+      // scatter/gather job per iteration instead of a separate aggregation
+      // that recomputed the rank-adjacency join.
+      //
+      // The checkpoint sits on `gathered` and the dangling mass re-enters as
+      // a DRIVER SCALAR (8 bytes — the reference's side-file total), read
+      // off the already-checkpointed result. Re-entering it as a broadcast
+      // join instead makes the iteration plan reference `gathered` twice,
+      // and Catalyst's size-only stats (a BigInt PRODUCT over join children)
+      // then SQUARE per iteration — by iteration ~30 stats estimation is
+      // multiplying million-digit BigIntegers. With the single reference the
+      // stats exponent grows linearly, which stays trivial for hundreds of
+      // iterations. The rank update itself is left lazy; the next
+      // iteration's checkpoint (or the final one after the loop)
+      // materializes it.
+      val gathered = ranks.join(maybeBroadcast(adj),
+          ranks("nodeid") === adj("src"), "left_outer")
+        .select(
+          explode(when(col("adj").isNull, array(lit(null).cast("long")))
+            .otherwise(col("adj"))).as("dst"),
+          when(col("outdeg").isNull, col("rank"))
+            .otherwise(col("rank") / col("outdeg")).as("m"))
         .groupBy("dst").agg(sum(col("m")).as("in_mass"))
-      ranks = verts.join(gathered, verts("nodeid") === gathered("dst"), "left_outer")
+        .localCheckpoint()
+      val missing = gathered.where(col("dst").isNull)
+        .agg(coalesce(sum(col("in_mass")), lit(0.0))).head().getDouble(0)
+      ranks = verts.join(maybeBroadcast(gathered.where(col("dst").isNotNull)),
+          verts("nodeid") === col("dst"), "left_outer")
         .select(verts("nodeid"),
           (lit(alpha / n) +
             lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) + lit(missing / n)))
             .as("rank"))
-        .localCheckpoint()
-    }
+    } }
+    // materialize the last (lazy) update before dropping its cached inputs
+    ranks = ranks.localCheckpoint()
     adj.unpersist(); verts.unpersist()
     ranks
   }
@@ -133,29 +209,40 @@ object GraphOps {
                            numPartitions: Int = 32, dedupeEdges: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val verts = vertices.getOrElse(verticesOf(edges))
-      .repartition(numPartitions, col("nodeid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = adjacencyOf(edges, numPartitions, dedupeEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (verts, nVerts, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges)
+    val small = nVerts < aqeIterationCutoff
+    def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val srcDf = sources.toDF("source")
 
     var state = verts.crossJoin(srcDf)
       .withColumn("rank", when(col("nodeid") === col("source"), lit(1.0)).otherwise(lit(0.0)))
-    for (_ <- 1 to iterations) {
-      val withAdj = state.join(adj, state("nodeid") === adj("src"), "left_outer")
-      // per-source dangling mass: tiny (|sources| rows) -> broadcast back in.
-      // Aggregated sides get renamed keys (gsource/gdst/msource) so the
-      // re-join against the vertex frame has no ambiguous attributes.
-      val missing = withAdj.where(col("adj").isNull)
-        .groupBy("source").agg(sum(col("rank")).as("miss"))
-        .withColumnRenamed("source", "msource")
-      val gathered = withAdj.where(col("adj").isNotNull)
-        .select(col("source"), explode(col("adj")).as("dst"),
-          (col("rank") / col("outdeg")).as("m"))
+    withIterationAqe(edges, nVerts) { for (_ <- 1 to iterations) {
+      // Same single-pass scatter/gather as pageRank: dangling rank flows to
+      // a NULL sentinel dst within the one (source, dst) aggregation. The
+      // per-source dangling mass (|sources| rows) is collected and
+      // re-entered as a LITERAL local relation joined on source — like
+      // pageRank's scalar, this keeps the iteration plan referencing the
+      // checkpointed aggregation exactly once (see pageRank above for the
+      // stats-squaring hazard). Aggregated sides get renamed keys
+      // (gsource/gdst/msource) so the re-join against the vertex frame has
+      // no ambiguous attributes.
+      val gathered0 = state.join(maybeBroadcast(adj),
+          state("nodeid") === adj("src"), "left_outer")
+        .select(col("source"),
+          explode(when(col("adj").isNull, array(lit(null).cast("long")))
+            .otherwise(col("adj"))).as("dst"),
+          when(col("outdeg").isNull, col("rank"))
+            .otherwise(col("rank") / col("outdeg")).as("m"))
         .groupBy("source", "dst").agg(sum(col("m")).as("in_mass"))
+        .localCheckpoint()
+      val missing = gathered0.where(col("dst").isNull)
+        .select(col("source"), col("in_mass"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .toDF("msource", "miss")
+      val gathered = gathered0.where(col("dst").isNotNull)
         .withColumnRenamed("source", "gsource").withColumnRenamed("dst", "gdst")
       state = verts.crossJoin(srcDf)
-        .join(gathered,
+        .join(maybeBroadcast(gathered),
           col("nodeid") === col("gdst") && col("source") === col("gsource"),
           "left_outer")
         .join(broadcast(missing), col("source") === col("msource"), "left_outer")
@@ -165,8 +252,9 @@ object GraphOps {
               when(col("nodeid") === col("source"), coalesce(col("miss"), lit(0.0)))
                 .otherwise(lit(0.0))))
             .as("rank"))
-        .localCheckpoint()
-    }
+    } }
+    // materialize the last (lazy) update before dropping its cached inputs
+    state = state.localCheckpoint()
     adj.unpersist(); verts.unpersist()
     state
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.{GraftFunctions, StopwordHits}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,10 +22,19 @@ object TextAnalysisOps {
     "de" -> Seq("der", "die", "und", "das", "nicht", "von", "ist", "mit", "den", "zu"),
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que", "pour", "dans"))
 
+  /** All four profiles' hit counts in ONE token pass (native kernel
+    * graft.functions.StopwordHits) — replaces one interpreted `filter` HOF
+    * per language. Output order = [[StopwordHits.langs]]. */
+  def stopwordHitCounts(toks: Column): Column = {
+    GraftFunctions.registerActive()
+    call_function("graft_stop_hits", toks)
+  }
+
   /** Per-language stopword hit ratio: hits(lang) / n_tokens. */
   def stopwordRatio(toks: Column, lang: String): Column = {
-    val words = array(stopwordProfiles(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(words, t))).cast("double") /
+    val idx = StopwordHits.langs.indexOf(lang)
+    require(idx >= 0, s"no stopword profile for '$lang'")
+    element_at(stopwordHitCounts(toks), idx + 1).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
   }
 
@@ -32,8 +42,12 @@ object TextAnalysisOps {
     * profile scores above `minRatio`. Deterministic tiebreak: profile order
     * en > es > de > fr (strict > comparison keeps the earlier winner). */
   def langId(toks: Column, minRatio: Double = 0.02): Column = {
-    val langs = Seq("en", "es", "de", "fr")
-    val scored = langs.map(l => (l, stopwordRatio(toks, l)))
+    val langs = StopwordHits.langs
+    val hits = stopwordHitCounts(toks)
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      (l, element_at(hits, i + 1).cast("double") / n)
+    }
     val best = scored.tail.foldLeft(struct(lit(scored.head._1).as("lang"),
       scored.head._2.as("score"))) { case (acc, (l, s)) =>
       when(s > acc.getField("score"), struct(lit(l).as("lang"), s.as("score")))
@@ -98,9 +112,8 @@ object TextAnalysisOps {
                                shingleN: Int = 4, window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col(idCol).as("id"),
-      posexplode(DedupOps.shingles(TextOps.tokens(col(textCol)), shingleN,
-        distinct = false)).as(Seq("pos", "s")))
-      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      posexplode(DedupOps.shingleHashes64(TextOps.tokens(col(textCol)),
+        shingleN, distinct = false)).as(Seq("pos", "h")))
     val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(-(window - 1), 0)
     sh.withColumn("m", min(col("h")).over(frame))
