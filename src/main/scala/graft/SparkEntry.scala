@@ -176,7 +176,49 @@ object SparkEntry {
         MultimodalOps.asAssets(docs(s, dir), "doc_id", "text", "text/plain"))
         .toDF()),
 
+    // ---- training-data pipeline: contamination / sampling / sketches ----
+    // benchmark-overlap check: docs 0-99 act as the "eval set"
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      PipelineOps.contamination(
+        d.where(col("doc_id") >= 100), d.where(col("doc_id") < 100),
+        "doc_id", "text", shingleN = 3)
+    }),
+    // deterministic md5 train/valid/test split — same key, same split, forever
+    "q_sample_split" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          PipelineOps.splitLabel(col("event_id")).as("split"))
+        .groupBy("event_type", "split").agg(count(lit(1)).as("cnt"))),
+    // bounded KMV distinct sketch (typed Aggregator => map-side combine)
+    // vs the exact distinct it approximates
+    "q_kmv_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("h", PipelineOps.hash60(col("user_id")))
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact"),
+          round(graft.functions.KmvSketch.kmvDistinct(col("h"), 64), 6)
+            .as("kmv_est"))),
+
     // ---- time series (assignment-6 family): P6-P9, T4 ----
+    // window frames: rolling stats over the trailing 4 events per user
+    "q_rolling" -> ((s, dir) =>
+      TimeSeriesOps.rollingStats(
+        events(s, dir).select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", "value", frame = 4)),
+    // pivot with explicit values (no discovery job at scale)
+    "q_pivot_daily" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = TimeSeriesOps.dailyTypePivot(events(s, dir), "ts", "event_type", types)
+      p.select(col("m") +: col("d") +:
+        types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
+    }),
+    // JSON property extraction (get_json_object, codegen'd — no UDF)
+    "q_json_kstats" -> ((s, dir) =>
+      TimeSeriesOps.jsonKStats(events(s, dir), "event_type", "props")),
+    // grouping sets: per-nation, per-region subtotal and grand total in one agg
+    "q_rollup_revenue" -> ((s, dir) =>
+      RelationalOps.revenueRollup(s, dir)),
     "q_hourly_counts" -> ((s, dir) =>
       TimeSeriesOps.hourlyCounts(events(s, dir), "ts")),
     "q_hourly_filtered" -> ((s, dir) =>
@@ -483,6 +525,68 @@ object SparkEntry {
         |  CAST(('0x' || substring(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+    "q_contamination" ->
+      s"""WITH d AS ($shinglesSql),
+         |h AS (SELECT doc_id, $hashListSql AS hs FROM d),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM h WHERE doc_id < 100),
+         |corp AS (SELECT doc_id, unnest(hs) AS h FROM h WHERE doc_id >= 100),
+         |j AS (SELECT corp.doc_id,
+         |  CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM corp LEFT JOIN bench ON corp.h = bench.h)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
+         |  round(sum(hit)::DOUBLE / count(*), 6) AS contamination
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "q_sample_split" ->
+      s"""SELECT event_type, split, count(*) AS cnt FROM (
+         |  SELECT event_type,
+         |    CASE WHEN h % 100 < 80 THEN 'train'
+         |         WHEN h % 100 < 90 THEN 'valid' ELSE 'test' END AS split
+         |  FROM (SELECT event_type, $hash60Sql AS h FROM events))
+         |GROUP BY event_type, split""".stripMargin,
+    "q_kmv_distinct" ->
+      s"""WITH h AS (SELECT event_type, user_id, $hash60Sql AS h
+         |  FROM (SELECT event_type, user_id, user_id AS event_id FROM events)),
+         |k AS (SELECT event_type, list_sort(list_distinct(list(h))) AS hs,
+         |  count(DISTINCT user_id) AS exact FROM h GROUP BY event_type)
+         |SELECT event_type, exact,
+         |  round(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
+         |             ELSE 63.0 * pow(2.0, 60) / hs[64] END, 6) AS kmv_est
+         |FROM k""".stripMargin,
+    "q_rolling" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  round(max(value) OVER w, 6) AS roll_max,
+        |  count(*) OVER w AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT month(ts) AS m, day(ts) AS d,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_json_kstats" ->
+      """SELECT event_type, count(k) AS n_with_k,
+        |  round(avg(k), 6) AS mean_k, round(min(k), 6) AS min_k,
+        |  round(max(k), 6) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k":\s*([0-9.eE+-]+)', 1) AS DOUBLE) AS k
+        |  FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items,
+        |  GROUPING(r_name) * 2 + GROUPING(n_name) AS lvl
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "q_hourly_counts" ->
       """SELECT month(ts) AS m, day(ts) AS d, hour(ts) AS h, count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
@@ -550,6 +654,9 @@ object SparkEntry {
       "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))"
   private val hashListSql =
     "[CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]"
+  // mirror of PipelineOps.hash60 over an `event_id` column
+  private val hash60Sql =
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   // Relational SimHash mirroring DedupOps.simhash (60-bit, tf-weighted
   // bit votes).

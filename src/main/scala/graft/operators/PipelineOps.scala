@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity: benchmark
+  * contamination checks and deterministic sampling / dataset splits.
+  *
+  * Everything here is md5-keyed so results are engine-portable and
+  * retry-stable (no rand(), no JVM-seeded hashes) — the same properties
+  * the dedup family relies on, and exactly what a 100 TB pipeline needs:
+  * a re-run or a stage retry must land every row in the same split.
+  */
+object PipelineOps {
+
+  /** Deterministic 60-bit md5 hash of an arbitrary key column (cast to
+    * string first): the portable primitive under sampling and splits. */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic sample: keeps rows whose key hashes into the first
+    * `percent` buckets of 100. Same key -> same decision, forever. */
+  def sampleByHash(df: DataFrame, key: Column, percent: Int): DataFrame =
+    df.where(pmod(hash60(key), lit(100)) < lit(percent))
+
+  /** Deterministic train/valid/test split label from a key column:
+    * hash mod 100 -> [0,train) train, [train,train+valid) valid, rest test.
+    * The label is a pure function of the key — adding data or re-running
+    * never moves an existing row across splits (leakage-safe).
+    */
+  def splitLabel(key: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    val b = pmod(hash60(key), lit(100))
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + validPct, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
+  /** Benchmark-contamination check (the "did my training data leak the eval
+    * set" query): for each corpus document, the fraction of its distinct
+    * `shingleN`-gram shingles that appear anywhere in the benchmark corpus.
+    *
+    * Scale design: the benchmark side collapses to a DISTINCT 60-bit hash
+    * set (tiny next to the corpus — benchmarks are small by definition) and
+    * ships broadcast; the corpus explodes to (doc, hash) and the membership
+    * probe is a broadcast left join, so the corpus is touched in ONE pass
+    * with no corpus-side shuffle before the per-doc re-aggregation.
+    *
+    * @return (doc_id, n_shingles, n_contaminated, contamination in [0,1])
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(DedupOps.shingleHashes64(
+        TextOps.tokens(col(textCol)), shingleN)).as("h"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(DedupOps.shingleHashes64(
+          TextOps.tokens(col(textCol)), shingleN)).as("h"))
+      .join(broadcast(benchHashes), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+}

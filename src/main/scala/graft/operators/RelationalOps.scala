@@ -48,6 +48,25 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** Revenue ROLLUP over (region, nation): per-nation rows, per-region
+    * subtotals (n_name NULL) and the grand total (both NULL) from ONE
+    * aggregation — Catalyst expands the grouping sets without re-scanning
+    * lineitem per level. `lvl` (grouping_id analogue via grouping()) keeps
+    * subtotal rows distinguishable from genuinely-NULL group keys. */
+  def revenueRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === reg("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"),
+        (grouping(col("r_name")) * 2 + grouping(col("n_name"))).as("lvl"))
+  }
+
   /** Top customers by order value — join + agg + deterministic top-k. */
   def topCustomers(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val o = Tables.orders(s, dir)

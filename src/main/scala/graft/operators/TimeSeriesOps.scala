@@ -59,6 +59,42 @@ object TimeSeriesOps {
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
+  /** Rolling per-key window statistics over the last `frame` rows
+    * (inclusive), ordered by (ts, tie) for a deterministic frame under
+    * timestamp ties — SQL window frames (ROWS BETWEEN n PRECEDING AND
+    * CURRENT ROW), one shuffle on the key. */
+  def rollingStats(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valueCol: String, frame: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(frame - 1), 0)
+    events.select(col(keyCol), col(tieCol),
+      round(avg(col(valueCol)).over(w), 6).as("roll_avg"),
+      round(max(col(valueCol)).over(w), 6).as("roll_max"),
+      count(lit(1)).over(w).as("roll_n"))
+  }
+
+  /** Daily counts pivoted to one column per event type. Values are passed
+    * EXPLICITLY: at scale an implicit pivot runs an extra distinct job over
+    * the full table just to discover column names. */
+  def dailyTypePivot(events: DataFrame, tsCol: String, typeCol: String,
+                     types: Seq[String]): DataFrame =
+    events
+      .groupBy(month(col(tsCol)).as("m"), dayofmonth(col(tsCol)).as("d"))
+      .pivot(typeCol, types)
+      .agg(count(lit(1)))
+
+  /** JSON property extraction + aggregation: mean of `$.k` per event type.
+    * The JSON path evaluates inside codegen (get_json_object); no UDF. */
+  def jsonKStats(events: DataFrame, typeCol: String, propsCol: String): DataFrame =
+    events
+      .withColumn("k", get_json_object(col(propsCol), "$.k").cast("double"))
+      .groupBy(typeCol)
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 6).as("mean_k"),
+        round(min(col("k")), 6).as("min_k"),
+        round(max(col("k")), 6).as("max_k"))
+
   /** Sessionize events per user: gap > `gapMinutes` starts a new session.
     * A classic large-scale log-pipeline operator (window lag + running sum —
     * two passes over one shuffle partitioning, no self-join).

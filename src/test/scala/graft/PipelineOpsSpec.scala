@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.KmvSketch
+import graft.operators.{PipelineOps, TimeSeriesOps}
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination: full copy = 1.0, disjoint = 0.0, half overlap in between") {
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // exact copy
+      (101L, "one two three four five six"),         // disjoint
+      (102L, "alpha beta gamma delta one two")       // leading shingles shared
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.contamination(corpus, bench, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(100L)._3 === 1.0)
+    assert(out(101L)._3 === 0.0)
+    // doc 102: shingles = 4 trigrams, of which "alpha beta gamma" and
+    // "beta gamma delta" exist in the benchmark -> 2/4
+    assert(out(102L) === ((4L, 2L, 0.5)))
+  }
+
+  test("split labels are deterministic, exhaustive, and roughly proportional") {
+    val keys = spark.range(10000).toDF("id")
+    val labeled = keys.select(col("id"), PipelineOps.splitLabel(col("id")).as("split"))
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") - 8000L) < 400, s"train=${counts("train")}")
+    assert(math.abs(counts("valid") - 1000L) < 200, s"valid=${counts("valid")}")
+    // determinism: two evaluations agree row-for-row
+    val again = keys.select(col("id"), PipelineOps.splitLabel(col("id")).as("s2"))
+    assert(labeled.join(again, "id").where(col("split") =!= col("s2")).count() === 0)
+  }
+
+  test("sampleByHash is a stable subset with approximately the asked rate") {
+    val df = spark.range(20000).toDF("id")
+    val s10 = PipelineOps.sampleByHash(df, col("id"), 10)
+    val n = s10.count()
+    assert(math.abs(n - 2000L) < 300, s"got $n")
+    // sample(20) is a superset of sample(10) — nested by construction
+    val s20 = PipelineOps.sampleByHash(df, col("id"), 20)
+    assert(s10.join(s20, Seq("id"), "left_anti").count() === 0)
+  }
+
+  test("KMV sketch: exact below k, within 25% at 200x k, partition-invariant") {
+    val df = spark.range(5000).toDF("id")
+      .withColumn("h", PipelineOps.hash60(col("id")))
+    val est = df.agg(KmvSketch.kmvDistinct(col("h"), 64)).head().getDouble(0)
+    assert(math.abs(est - 5000) / 5000.0 < 0.25, s"est=$est")
+    // below k the sketch is exact
+    val small = spark.range(50).toDF("id")
+      .withColumn("h", PipelineOps.hash60(col("id")))
+    assert(small.agg(KmvSketch.kmvDistinct(col("h"), 64)).head().getDouble(0) === 50.0)
+    // merge correctness: estimate independent of physical partitioning
+    val est2 = df.repartition(13).agg(KmvSketch.kmvDistinct(col("h"), 64))
+      .head().getDouble(0)
+    assert(est === est2)
+  }
+
+  test("rollingStats matches a hand-computed trailing frame") {
+    val ev = Seq(
+      (1L, 1L, "2026-01-01 00:00:01", 1.0),
+      (1L, 2L, "2026-01-01 00:00:02", 3.0),
+      (1L, 3L, "2026-01-01 00:00:03", 5.0),
+      (1L, 4L, "2026-01-01 00:00:04", 7.0),
+      (1L, 5L, "2026-01-01 00:00:05", 9.0),
+      (2L, 6L, "2026-01-01 00:00:01", 10.0)
+    ).toDF("user_id", "event_id", "ts0", "value")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val out = TimeSeriesOps.rollingStats(ev, "user_id", "ts", "event_id", "value", 4)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(1L) === ((1.0, 1.0, 1L)))
+    assert(out(3L) === ((3.0, 5.0, 3L)))                 // (1+3+5)/3
+    assert(out(5L) === (((3.0 + 5 + 7 + 9) / 4, 9.0, 4L))) // full frame of 4
+    assert(out(6L) === ((10.0, 10.0, 1L)))               // other user isolated
+  }
+
+  test("revenue rollup: subtotal rows reconcile with detail rows") {
+    val out = graft.operators.RelationalOps.revenueRollup(spark, "/root/testdata/sf0.001")
+      .collect()
+    val details = out.filter(_.getInt(4) == 0)
+    val regional = out.filter(_.getInt(4) == 1)
+    val grand = out.filter(_.getInt(4) == 3)
+    assert(grand.length === 1)
+    assert(grand.head.getLong(3) === details.map(_.getLong(3)).sum, "grand n_items")
+    for (r <- regional) {
+      val dn = details.filter(_.getString(0) == r.getString(0)).map(_.getLong(3)).sum
+      assert(r.getLong(3) === dn, s"region ${r.getString(0)} n_items")
+    }
+  }
+}
