@@ -121,9 +121,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StopwordHits].getName, "graft_stop_hits"),
       (children: Seq[Expression]) => StopwordHits(children.head))
 
+  private[functions] val simhashDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      {
+        case Seq(t, Literal(b: Int, _)) => SimHash64(t, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_simhash(toks, <int literal bits>)")
+      })
+
   private val descriptors: Seq[Descriptor] = Seq(
     dotDescriptor, shingleDescriptor, minhashDescriptor, jaccardDescriptor,
-    stopHitsDescriptor)
+    stopHitsDescriptor, simhashDescriptor)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = descriptors.foreach { d =>

@@ -138,6 +138,44 @@ object Kernels {
     inter.toDouble / (x.length + y.length - inter)
   }
 
+  /** SimHash packed into a long: per distinct term, a 60-bit md5-prefix
+    * hash votes tf-weighted on each bit position; majority -> bit set.
+    * Identical values to the relational explode-per-bit formulation
+    * (DedupOps.simhashRelational) — this is a pure per-row map, so the
+    * whole corpus simhash needs NO shuffle at all. */
+  def simhash64(toks: ArrayData, bits: Int): Long = {
+    val tf = new java.util.HashMap[UTF8String, Array[Int]]()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val c = tf.get(toks.getUTF8String(i))
+        if (c == null) tf.put(toks.getUTF8String(i).clone(), Array(1))
+        else c(0) += 1
+      }
+      i += 1
+    }
+    val votes = new Array[Long](bits)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = md560(e.getKey)
+      val c = e.getValue()(0)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += c else votes(j) -= c
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** token -> bitmask of stopword profiles containing it (profiles overlap:
     * e.g. "la" is in both es and fr). */
   private val stopMask: java.util.HashMap[UTF8String, Integer] = {
@@ -251,6 +289,30 @@ case class Jaccard64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Jaccard64 =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_simhash(toks, bits)` — tf-weighted SimHash of a token array,
+  * packed in a long; one kernel call per row, no corpus-level shuffle. */
+case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if bits >= 1 && bits <= 60 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<string> and 1 <= bits <= 60, got " +
+        s"${child.dataType.simpleString}, bits=$bits")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash64(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Kernels.simhash64($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
 }
 
 object StopwordHits {

@@ -188,11 +188,25 @@ object DedupOps {
   }
 
   /** SimHash (60-bit, packed in a long): per-term 60-bit md5-derived hash,
-    * tf-weighted sign vote per bit position, majority -> bit. Relational
-    * (doc, bit) layout keeps every aggregation partial-agg friendly.
+    * tf-weighted sign vote per bit position, majority -> bit. One native
+    * kernel call per document (graft.functions.SimHash64) — a pure map, so
+    * the corpus-wide simhash computes with NO shuffle; values identical to
+    * [[simhashRelational]].
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame = {
+    GraftFunctions.registerActive()
+    docs.select(col(idCol).as("id"),
+      call_function("graft_simhash",
+        TextOps.tokens(col(textCol)), lit(bits)).as("simhash"))
+  }
+
+  /** Relational SimHash formulation (explode per bit position, two grouped
+    * aggregations) — the cross-checked reference for [[simhash]] and the
+    * shape a pure-SQL engine would use.
+    */
+  def simhashRelational(docs: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 60): DataFrame = {
     val tf = docs
       .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))

@@ -77,6 +77,19 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("simhash kernel matches the relational reference") {
+    val got = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = DedupOps.simhashRelational(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the relational form drops token-less docs (nothing to explode);
+    // the kernel emits simhash 0 for them — compare on common ids and
+    // check the empty-doc convention explicitly
+    assert(ref.keySet.subsetOf(got.keySet))
+    for ((k, v) <- ref) assert(got(k) === v, s"doc $k")
+    assert(got(2L) === 0L)
+  }
+
   test("langid still classifies the spanish doc as es and empty as und") {
     val out = docs.select(col("doc_id"),
       TextAnalysisOps.langId(TextOps.tokens(col("text"))).as("lang"))
