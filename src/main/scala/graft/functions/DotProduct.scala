@@ -130,9 +130,18 @@ object GraftFunctions {
           "usage: graft_simhash(toks, <int literal bits>)")
       })
 
+  private[functions] val langIdDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangId].getName, "graft_langid"),
+      {
+        case Seq(t, Literal(m: Double, _)) => LangId(t, m)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_langid(toks, <double literal minRatio>)")
+      })
+
   private val descriptors: Seq[Descriptor] = Seq(
     dotDescriptor, shingleDescriptor, minhashDescriptor, jaccardDescriptor,
-    stopHitsDescriptor, simhashDescriptor)
+    stopHitsDescriptor, simhashDescriptor, langIdDescriptor)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = descriptors.foreach { d =>

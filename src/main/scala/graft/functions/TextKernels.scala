@@ -192,6 +192,29 @@ object Kernels {
     m
   }
 
+  private val langStrings: Array[UTF8String] =
+    (StopwordHits.langs :+ "und").map(UTF8String.fromString).toArray
+
+  /** Language ID in one pass: argmax stopword-hit ratio with the column
+    * fold's exact tiebreak (strict > keeps the EARLIER profile in
+    * en,es,de,fr order), "und" below minRatio. Single kernel call replaces
+    * a CASE tree that re-inlined graft_stop_hits per branch — big enough
+    * to overflow codegen limits into interpreted (no-CSE) projection. */
+  def langId(toks: ArrayData, minRatio: Double): UTF8String = {
+    val hits = stopHits(toks)
+    val n = math.max(toks.numElements(), 1).toDouble
+    var best = 0
+    var bestScore = hits.getLong(0).toDouble / n
+    var j = 1
+    while (j < StopwordHits.langs.length) {
+      val s = hits.getLong(j).toDouble / n
+      if (s > bestScore) { best = j; bestScore = s }
+      j += 1
+    }
+    if (bestScore >= minRatio) langStrings(best)
+    else langStrings(langStrings.length - 1)
+  }
+
   /** Per-profile stopword hit counts (en, es, de, fr) in one token pass. */
   def stopHits(toks: ArrayData): ArrayData = {
     val counts = new Array[Long](StopwordHits.langs.length)
@@ -318,6 +341,28 @@ case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
 object StopwordHits {
   /** Profile order = output array order = langId tiebreak order. */
   val langs: Seq[String] = Seq("en", "es", "de", "fr")
+}
+
+/** `graft_langid(toks, minRatio)` — n-gram-heuristic language ID in one
+  * kernel call (see Kernels.langId for the tiebreak contract). */
+case class LangId(child: Expression, minRatio: Double) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_langid requires array<string>, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.langId(input.asInstanceOf[ArrayData], minRatio)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Kernels.langId($c, $minRatio);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
 }
 
 /** `graft_stop_hits(toks)` — stopword hit counts for all language profiles

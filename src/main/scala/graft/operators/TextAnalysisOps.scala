@@ -40,8 +40,18 @@ object TextAnalysisOps {
 
   /** n-gram-heuristic language ID: argmax stopword ratio, "und" when no
     * profile scores above `minRatio`. Deterministic tiebreak: profile order
-    * en > es > de > fr (strict > comparison keeps the earlier winner). */
+    * en > es > de > fr (strict > comparison keeps the earlier winner).
+    * One native kernel call (graft.functions.LangId) — the equivalent CASE
+    * tree re-inlines the hit counts into every branch and overflows codegen
+    * limits into interpreted, no-CSE projection. [[langIdColumns]] keeps
+    * that column formulation as the cross-checked reference. */
   def langId(toks: Column, minRatio: Double = 0.02): Column = {
+    GraftFunctions.registerActive()
+    call_function("graft_langid", toks, lit(minRatio))
+  }
+
+  /** Column-fold language ID — reference implementation for [[langId]]. */
+  def langIdColumns(toks: Column, minRatio: Double = 0.02): Column = {
     val langs = StopwordHits.langs
     val hits = stopwordHitCounts(toks)
     val n = greatest(size(toks), lit(1)).cast("double")

@@ -32,7 +32,11 @@ object TextOps {
 
   /** Whitespace tokenization with empty-token removal. */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    // array_remove (not a filter() lambda): higher-order functions are
+    // CodegenFallback, and ONE fallback expression kicks the whole
+    // projection out of whole-stage codegen for every query that
+    // tokenizes. Identical semantics: drop empty-string tokens.
+    array_remove(split(trim(text), "\\s+"), "")
 
   private def withToks(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("toks", tokens(col(textCol)))

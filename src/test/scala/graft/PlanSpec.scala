@@ -47,6 +47,46 @@ class PlanSpec extends SparkSpec {
       readSchema)
   }
 
+  test("simhash is a pure map: no Exchange anywhere in the plan") {
+    val p = planOf("q_simhash")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("graft_simhash"), p)
+  }
+
+  test("contamination probes benchmark membership via broadcast, not shuffle join") {
+    val p = planOf("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("kernel scalar ops stay inside whole-stage codegen") {
+    // "*(n)" marks a WholeStageCodegen stage. q_langid is a pure projection
+    // over the kernel — it must carry the marker itself (this is the query
+    // whose CASE-tree predecessor overflowed codegen limits into
+    // interpreted projection). Generate/aggregate-embedded kernels
+    // (fingerprint, minhash) just assert kernel presence: Generate nodes
+    // never carry the marker in AQE's pre-final plan string.
+    val langid = planOf("q_langid")
+    val line = langid.linesIterator.find(_.contains("graft_langid")).getOrElse("")
+    assert(line.contains("*("), s"q_langid kernel fell out of codegen:\n$langid")
+    for (q <- Seq("q_fingerprint", "q_dedup_minhash")) {
+      assert(planOf(q).contains("graft_"), s"$q has no kernel call")
+    }
+  }
+
+  test("KMV sketch aggregation has a partial (map-side combine) phase") {
+    val p = planOf("q_kmv_distinct")
+    // typed Aggregator under ObjectHashAggregate / SortAggregate still
+    // splits into partial + final — the combiner the sketch exists for
+    assert(p.contains("Aggregate"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("rolling window partitions once by user: a single Exchange feeds the frame") {
+    val p = planOf("q_rolling")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("term point-lookup on the sorted postings store pushes the filter to parquet") {
     // S5/S9: the MapFile random-access analogue — a sorted parquet postings
     // table must serve `term = t` via parquet predicate pushdown

@@ -98,4 +98,13 @@ class TextKernelsSpec extends SparkSpec {
     assert(out(0L) === "en")
     assert(out(2L) === "und")
   }
+
+  test("langid kernel matches the column-fold reference on the corpus") {
+    val toks = TextOps.tokens(col("text"))
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = d.select(col("doc_id"), TextAnalysisOps.langId(toks).as("l")).collect()
+    val ref = d.select(col("doc_id"), TextAnalysisOps.langIdColumns(toks).as("l")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      ref.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
 }
