@@ -43,7 +43,8 @@ object Main {
     """usage: graft.cli.Main <tool> --input PATH --output PATH [options]
       |tools: wordcount bigrams cooc-pairs cooc-stripes pmi build-index
       |       lookup-postings boolean-retrieval pagerank
-      |       personalized-pagerank hourly-counts
+      |       personalized-pagerank hourly-counts graph-stats
+      |       split contamination   (pipeline extensions over parquet)
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
       |         --collection PATH (boolean-retrieval corpus; defaults to --input)
@@ -137,6 +138,22 @@ object Main {
         val (edges, verts) = GraphOps.edgesFromAdjacencyText(text)
         GraphOps.graphStats(edges, Some(verts)).toSeq.sortBy(_._1)
           .foreach { case (k, v) => println(s"$k\t$v") }
+      // ---- pipeline extensions (beyond the reference tool surface) ----
+      case "split" =>
+        // label a parquet table with a deterministic train/valid/test split
+        val key = opts.getOrElse("key", "id")
+        spark.read.parquet(in)
+          .withColumn("split", PipelineOps.splitLabel(col(key),
+            opts.getOrElse("train", "80").toInt, opts.getOrElse("valid", "10").toInt))
+          .write.mode("overwrite").parquet(out)
+      case "contamination" =>
+        val corpus = spark.read.parquet(in)
+        val bench = spark.read.parquet(opts("benchmark"))
+        val id = opts.getOrElse("id", "doc_id")
+        val text = opts.getOrElse("text", "text")
+        PipelineOps.contamination(corpus, bench, id, text,
+          opts.getOrElse("shingle-n", "3").toInt)
+          .write.mode("overwrite").parquet(out)
       case "hourly-counts" =>
         val tweets = TweetOps.parseTsv(text)
         val filter = if (opts.get("egypt").contains("true"))

@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.functions.KmvSketch
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+
+/** Opt-in optimizer rule: rewrite exact `count(DISTINCT x)` into the
+  * bounded-state KMV sketch estimate when
+  * `spark.graft.approxDistinct.enabled=true` (default off — the rewrite
+  * trades exactness for a fixed-size aggregation buffer).
+  *
+  * Why a Rule and not an API: approximate mode is a PLAN property, not a
+  * query rewrite the user should hand-apply — the same query text/DataFrame
+  * switches behavior per session, exactly how warehouse engines expose
+  * approx-distinct modes. This is the engine's Catalyst `Rule[LogicalPlan]`
+  * surface (SURVEY §7.3 found none *required* for reference parity, so the
+  * one custom rule is an extension, registered through the same
+  * `SparkSessionExtensions` entry point as the kernel functions).
+  *
+  * Scale: exact distinct shuffles every distinct value per group;
+  * the sketch shuffles at most k longs per (group, partition) — the
+  * difference between an O(cardinality) and an O(k) buffer at 100 TB.
+  *
+  * Correctness guardrails: only plain `Count(single child, DISTINCT)`
+  * aggregates with no filter clause are rewritten; the estimate is rounded
+  * to the nearest long so the column type is unchanged.
+  */
+object ApproxDistinctRewrite extends Rule[LogicalPlan] {
+
+  val confKey = "spark.graft.approxDistinct.enabled"
+  val k = 256
+
+  private def kmvOver(child: Expression): Expression = {
+    // 60-bit md5 hash of the value (engine-portable, same construction as
+    // PipelineOps.hash60), fed to the KMV Aggregator
+    val hash = Cast(
+      Conv(Substring(Md5(Cast(Cast(child, StringType), BinaryType)),
+        Literal(1), Literal(15)), Literal(16), Literal(10)),
+      LongType)
+    // encoders must be resolved HERE: the analyzer's
+    // ResolveEncodersInScalaAgg rule already ran (this rewrite happens at
+    // optimization time), so nothing downstream will bind them for us
+    val scalaAgg = ScalaAggregator[Long, Array[Long], Double](
+      Seq(hash), new KmvSketch.Agg(k),
+      ExpressionEncoder[Long]().resolveAndBind(),
+      ExpressionEncoder[Array[Long]]().resolveAndBind(),
+      nullable = false, isDeterministic = true)
+    // keep the original BIGINT column type
+    Cast(Round(AggregateExpression(scalaAgg, Complete, isDistinct = false),
+      Literal(0)), LongType)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(confKey, "false").toBoolean) return plan
+    plan.transform {
+      case agg: Aggregate =>
+        agg.transformExpressions {
+          case ae @ AggregateExpression(
+              Count(Seq(child)), _, true, None, _) if child.resolved =>
+            kmvOver(child)
+        }
+    }
+  }
+}
+
+/** SparkSessionExtensions entry point for the plans package (optimizer
+  * rules); function registration lives in graft.functions.GraftExtensions.
+  */
+class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+}

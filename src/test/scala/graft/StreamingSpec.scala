@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pipeline column ops run unchanged on a stream (batch/stream unification)") {
+    // splitLabel and langId are pure column functions — the SAME expressions
+    // drive a readStream plan with no modification, which is the point of
+    // building them as Columns rather than batch-only operators
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val labeled = graft.operators.PipelineOps.splitLabel(col("_1"))
+    val out = input.toDF()
+      .select(col("_1").as("id"),
+        labeled.as("split"),
+        graft.operators.TextAnalysisOps.langId(
+          graft.operators.TextOps.tokens(col("_2"))).as("lang"))
+    val q = out.writeStream.format("memory").queryName("pipe_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "the cat sat on the mat and it is a test"),
+        (2L, "el gato de la casa y que en un por con los"))
+      q.processAllAvailable()
+      val rows = spark.table("pipe_stream").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(rows(1L)._2 === "en")
+      assert(rows(2L)._2 === "es")
+      // stream labels must equal the batch labels for the same keys
+      val batch = Seq(1L, 2L).toDF("id")
+        .select(col("id"), graft.operators.PipelineOps.splitLabel(col("id")).as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.map { case (k, v) => k -> v._1 } === batch)
+    } finally q.stop()
+  }
+
   test("hourlyCountsStream definition also runs as a plain batch query") {
     val batch = Seq((ts(0), 1L), (ts(59), 2L), (ts(61), 3L)).toDF("ts", "user_id")
     val got = StreamingOps.hourlyCountsStream(batch, "ts")
