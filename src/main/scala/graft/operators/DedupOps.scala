@@ -175,16 +175,49 @@ object DedupOps {
   }
 
   /** Brute-force all-pairs n-gram Jaccard >= threshold — O(n²) oracle for
-    * [[minhashNearDupPairs]]; small corpora only. */
+    * [[minhashNearDupPairs]]; small corpora only.
+    *
+    * Broadcast + mapPartitions kernel rather than a self-join: the
+    * nested-loop join materializes BOTH hash arrays into every candidate
+    * row (~n²·|hs| bytes of copying before the kernel even runs), while
+    * the kernel scans pairs against one broadcast copy. Same pattern and
+    * justification as SimilarityOps.cosineNearDupPairs — the bounded
+    * baseline; minhash LSH is the full-corpus path.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sh = docs.select(col(idCol).as("id"),
-      shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        call_function("graft_jaccard", col("a.hs"), col("b.hs")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+      array_sort(shingleHashes64(TextOps.tokens(col(textCol)), shingleN)).as("hs"))
+    val side = sh.as[(Long, Seq[Long])].collect()
+      .map { case (i, v) => (i, v.toArray) }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(side)
+    sh.as[(Long, Seq[Long])].mapPartitions { it =>
+      val all = bc.value
+      val ids = all.map(_._1)
+      it.flatMap { case (ida, va) =>
+        val a = va.toArray // sorted, distinct
+        var lo = java.util.Arrays.binarySearch(ids, ida) match {
+          case neg if neg < 0 => -neg - 1
+          case pos => pos + 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        while (lo < all.length) {
+          val (idb, b) = all(lo)
+          var i = 0; var j = 0; var inter = 0
+          while (i < a.length && j < b.length) {
+            if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+            else if (a(i) < b(j)) i += 1
+            else j += 1
+          }
+          val jac = inter.toDouble / (a.length + b.length - inter)
+          if (jac >= threshold) out += ((ida, idb, jac))
+          lo += 1
+        }
+        out
+      }
+    }.toDF("ida", "idb", "jaccard")
   }
 
   /** SimHash (60-bit, packed in a long): per-term 60-bit md5-derived hash,
