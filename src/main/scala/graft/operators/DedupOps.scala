@@ -146,12 +146,15 @@ object DedupOps {
                           threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
-    // Persisting (id, hs) materializes the per-shingle hashing ONCE —
-    // without the cache boundary CollapseProject would inline `hs` into
-    // every consumer and recompute the kernel per use.
+    // localCheckpoint (not persist) materializes the per-shingle hashing
+    // ONCE — without the boundary CollapseProject would inline `hs` into
+    // every consumer and recompute the kernel per use. Checkpoint RDDs are
+    // context-cleaned when unreferenced; a persist here would sit in the
+    // session CacheManager forever (no unpersist hook after the lazy
+    // result escapes).
     val sh = docs.select(col(idCol).as("id"),
       shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // Band join and pair-dedup move ONLY (band, hash, id) — the shingle
     // arrays stay out of the self-join shuffle and are re-attached once per
     // surviving candidate (at 100 TB the arrays dwarf the id pairs).

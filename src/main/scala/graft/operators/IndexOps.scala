@@ -129,8 +129,9 @@ object IndexOps {
     */
   def bm25(corpus: DataFrame, docidCol: String, textCol: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tdf = termDocTf(corpus, docidCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint: reused by dfs/docLens/avgdl/final join, and cleaned
+    // when unreferenced (persist would leak a CacheManager entry per call)
+    val tdf = termDocTf(corpus, docidCol, textCol).localCheckpoint()
     val n = corpus.count()
     val dfs = tdf.groupBy("term").agg(count(lit(1)).as("df"))
     val docLens = tdf.groupBy("docid").agg(sum(col("tf")).as("dl"))
