@@ -48,7 +48,10 @@ object Main {
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
       |         --collection PATH (boolean-retrieval corpus; defaults to --input)
-      |         --egypt true --partitions N""".stripMargin
+      |         --egypt true --partitions N
+      |         --key COL --train N --valid N          (split)
+      |         --benchmark PATH --id COL --text COL --shingle-n N
+      |                                                (contamination)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val (cmd, opts) = parseArgs(args)
@@ -148,7 +151,9 @@ object Main {
           .write.mode("overwrite").parquet(out)
       case "contamination" =>
         val corpus = spark.read.parquet(in)
-        val bench = spark.read.parquet(opts("benchmark"))
+        val bench = spark.read.parquet(opts.getOrElse("benchmark",
+          throw new IllegalArgumentException(
+            s"contamination requires --benchmark PATH\n$usage")))
         val id = opts.getOrElse("id", "doc_id")
         val text = opts.getOrElse("text", "text")
         PipelineOps.contamination(corpus, bench, id, text,

@@ -86,7 +86,13 @@ object GraphOps {
     * per iteration at 2e4 nodes), while on a big graph AQE's skew-join and
     * coalescing matter. Disable AQE for the iteration loop below this
     * vertex count; the setup shuffles (edge dedup, adjacency build) run
-    * before the switch and keep AQE either way. */
+    * before the switch and keep AQE either way.
+    *
+    * The toggle saves and restores the SESSION conf (finally-guarded):
+    * unrelated queries issued on the same session concurrently with a
+    * small-graph iteration loop would plan without AQE for that window —
+    * callers interleaving heavy concurrent work can pass a dedicated
+    * `SparkSession.newSession()` to isolate. */
   private val aqeIterationCutoff = 1000000L
 
   private def withIterationAqe[T](df: DataFrame, n: Long)(body: => T): T = {

@@ -26,7 +26,9 @@ object PipelineOps {
   /** Deterministic train/valid/test split label from a key column:
     * hash mod 100 -> [0,train) train, [train,train+valid) valid, rest test.
     * The label is a pure function of the key — adding data or re-running
-    * never moves an existing row across splits (leakage-safe).
+    * never moves an existing row across splits (leakage-safe). A NULL key
+    * hashes to NULL and lands in "test" (the conservative bucket: nothing
+    * with an unidentifiable key leaks into training).
     */
   def splitLabel(key: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
     val b = pmod(hash60(key), lit(100))
