@@ -100,4 +100,14 @@ object StreamingOps {
   def filteredHourlyStream(events: DataFrame, tsCol: String, filterCol: String,
                            pattern: String, watermark: String = "2 hours"): DataFrame =
     hourlyCountsStream(events.where(col(filterCol).rlike(pattern)), tsCol, watermark)
+
+  /** Stream-static enrichment: join a live stream against a broadcast
+    * dimension table (the standard lookup shape — user profile, device
+    * registry). The static side is re-read per micro-batch by Spark's
+    * planner; broadcasting keeps every micro-batch shuffle-free, which is
+    * the property that matters when the stream side is unbounded. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keyCol: String,
+                   joinType: String = "left_outer"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(keyCol), joinType)
 }

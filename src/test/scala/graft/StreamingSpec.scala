@@ -124,6 +124,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a live stream to a broadcast dim table") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val enriched = StreamingOps.enrichStream(
+      input.toDF().toDF("user_id", "value"), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (9L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(rows(1L) === Some("gold"))
+      assert(rows(2L) === Some("silver"))
+      assert(rows(9L) === None, "unmatched key survives the left join")
+    } finally q.stop()
+  }
+
   test("hourlyCountsStream definition also runs as a plain batch query") {
     val batch = Seq((ts(0), 1L), (ts(59), 2L), (ts(61), 3L)).toDF("ts", "user_id")
     val got = StreamingOps.hourlyCountsStream(batch, "ts")
