@@ -102,6 +102,11 @@ object SparkEntry {
         Seq("join", "hash", "AND", "vector", "OR"))
         .withColumnRenamed("docid", "doc_id")),
 
+    // tf-value histogram for one term's postings (A7 / LookupPostings tool)
+    "q_tf_histogram" -> ((s, dir) =>
+      IndexOps.tfHistogram(
+        IndexOps.termDocTf(docs(s, dir), "doc_id", "text"), "join")),
+
     // ---- graph / iterative (assignment-4 family): G1-G10, T3, T4 ----
     // Test graph derived from lineitem: part -> supplier edges. Suppliers
     // (keys 0-99, also part keys) close cycles; parts never bought are
@@ -113,6 +118,14 @@ object SparkEntry {
       val pr = GraphOps.personalizedPageRank(graphEdges(s, dir), Seq(1L, 2L), iterations = 5)
         .select(col("source"), col("nodeid"), round(col("rank"), 9).as("rank"))
       GraphOps.topKPerSource(pr, 5).withColumnRenamed("rank", "pr")
+    }),
+
+    // graph summary counters (A8) — the reference's job-counter surface
+    "q_graph_stats" -> ((s, dir) => {
+      val stats = GraphOps.graphStats(graphEdges(s, dir))
+      import s.implicits._
+      Seq((stats("nodes"), stats("edges"), stats("dangling")))
+        .toDF("nodes", "n_edges", "dangling")
     }),
 
     // ---- training-data pipeline: dedup family ----
@@ -366,6 +379,16 @@ object SparkEntry {
          | SELECT doc_id FROM d WHERE list_contains(toks, 'hash'))
          |UNION
          |SELECT doc_id FROM d WHERE list_contains(toks, 'vector')""".stripMargin,
+    "q_tf_histogram" ->
+      s"""WITH t AS ($termDocTfSql)
+         |SELECT tf, count(*) AS cnt FROM t WHERE term = 'join' GROUP BY tf""".stripMargin,
+    "q_graph_stats" ->
+      """WITH e AS (SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |v AS (SELECT src AS nodeid FROM e UNION SELECT dst FROM e)
+        |SELECT (SELECT count(*) FROM v) AS nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*) FROM v
+        |        WHERE nodeid NOT IN (SELECT DISTINCT src FROM e)) AS dangling""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
     "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
     "q_dedup_exact" ->
