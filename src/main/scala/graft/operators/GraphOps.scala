@@ -97,13 +97,19 @@ object GraphOps {
 
   private def withIterationAqe[T](df: DataFrame, n: Long)(body: => T): T = {
     val conf = df.sparkSession.conf
-    val key = "spark.sql.adaptive.enabled"
-    val prev = conf.getOption(key)
-    if (n < aqeIterationCutoff) conf.set(key, "false")
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    val prev = keys.map(k => k -> conf.getOption(k))
+    if (n < aqeIterationCutoff) {
+      conf.set(keys.head, "false")
+      // per-iteration shuffles at small n are pure task-scheduling
+      // overhead — 8 partitions instead of the session default (AQE, which
+      // would coalesce them itself, is off in this regime)
+      conf.set(keys(1), "8")
+    }
     try body
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None    => conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
     }
   }
 
