@@ -182,6 +182,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysisOps.fingerprintSketch(docs(s, dir), "doc_id", "text",
         shingleN = 4, window = 4)),
+    // fingerprint-bucket pair detection (plagiarism application): pairs
+    // sharing >= 2 winnowing fingerprints, hot fps df-capped at 50
+    "q_winnow_pairs" -> ((s, dir) =>
+      TextAnalysisOps.winnowedPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 4, window = 4, maxDf = 50, minShared = 2)
+        .withColumnRenamed("id", "doc_id")),
 
     // ---- training-data pipeline: multimodal plumbing (STUB kernels) ----
     "q_multimodal_meta" -> ((s, dir) =>
@@ -523,24 +529,19 @@ object SparkEntry {
          |  CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS approx_subwords
          |FROM documents""".stripMargin,
     "q_fingerprint" ->
-      s"""WITH sh AS (SELECT doc_id,
-         |  CASE WHEN len(toks) >= 4
-         |    THEN [array_to_string(toks[i:i+3], ' ')
-         |          FOR i IN generate_series(1, len(toks)-3)]
-         |    ELSE [array_to_string(toks, ' ')] END AS sh
-         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-         |h AS (SELECT doc_id,
-         |  [CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) FOR s IN sh] AS hs
-         |  FROM sh),
-         |w AS (SELECT doc_id,
-         |  CASE WHEN len(hs) >= 4 THEN
-         |    list_sort(list_distinct([list_min(hs[i:i+3])
-         |                             FOR i IN generate_series(1, len(hs)-3)]))
-         |  WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END AS fps
-         |  FROM h)
+      s"""WITH $winnowCtes
          |SELECT doc_id, len(fps) AS n_fingerprints,
          |       md5(array_to_string(fps, ',')) AS fp_digest
          |FROM w""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |x AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         |hot AS (SELECT fp FROM x GROUP BY fp HAVING count(*) > 50),
+         |xx AS (SELECT doc_id, fp FROM x
+         |       WHERE fp NOT IN (SELECT fp FROM hot))
+         |SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+         |FROM xx a JOIN xx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -680,6 +681,25 @@ object SparkEntry {
   // mirror of PipelineOps.hash60 over an `event_id` column
   private val hash60Sql =
     "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  // Winnowing fingerprint sets (shingleN=4, window=4), mirroring
+  // TextAnalysisOps.winnowingFingerprintSets: w(doc_id, fps)
+  private val winnowCtes =
+    s"""sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 4
+       |    THEN [array_to_string(toks[i:i+3], ' ')
+       |          FOR i IN generate_series(1, len(toks)-3)]
+       |    ELSE [array_to_string(toks, ' ')] END AS sh
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |h AS (SELECT doc_id,
+       |  [CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) FOR s IN sh] AS hs
+       |  FROM sh),
+       |w AS (SELECT doc_id,
+       |  CASE WHEN len(hs) >= 4 THEN
+       |    list_sort(list_distinct([list_min(hs[i:i+3])
+       |                             FOR i IN generate_series(1, len(hs)-3)]))
+       |  WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END AS fps
+       |  FROM h)""".stripMargin
 
   // Relational SimHash mirroring DedupOps.simhash (60-bit, tf-weighted
   // bit votes).

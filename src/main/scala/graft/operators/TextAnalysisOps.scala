@@ -137,6 +137,31 @@ object TextAnalysisOps {
           .otherwise(array(col("minh"))).as("fps"))
   }
 
+  /** Document pairs sharing >= `minShared` winnowing fingerprints — the
+    * plagiarism/overlap-detection application of the fingerprint sets
+    * (Schleimer et al. SIGMOD'03 §4). Candidate generation is an equi-join
+    * on the fingerprint value, like the MinHash band join; fingerprints
+    * appearing in more than `maxDf` documents (boilerplate phrases) are
+    * dropped first so a hot fingerprint cannot quadratically blow up the
+    * bucket join — the standard df-cap that keeps this shape viable at
+    * corpus scale.
+    */
+  def winnowedPairs(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 4, window: Int = 4,
+                    maxDf: Int = 50, minShared: Int = 2): DataFrame = {
+    val fps = winnowingFingerprintSets(docs, idCol, textCol, shingleN, window)
+      .select(col("id"), explode(col("fps")).as("fp"))
+      .localCheckpoint() // reused by the df-cap aggregate and both join sides
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** (id, n_fingerprints, fingerprint digest) — a compact winnowing sketch
     * per document; equal digests mean heavily-overlapping content. */
   def fingerprintSketch(docs: DataFrame, idCol: String, textCol: String,

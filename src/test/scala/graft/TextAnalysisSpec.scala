@@ -41,6 +41,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(1L) > q(2L) && q(2L) > q(3L))
   }
 
+  test("winnowedPairs finds the overlapping pair and respects the df cap") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda mu"),             // heavy overlap with 1
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.TextAnalysisOps
+      .winnowedPairs(docs, "doc_id", "text", shingleN = 4, window = 4,
+        maxDf = 50, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"overlapping pair missing: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "disjoint doc must not pair")
+    // with maxDf = 1 every shared fingerprint is "hot" -> no pairs survive
+    val capped = graft.operators.TextAnalysisOps
+      .winnowedPairs(docs, "doc_id", "text", maxDf = 1, minShared = 2)
+    assert(capped.count() === 0)
+  }
+
   test("winnowing fingerprints: identical docs match, shared content overlaps") {
     val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val df = Seq((1L, text), (2L, text), (3L, text + " tail1 tail2 tail3 tail4"))
