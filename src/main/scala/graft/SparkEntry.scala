@@ -67,6 +67,21 @@ object SparkEntry {
           round(col("purchase_value"), 6).as("purchase_value"))
     }),
 
+    // forward as-of: every event gets the user's NEXT purchase at or after
+    // its timestamp; verified against DuckDB's native forward ASOF
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      JoinOps.asofJoinForward(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, "user_id", "ts", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+    }),
+
     // ---- inverted index / retrieval (assignment-3 family): A6, R1-R4, J3 ----
     "q_term_doctf" -> ((s, dir) =>
       IndexOps.termDocTf(docs(s, dir), "doc_id", "text")
@@ -345,6 +360,13 @@ object SparkEntry {
         |       round(p.purchase_value, 6) AS purchase_value
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |       round(p.purchase_value, 6) AS purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
     "q_term_doctf" -> termDocTfSql,
     "q_index_stats" ->
       s"""WITH t AS ($termDocTfSql)

@@ -29,7 +29,24 @@ object JoinOps {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
                        leftTsCol: String, rightTsCol: String,
-                       valueCols: Seq[String]): DataFrame = {
+                       valueCols: Seq[String]): DataFrame =
+    asofJoin(left, right, keyCol, leftTsCol, rightTsCol, valueCols,
+      forward = false)
+
+  /** Forward as-of join: the EARLIEST right row with `rightTs >= leftTs`
+    * per key (next-event lookup — "the user's next purchase after this
+    * click"; DuckDB: ASOF LEFT JOIN with `left.ts <= right.ts`). Same
+    * one-shuffle timeline construction as the backward join, with the
+    * timeline walked in reverse. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      leftTsCol: String, rightTsCol: String,
+                      valueCols: Seq[String]): DataFrame =
+    asofJoin(left, right, keyCol, leftTsCol, rightTsCol, valueCols,
+      forward = true)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTsCol: String, rightTsCol: String,
+                       valueCols: Seq[String], forward: Boolean): DataFrame = {
     val lStructType = left.select(struct(left.columns.map(col): _*).as("l"))
       .schema("l").dataType
     val rStructType = right.select(struct(valueCols.map(col): _*).as("r"))
@@ -44,10 +61,13 @@ object JoinOps {
       lit(null).cast(lStructType).as("__l"),
       struct(valueCols.map(col): _*).as("__r"))
 
-    // at equal ts the right row sorts first (isR desc) so it is visible to
-    // the left row's frame -> >= tie semantics
+    // backward: ascending timeline, running last right = latest at-or-
+    // before. forward: DESCENDING timeline, running last right = earliest
+    // at-or-after. Either way the right row sorts before the left at equal
+    // ts (isR desc) so ties match — >= / <= inclusive semantics.
+    val order = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__isR").desc)
+      .orderBy(order, col("__isR").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lTagged.unionByName(rTagged)
