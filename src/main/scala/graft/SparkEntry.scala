@@ -224,6 +224,12 @@ object SparkEntry {
         .select(col("event_type"),
           PipelineOps.splitLabel(col("event_id")).as("split"))
         .groupBy("event_type", "split").agg(count(lit(1)).as("cnt"))),
+    // stratified deterministic sampling: class rebalancing by md5 bucket
+    "q_sample_strat" -> ((s, dir) =>
+      PipelineOps.stratifiedSampleByHash(events(s, dir), col("event_id"),
+        col("event_type"),
+        Map("click" -> 50, "purchase" -> 100, "view" -> 10), defaultPct = 5)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))),
     // bounded KMV distinct sketch (typed Aggregator => map-side combine)
     // vs the exact distinct it approximates
     "q_kmv_distinct" -> ((s, dir) =>
@@ -590,6 +596,12 @@ object SparkEntry {
          |         WHEN h % 100 < 90 THEN 'valid' ELSE 'test' END AS split
          |  FROM (SELECT event_type, $hash60Sql AS h FROM events))
          |GROUP BY event_type, split""".stripMargin,
+    "q_sample_strat" ->
+      s"""SELECT event_type, count(*) AS cnt FROM (
+         |  SELECT event_type, $hash60Sql AS h FROM events)
+         |WHERE h % 100 < CASE event_type WHEN 'click' THEN 50
+         |  WHEN 'purchase' THEN 100 WHEN 'view' THEN 10 ELSE 5 END
+         |GROUP BY event_type""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH h AS (SELECT event_type, user_id, $hash60Sql AS h
          |  FROM (SELECT event_type, user_id, user_id AS event_id FROM events)),

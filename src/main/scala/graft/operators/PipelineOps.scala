@@ -23,6 +23,19 @@ object PipelineOps {
   def sampleByHash(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.where(pmod(hash60(key), lit(100)) < lit(percent))
 
+  /** Stratified deterministic sampling: a per-class keep-percentage (class
+    * rebalancing / downsampling the over-represented source), same
+    * md5-bucket mechanism as [[sampleByHash]] so decisions are stable under
+    * re-runs and retries. Classes absent from `rates` keep `defaultPct`. */
+  def stratifiedSampleByHash(df: DataFrame, key: Column, classCol: Column,
+                             rates: Map[String, Int],
+                             defaultPct: Int = 0): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (cls, p)) =>
+      when(classCol === cls, lit(p)).otherwise(acc)
+    }
+    df.where(pmod(hash60(key), lit(100)) < pct)
+  }
+
   /** Deterministic train/valid/test split label from a key column:
     * hash mod 100 -> [0,train) train, [train,train+valid) valid, rest test.
     * The label is a pure function of the key — adding data or re-running

@@ -46,6 +46,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s10.join(s20, Seq("id"), "left_anti").count() === 0)
   }
 
+  test("stratified sampling keeps per-class rates and is a per-class subset") {
+    val df = spark.range(30000)
+      .selectExpr("id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS cls")
+    val sampled = PipelineOps.stratifiedSampleByHash(df, col("id"), col("cls"),
+      Map("a" -> 100, "b" -> 20), defaultPct = 0)
+    val counts = sampled.groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") === 10000L, "rate 100 keeps every row")
+    assert(math.abs(counts("b") - 2000L) < 300, s"b=${counts.get("b")}")
+    assert(!counts.contains("c"), "default 0 drops the class entirely")
+    // per-class decisions reuse the global bucket: class-b survivors are a
+    // subset of what a plain 20% global sample keeps
+    val global20 = PipelineOps.sampleByHash(df, col("id"), 20)
+    assert(sampled.where(col("cls") === "b")
+      .join(global20, Seq("id"), "left_anti").count() === 0)
+  }
+
   test("KMV sketch: exact below k, within 25% at 200x k, partition-invariant") {
     val df = spark.range(5000).toDF("id")
       .withColumn("h", PipelineOps.hash60(col("id")))
