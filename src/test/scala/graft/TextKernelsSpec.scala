@@ -90,6 +90,28 @@ class TextKernelsSpec extends SparkSpec {
     assert(got(2L) === 0L)
   }
 
+  test("kernels agree between codegen and interpreted execution") {
+    // NO_CODEGEN forces InterpretedUnsafeProjection -> the nullSafeEval
+    // path; results must be identical to the generated-code path
+    val s2 = SparkSpec.session.newSession()
+    GraftFunctions.register(s2)
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val sql = """SELECT doc_id,
+      |  graft_shingle_hash(split(trim(text), '\\s+'), 3, true) AS hs,
+      |  graft_simhash(split(trim(text), '\\s+'), 60) AS sh,
+      |  graft_langid(split(trim(text), '\\s+'), 0.02D) AS lang,
+      |  graft_stop_hits(split(trim(text), '\\s+')) AS hits
+      |FROM docs""".stripMargin
+    docs.createOrReplaceTempView("docs")
+    val base = spark.sql(sql).collect().map(_.toString).sorted
+    docs.createOrReplaceTempView("docs") // register in s2's catalog too
+    s2.createDataFrame(docs.collectAsList(), docs.schema)
+      .createOrReplaceTempView("docs")
+    val interp = s2.sql(sql).collect().map(_.toString).sorted
+    assert(base.toSeq === interp.toSeq)
+  }
+
   test("langid still classifies the spanish doc as es and empty as und") {
     val out = docs.select(col("doc_id"),
       TextAnalysisOps.langId(TextOps.tokens(col("text"))).as("lang"))
