@@ -35,9 +35,11 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 
   val confKey = "spark.graft.approxDistinct.enabled"
-  val k = 256
+  /** Sketch size: distinct counts <= k stay exact; error ~ 1/sqrt(k). */
+  val kConfKey = "spark.graft.approxDistinct.k"
+  val defaultK = 256
 
-  private def kmvOver(child: Expression): Expression = {
+  private def kmvOver(child: Expression, k: Int): Expression = {
     // 60-bit md5 hash of the value (engine-portable, same construction as
     // PipelineOps.hash60), fed to the KMV Aggregator
     val hash = Cast(
@@ -59,12 +61,14 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(confKey, "false").toBoolean) return plan
+    val k = conf.getConfString(kConfKey, defaultK.toString).toInt
+    require(k >= 2, s"$kConfKey must be >= 2, got $k")
     plan.transform {
       case agg: Aggregate =>
         agg.transformExpressions {
           case ae @ AggregateExpression(
               Count(Seq(child)), _, true, None, _) if child.resolved =>
-            kmvOver(child)
+            kmvOver(child, k)
         }
     }
   }

@@ -45,6 +45,19 @@ class ApproxDistinctSpec extends AnyFunSuite {
     } finally spark.conf.set(ApproxDistinctRewrite.confKey, "false")
   }
 
+  test("sketch size is conf-tunable: tiny k degrades accuracy, stays exact below k") {
+    spark.conf.set(ApproxDistinctRewrite.confKey, "true")
+    spark.conf.set(ApproxDistinctRewrite.kConfKey, "16")
+    try {
+      val below = spark.range(10).selectExpr("0 AS g", "id AS v")
+        .groupBy("g").agg(count_distinct(col("v")).as("d"))
+      assert(below.head().getLong(1) === 10L, "exact below k")
+    } finally {
+      spark.conf.set(ApproxDistinctRewrite.confKey, "false")
+      spark.conf.unset(ApproxDistinctRewrite.kConfKey)
+    }
+  }
+
   test("schema is unchanged by the rewrite (still bigint)") {
     spark.conf.set(ApproxDistinctRewrite.confKey, "true")
     try {
