@@ -224,6 +224,12 @@ object SparkEntry {
         .select(col("event_type"),
           PipelineOps.splitLabel(col("event_id")).as("split"))
         .groupBy("event_type", "split").agg(count(lit(1)).as("cnt"))),
+    // two-stage salted exact distinct (hot-key mitigation) must equal the
+    // plain count distinct — proven against the oracle, not just in-process
+    "q_salted_distinct" -> ((s, dir) =>
+      SkewOps.saltedCountDistinct(
+        events(s, dir).select(col("event_type"), col("user_id")),
+        "event_type", "user_id", salts = 16)),
     // stratified deterministic sampling: class rebalancing by md5 bucket
     "q_sample_strat" -> ((s, dir) =>
       PipelineOps.stratifiedSampleByHash(events(s, dir), col("event_id"),
@@ -596,6 +602,9 @@ object SparkEntry {
          |         WHEN h % 100 < 90 THEN 'valid' ELSE 'test' END AS split
          |  FROM (SELECT event_type, $hash60Sql AS h FROM events))
          |GROUP BY event_type, split""".stripMargin,
+    "q_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS user_id_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_sample_strat" ->
       s"""SELECT event_type, count(*) AS cnt FROM (
          |  SELECT event_type, $hash60Sql AS h FROM events)
