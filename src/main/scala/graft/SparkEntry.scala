@@ -262,6 +262,14 @@ object SparkEntry {
     // JSON property extraction (get_json_object, codegen'd — no UDF)
     "q_json_kstats" -> ((s, dir) =>
       TimeSeriesOps.jsonKStats(events(s, dir), "event_type", "props")),
+    // recency-weighted features: exponentially decayed per-type sums,
+    // anchored at the corpus max timestamp (one driver scalar)
+    "q_decayed" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val ref = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      TimeSeriesOps.timeDecayedSum(ev, "event_type", "ts", "value",
+        halfLifeMinutes = 60 * 24, refEpochUs = ref)
+    }),
     // grouping sets: per-nation, per-region subtotal and grand total in one agg
     "q_rollup_revenue" -> ((s, dir) =>
       RelationalOps.revenueRollup(s, dir)),
@@ -644,6 +652,14 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k":\s*([0-9.eE+-]+)', 1) AS DOUBLE) AS k
         |  FROM events)
         |GROUP BY event_type""".stripMargin,
+    "q_decayed" ->
+      """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(value * exp(-ln(2) / (1440 * 60000000.0)
+        |    * (ref - epoch_us(ts)))), 6) AS decayed_sum,
+        |  round(sum(exp(-ln(2) / (1440 * 60000000.0)
+        |    * (ref - epoch_us(ts)))), 6) AS decayed_count
+        |FROM events CROSS JOIN r GROUP BY event_type""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -95,6 +95,23 @@ object TimeSeriesOps {
         round(min(col("k")), 6).as("min_k"),
         round(max(col("k")), 6).as("max_k"))
 
+  /** Exponentially time-decayed sum per key — the standard recency-weighted
+    * feature (decayed click counts, decayed spend): each value is weighted
+    * 2^(-age/halfLife) relative to `refEpochUs`. Unlike an EMA recurrence
+    * this form is a plain SUM of independent terms, so it keeps partial
+    * aggregation (map-side combine) and needs no ordering.
+    */
+  def timeDecayedSum(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, halfLifeMinutes: Double,
+                     refEpochUs: Long): DataFrame = {
+    val ageUs = lit(refEpochUs) - unix_micros(col(tsCol))
+    val w = exp(lit(-math.log(2.0) / (halfLifeMinutes * 60e6)) * ageUs.cast("double"))
+    events.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol) * w), 6).as("decayed_sum"),
+        round(sum(w), 6).as("decayed_count"))
+  }
+
   /** Sessionize events per user: gap > `gapMinutes` starts a new session.
     * A classic large-scale log-pipeline operator (window lag + running sum —
     * two passes over one shuffle partitioning, no self-join).
