@@ -262,6 +262,12 @@ object SparkEntry {
     // JSON property extraction (get_json_object, codegen'd — no UDF)
     "q_json_kstats" -> ((s, dir) =>
       TimeSeriesOps.jsonKStats(events(s, dir), "event_type", "props")),
+    // z-order clustering values (write-layout op): morton interleave of
+    // (user_id, value bucket) — pure codegen arithmetic
+    "q_zorder" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        LayoutOps.zValue(LayoutOps.boundedBucket(col("user_id")),
+          LayoutOps.boundedBucket(floor(col("value")).cast("long"))).as("z"))),
     // recency-weighted features: exponentially decayed per-type sums,
     // anchored at the corpus max timestamp (one driver scalar)
     "q_decayed" -> ((s, dir) => {
@@ -652,6 +658,13 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k":\s*([0-9.eE+-]+)', 1) AS DOUBLE) AS k
         |  FROM events)
         |GROUP BY event_type""".stripMargin,
+    "q_zorder" ->
+      """SELECT event_id,
+        |  list_sum([(((user_id & 2097151) >> i) & 1) * (1::BIGINT << (2*i))
+        |    + (((CAST(floor(value) AS BIGINT) & 2097151) >> i) & 1)
+        |      * (1::BIGINT << (2*i + 1))
+        |    FOR i IN generate_series(0, 20)]) AS z
+        |FROM events""".stripMargin,
     "q_decayed" ->
       """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
         |SELECT event_type, count(*) AS n,

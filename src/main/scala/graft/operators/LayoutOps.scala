@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering values for
+  * multi-column locality.
+  *
+  * Sorting a table by a single column gives parquet min/max pruning on that
+  * column only; sorting by the INTERLEAVED bits of two columns gives
+  * useful-if-weaker pruning on both — the standard lake-house "Z-ORDER BY"
+  * clustering. The z-value here is pure codegen'd integer arithmetic (42
+  * shift/mask terms for 2x21 bits), so it can be computed at write time on
+  * 100 TB without a UDF in the path: `df.repartitionByRange(n,
+  * zValue(...)).sortWithinPartitions(zValue(...)).write.parquet(...)`.
+  */
+object LayoutOps {
+
+  /** Bits per dimension (2 dims x 21 bits fills 42 of a long's 63
+    * positive bits). Inputs must be in [0, 2^21). */
+  val bitsPerDim = 21
+
+  /** Morton/Z-value of two non-negative int columns: bit i of `x` lands at
+    * position 2i, bit i of `y` at 2i+1. Values outside [0, 2^21) raise
+    * (ANSI) or wrap the interleave — clamp upstream with
+    * [[boundedBucket]]. */
+  def zValue(x: Column, y: Column, bits: Int = bitsPerDim): Column =
+    (0 until bits).map { i =>
+      (shiftright(x.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Clamp an arbitrary non-negative long into [0, 2^bits) by dropping high
+    * bits — the cheap way to feed wide domains (timestamps, ids) into
+    * [[zValue]] while keeping locality in the low bits. */
+  def boundedBucket(c: Column, bits: Int = bitsPerDim): Column =
+    c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+
+  /** Rewrite a DataFrame into z-clustered order on (x, y): range-partition
+    * then sort by the z-value, so every output file covers a compact
+    * rectangle of the (x, y) space and parquet column stats prune on BOTH
+    * dimensions. */
+  def zOrderBy(df: DataFrame, x: Column, y: Column,
+               numPartitions: Int): DataFrame = {
+    val z = zValue(boundedBucket(x), boundedBucket(y))
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.LayoutOps
+import org.apache.spark.sql.functions._
+
+class LayoutOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue matches a reference bit-interleave") {
+    def refZ(x: Long, y: Long): Long =
+      (0 until 21).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), LayoutOps.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((x, y) <- pairs) assert(got((x, y)) === refZ(x, y), s"($x, $y)")
+  }
+
+  test("z-ordering clusters both dimensions: chunk bounding boxes shrink") {
+    // a 64x64 grid in random order; after z-sort, consecutive chunks must
+    // cover small rectangles of the grid (that is exactly what makes
+    // parquet min/max stats prune on BOTH columns)
+    val rnd = new scala.util.Random(11)
+    val grid = rnd.shuffle((0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y))))
+    val sortedByZ = grid.sortBy { case (x, y) =>
+      (0 until 21).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    }
+    val chunks = sortedByZ.grouped(256).toSeq // 16 chunks of a 4096-cell grid
+    val avgArea = chunks.map { c =>
+      val xs = c.map(_._1); val ys = c.map(_._2)
+      (xs.max - xs.min + 1).toDouble * (ys.max - ys.min + 1)
+    }.sum / chunks.size
+    // random chunks would each span ~the whole 64x64=4096 area; z-chunks
+    // of 256 cells cover exactly a 16x16=256 box on a power-of-two grid
+    assert(avgArea <= 512.0, s"avg chunk area $avgArea")
+  }
+
+  test("zOrderBy preserves rows and orders partitions by z") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val z = LayoutOps.zOrderBy(df, col("user_id"), floor(col("value")), 4)
+    assert(z.count() === df.count())
+    assert(z.columns.toSeq === df.columns.toSeq, "layout op must not change schema")
+  }
+}
