@@ -179,6 +179,14 @@ object SparkEntry {
         emb.where(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, nlist = 8, nprobe = 2)
     }),
+    // hyperplane-LSH bucketed ANN (approximate by construction — no SQL
+    // oracle; the driver records a rows-only check)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, planes = 4)
+    }),
     // brute-force O(n²) pair scan — bounded to the first 2000 vectors; the
     // hyperplane-LSH bucketing in SimilarityOps is the full-corpus path
     "q_embed_neardup" -> ((s, dir) =>
@@ -245,6 +253,16 @@ object SparkEntry {
         .agg(count_distinct(col("user_id")).as("exact"),
           round(graft.functions.KmvSketch.kmvDistinct(col("h"), 64), 6)
             .as("kmv_est"))),
+
+    // batched per-partition media kernel (stub decode — deterministic in
+    // the bytes, not SQL-expressible; rows-only check)
+    "q_frame_features" -> ((s, dir) =>
+      MultimodalOps.frameFeatures(
+        MultimodalOps.asAssets(docs(s, dir), "doc_id", "text", "text/plain"),
+        framesPerAsset = 2, featureDim = 4)
+        .toDF()
+        .select(col("asset_id"), col("frame_idx"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))),
 
     // ---- time series (assignment-6 family): P6-P9, T4 ----
     // window frames: rolling stats over the trailing 4 events per user
