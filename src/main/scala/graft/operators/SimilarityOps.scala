@@ -122,14 +122,17 @@ object SimilarityOps {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
+    // embedding dimension read once from the data (arrays carry no length
+    // in the schema); the plane literals hoist against it
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
-      .withColumn("code", hyperplaneCode(col("v"), planes))
-    val q = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
-      .withColumn("qcode", hyperplaneCode(col("qv"), planes))
-    val scored = c.join(broadcast(q),
+    val cc = c.withColumn("code", hyperplaneCodeFast(c, col("v"), planes, dim))
+    val q0 = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
+    val q = q0.withColumn("qcode", hyperplaneCodeFast(q0, col("qv"), planes, dim))
+    val scored = cc.join(broadcast(q),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(fastDot(c, col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+        round(fastDot(cc, col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
           .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -184,7 +187,13 @@ object SimilarityOps {
 
   /** Random-hyperplane LSH code, packed: Σ (v·h_p > 0) << p. Bit p is the
     * sign of the projection onto an md5-derived ±1 hyperplane — SimHash for
-    * vectors; cosine-similar vectors agree on most bits. */
+    * vectors; cosine-similar vectors agree on most bits.
+    *
+    * Column-only reference form: evaluates the md5-derived sign per
+    * (row, plane, dim) through interpreted lambdas — correct but ~100x the
+    * work of [[hyperplaneCodeFast]], which precomputes each plane ONCE as a
+    * literal array (the planes are deterministic, so this is just hoisting)
+    * and takes the projections through the native dot kernel. */
   def hyperplaneCode(v: Column, planes: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
@@ -195,4 +204,24 @@ object SimilarityOps {
         when(proj > 0, expr("1")).otherwise(lit(0)).cast("long") * pow(lit(2.0), p).cast("long")
       }),
       lit(0L), (acc, x) => acc + x)
+
+  /** The same ±1 signs as [[planeSign]], computed driver-side: first md5
+    * hex char of "p:d" even -> +1. */
+  private[operators] def planeVector(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))(0)
+      if (((b0 >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Hyperplane code with hoisted plane literals + native dot product:
+    * identical values to [[hyperplaneCode]] (same signs, same sequential
+    * summation order), one codegen'd dot per plane instead of per-element
+    * interpreted lambdas. Needs the embedding dimension up front — one
+    * schema-level fact the caller reads once, not per row. */
+  def hyperplaneCodeFast(df: DataFrame, v: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val plane = array(planeVector(p, dim).map(lit).toIndexedSeq: _*)
+      when(fastDot(df, v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

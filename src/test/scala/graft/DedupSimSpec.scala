@@ -72,6 +72,20 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.contains((1L, 5L)))
   }
 
+  test("hoisted hyperplane codes equal the per-element column reference") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val c = emb.select(col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    val fast = c.select(col("vec_id"),
+        SimilarityOps.hyperplaneCodeFast(c, col("v"), 6, dim).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = c.select(col("vec_id"),
+        SimilarityOps.hyperplaneCode(col("v"), 6).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === ref)
+  }
+
   test("brute-force ANN ranks a perturbed copy first; LSH agrees on its candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.where(col("vec_id") < 2)
