@@ -91,6 +91,9 @@ object Main {
             map_entries(col("stripe")),
             e => concat(e.getField("key"), lit(":"), e.getField("value"))))))
       case "pmi" =>
+        // doc_id only marks line identity within this run; PMI depends on
+        // per-line term SETS, never on the id values, so the synthetic id
+        // is safe (ids are a pure function of partition + offset)
         val docs = text.withColumn("doc_id", monotonically_increasing_id())
         writeTsv(TextOps.pmi(docs, "doc_id", "value",
           opts.getOrElse("min-count", "10").toInt)
