@@ -87,6 +87,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("as-of joins plan as the union-timeline shape, never a range join") {
+    for (q <- Seq("q_asof_join", "q_asof_forward")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated to a range/cross join:\n$p")
+      assert(p.contains("Window"), s"$q lost the running-window shape")
+    }
+  }
+
+  test("z-order values are a pure projection: no Exchange, no kernel fallback") {
+    val p = planOf("q_zorder")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("term point-lookup on the sorted postings store pushes the filter to parquet") {
     // S5/S9: the MapFile random-access analogue — a sorted parquet postings
     // table must serve `term = t` via parquet predicate pushdown
