@@ -129,6 +129,12 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(graphEdges(s, dir), iterations = 5)
         .select(col("nodeid"), round(col("rank"), 9).as("pr"))),
+    // the log-space numeric regime (the reference's float-underflow
+    // armor, double-precision here) must agree with linear space to
+    // 9 decimals — gated against the SAME unrolled oracle as q_pagerank
+    "q_pagerank_log" -> ((s, dir) =>
+      GraphOps.pageRankLogSpace(graphEdges(s, dir), iterations = 5)
+        .select(col("nodeid"), round(exp(col("rank")), 9).as("pr"))),
     "q_ppr_topk" -> ((s, dir) => {
       val pr = GraphOps.personalizedPageRank(graphEdges(s, dir), Seq(1L, 2L), iterations = 5)
         .select(col("source"), col("nodeid"), round(col("rank"), 9).as("rank"))
@@ -462,6 +468,7 @@ object SparkEntry {
         |       (SELECT count(*) FROM v
         |        WHERE nodeid NOT IN (SELECT DISTINCT src FROM e)) AS dangling""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
+    "q_pagerank_log" -> pageRankOracle(5),
     "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
     "q_dedup_exact" ->
       s"""WITH d AS (SELECT doc_id,

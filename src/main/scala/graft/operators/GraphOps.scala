@@ -284,34 +284,40 @@ object GraphOps {
                        vertices: Option[DataFrame] = None,
                        numPartitions: Int = 32): DataFrame = {
     import graft.functions.LogSpace
-    val verts = vertices.getOrElse(verticesOf(edges))
-      .repartition(numPartitions, col("nodeid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = verts.count()
-    val adj = adjacencyOf(edges, numPartitions, dedupe = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same single-pass iteration structure as [[pageRank]] (sentinel
+    // scatter, checkpointed gather, driver-scalar dangling mass), with the
+    // arithmetic in log space: scatter subtracts log(outdeg), the gather is
+    // a grouped log-sum-exp (its merge = the reference's combiner)
+    val (verts, n, adj) = buildGraph(edges, vertices, numPartitions,
+      dedupeEdges = true)
+    val small = n < aqeIterationCutoff
+    def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val negInf = lit(Double.NegativeInfinity)
 
     var ranks = verts.withColumn("rank", lit(-math.log(n.toDouble)))
-    for (_ <- 1 to iterations) {
-      val withAdj = ranks.join(adj, ranks("nodeid") === adj("src"), "left_outer")
-      val missingLog = withAdj.where(col("adj").isNull)
-        .agg(coalesce(LogSpace.logSumExp(col("rank")), negInf)).head() match {
-          case r if r.isNullAt(0) => Double.NegativeInfinity
-          case r => r.getDouble(0)
-        }
-      val gathered = withAdj.where(col("adj").isNotNull)
-        .select(explode(col("adj")).as("dst"),
-          (col("rank") - log(col("outdeg").cast("double"))).as("m"))
+    withIterationAqe(edges, n) { for (_ <- 1 to iterations) {
+      val gathered = ranks.join(maybeBroadcast(adj),
+          ranks("nodeid") === adj("src"), "left_outer")
+        .select(
+          explode(when(col("adj").isNull, array(lit(null).cast("long")))
+            .otherwise(col("adj"))).as("dst"),
+          when(col("outdeg").isNull, col("rank"))
+            .otherwise(col("rank") - log(col("outdeg").cast("double"))).as("m"))
         .groupBy("dst").agg(LogSpace.logSumExp(col("m")).as("in_mass"))
+        .localCheckpoint()
+      val missingLog = gathered.where(col("dst").isNull)
+        .select(col("in_mass")).collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        .getOrElse(Double.NegativeInfinity)
       val in = coalesce(col("in_mass"), negInf)
       val linkAndMissing = LogSpace.logAdd(in, lit(missingLog - math.log(n.toDouble)))
-      ranks = verts.join(gathered, verts("nodeid") === gathered("dst"), "left_outer")
+      ranks = verts.join(maybeBroadcast(gathered.where(col("dst").isNotNull)),
+          verts("nodeid") === col("dst"), "left_outer")
         .select(verts("nodeid"),
           LogSpace.logAdd(lit(math.log(alpha / n)),
             lit(math.log(1 - alpha)) + linkAndMissing).as("rank"))
-        .localCheckpoint()
-    }
+    } }
+    ranks = ranks.localCheckpoint()
     adj.unpersist(); verts.unpersist()
     ranks
   }
