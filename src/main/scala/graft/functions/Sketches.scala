@@ -68,6 +68,9 @@ object KmvSketch {
 
     override def finish(st: Array[Long]): Double =
       if (st.length < k) st.length.toDouble
+      // degenerate guard: hash 0 as the k-th minimum (p = k/2^60) would
+      // divide by zero; all-zero-prefixed is indistinguishable from "huge"
+      else if (st(k - 1) == 0L) hashSpace
       else (k - 1).toDouble * hashSpace / st(k - 1).toDouble
 
     override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()

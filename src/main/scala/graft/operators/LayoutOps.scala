@@ -21,9 +21,10 @@ object LayoutOps {
   val bitsPerDim = 21
 
   /** Morton/Z-value of two non-negative int columns: bit i of `x` lands at
-    * position 2i, bit i of `y` at 2i+1. Values outside [0, 2^21) raise
-    * (ANSI) or wrap the interleave — clamp upstream with
-    * [[boundedBucket]]. */
+    * position 2i, bit i of `y` at 2i+1. Only bits 0..bits-1 are read, so
+    * values outside [0, 2^bits) silently interleave their LOW bits (losing
+    * cross-column locality for the high range) — clamp wide domains
+    * upstream with [[boundedBucket]]. */
   def zValue(x: Column, y: Column, bits: Int = bitsPerDim): Column =
     (0 until bits).map { i =>
       (shiftright(x.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +

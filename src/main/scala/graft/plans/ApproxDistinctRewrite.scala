@@ -54,8 +54,12 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
       ExpressionEncoder[Long]().resolveAndBind(),
       ExpressionEncoder[Array[Long]]().resolveAndBind(),
       nullable = false, isDeterministic = true)
-    // keep the original BIGINT column type
-    Cast(Round(AggregateExpression(scalaAgg, Complete, isDistinct = false),
+    // keep the original BIGINT column type; clamp before the cast — a
+    // pathological k-th minimum makes the estimate exceed Long range,
+    // which would ERROR under ANSI instead of saturating
+    Cast(Round(Least(Seq(
+      AggregateExpression(scalaAgg, Complete, isDistinct = false),
+      Literal(Long.MaxValue.toDouble))),
       Literal(0)), LongType)
   }
 
