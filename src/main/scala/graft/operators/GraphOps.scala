@@ -162,7 +162,7 @@ object GraphOps {
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     var ranks = verts.withColumn("rank", lit(1.0 / n))
-    withIterationAqe(edges, n) { for (_ <- 1 to iterations) {
+    try withIterationAqe(edges, n) { for (_ <- 1 to iterations) {
       // One scatter pass: dangling nodes (no adjacency row) send their whole
       // rank to a NULL sentinel destination; linked nodes send rank/outdeg to
       // each neighbor. The gather aggregation then yields per-node in-mass
@@ -199,10 +199,12 @@ object GraphOps {
           (lit(alpha / n) +
             lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) + lit(missing / n)))
             .as("rank"))
-    } }
-    // materialize the last (lazy) update before dropping its cached inputs
-    ranks = ranks.localCheckpoint()
-    adj.unpersist(); verts.unpersist()
+      }
+      // materialize the last (lazy) update before dropping its cached inputs
+      ranks = ranks.localCheckpoint()
+    }
+    // unpersist on the failure path too — no cache-entry leak
+    finally { adj.unpersist(); verts.unpersist() }
     ranks
   }
 
@@ -228,7 +230,7 @@ object GraphOps {
 
     var state = verts.crossJoin(srcDf)
       .withColumn("rank", when(col("nodeid") === col("source"), lit(1.0)).otherwise(lit(0.0)))
-    withIterationAqe(edges, nVerts) { for (_ <- 1 to iterations) {
+    try withIterationAqe(edges, nVerts) { for (_ <- 1 to iterations) {
       // Same single-pass scatter/gather as pageRank: dangling rank flows to
       // a NULL sentinel dst within the one (source, dst) aggregation. The
       // per-source dangling mass (|sources| rows) is collected and
@@ -264,10 +266,11 @@ object GraphOps {
               when(col("nodeid") === col("source"), coalesce(col("miss"), lit(0.0)))
                 .otherwise(lit(0.0))))
             .as("rank"))
-    } }
-    // materialize the last (lazy) update before dropping its cached inputs
-    state = state.localCheckpoint()
-    adj.unpersist(); verts.unpersist()
+      }
+      // materialize the last (lazy) update before dropping its cached inputs
+      state = state.localCheckpoint()
+    }
+    finally { adj.unpersist(); verts.unpersist() }
     state
   }
 
@@ -295,7 +298,7 @@ object GraphOps {
     val negInf = lit(Double.NegativeInfinity)
 
     var ranks = verts.withColumn("rank", lit(-math.log(n.toDouble)))
-    withIterationAqe(edges, n) { for (_ <- 1 to iterations) {
+    try withIterationAqe(edges, n) { for (_ <- 1 to iterations) {
       val gathered = ranks.join(maybeBroadcast(adj),
           ranks("nodeid") === adj("src"), "left_outer")
         .select(
@@ -316,9 +319,10 @@ object GraphOps {
         .select(verts("nodeid"),
           LogSpace.logAdd(lit(math.log(alpha / n)),
             lit(math.log(1 - alpha)) + linkAndMissing).as("rank"))
-    } }
-    ranks = ranks.localCheckpoint()
-    adj.unpersist(); verts.unpersist()
+      }
+      ranks = ranks.localCheckpoint()
+    }
+    finally { adj.unpersist(); verts.unpersist() }
     ranks
   }
 
