@@ -348,7 +348,7 @@ object GraphOps {
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var iters = 0
     var delta = Double.MaxValue
-    while (delta > tol && iters < maxIterations) {
+    try while (delta > tol && iters < maxIterations) {
       val withAdj = ranks.join(adj, ranks("nodeid") === adj("src"), "left_outer")
       val missing = withAdj.where(col("adj").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
@@ -366,7 +366,7 @@ object GraphOps {
       ranks = next
       iters += 1
     }
-    adj.unpersist(); verts.unpersist()
+    finally { adj.unpersist(); verts.unpersist() }
     (ranks, iters)
   }
 
