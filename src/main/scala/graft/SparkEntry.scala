@@ -669,11 +669,11 @@ object SparkEntry {
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_pivot_daily" ->
       """SELECT month(ts) AS m, day(ts) AS d,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_json_kstats" ->
       """SELECT event_type, count(k) AS n_with_k,
@@ -685,10 +685,10 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     "q_zorder" ->
       """SELECT event_id,
-        |  list_sum([(((user_id & 2097151) >> i) & 1) * (1::BIGINT << (2*i))
+        |  CAST(list_sum([(((user_id & 2097151) >> i) & 1) * (1::BIGINT << (2*i))
         |    + (((CAST(floor(value) AS BIGINT) & 2097151) >> i) & 1)
         |      * (1::BIGINT << (2*i + 1))
-        |    FOR i IN generate_series(0, 20)]) AS z
+        |    FOR i IN generate_series(0, 20)]) AS BIGINT) AS z
         |FROM events""".stripMargin,
     "q_decayed" ->
       """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)

@@ -27,6 +27,43 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+def dtype_class(t) -> str:
+    """Coarse arrow-type class. The driver's hasher stringifies values, and
+    classes that stringify differently (decimal vs int, timestamp vs int)
+    must match between Spark and the oracle — pandas to_csv normalizes
+    Decimal so a plain value compare can't catch it (bit us in r02 with
+    DuckDB HUGEINT -> decimal128(38,0) from uncast sum())."""
+    import pyarrow as pa
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + dtype_class(t.value_type) + ">"
+    return str(t)
+
+def arrow_type_mismatches(spark_tbl, oracle_tbl):
+    s = {f.name: f.type for f in spark_tbl.schema}
+    o = {f.name: f.type for f in oracle_tbl.schema}
+    bad = []
+    for name in sorted(set(s) & set(o)):
+        cs, co = dtype_class(s[name]), dtype_class(o[name])
+        if cs != co:
+            bad.append(f"{name}: spark {s[name]} ({cs}) vs oracle {o[name]} ({co})")
+    return bad
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize numerics to plain python for stable stringification
@@ -45,9 +82,14 @@ for d in result_dirs:
         skips.append((name, len(got)))
         continue
     try:
-        exp = con.sql(oracle[name]).df()
+        exp_arrow = con.sql(oracle[name]).arrow()
+        exp = exp_arrow.to_pandas()
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    tbad = arrow_type_mismatches(pq.read_table(d), exp_arrow)
+    if tbad:
+        fails.append((name, "arrow dtype drift: " + "; ".join(tbad)))
         continue
     g, e = canon(got), canon(exp)
     if list(g.columns) != list(e.columns):
