@@ -260,15 +260,16 @@ object SparkEntry {
           round(graft.functions.KmvSketch.kmvDistinct(col("h"), 64), 6)
             .as("kmv_est"))),
 
-    // batched per-partition media kernel (stub decode — deterministic in
-    // the bytes, not SQL-expressible; rows-only check)
+    // batched per-partition media kernel (stub decode — md5-derived, so
+    // the DuckDB oracle replicates it bit-for-bit)
     "q_frame_features" -> ((s, dir) =>
       MultimodalOps.frameFeatures(
         MultimodalOps.asAssets(docs(s, dir), "doc_id", "text", "text/plain"),
         framesPerAsset = 2, featureDim = 4)
         .toDF()
         .select(col("asset_id"), col("frame_idx"),
-          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))),
 
     // ---- time series (assignment-6 family): P6-P9, T4 ----
     // window frames: rolling stats over the trailing 4 events per user
@@ -555,6 +556,29 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY cos DESC, vec_id ASC) AS rn
          |  FROM s) WHERE rn <= 5""".stripMargin,
+    // hyperplane-LSH: the md5-derived ±1 planes (SimilarityOps.planeSign /
+    // planeVector — first md5 hex char of "p:d" even -> +1) are fully
+    // deterministic, so the bucket code is SQL-expressible exactly like
+    // the MinHash permutations above.
+    "q_ann_lsh" -> {
+      def planeSql(p: Int): String =
+        s"[CASE WHEN CAST(('0x' || substring(md5('$p:' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 0" +
+          s" THEN 1.0 ELSE -1.0 END FOR d IN generate_series(0, len(v) - 1)]"
+      val codeSql = (0 until 4).map(p =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n|    + ")
+      s"""WITH e AS ($embSql),
+         |c AS (SELECT vec_id, v, nrm, $codeSql AS code FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, code AS qcode
+         |      FROM c WHERE vec_id < 3),
+         |s AS (SELECT query_id, vec_id,
+         |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
+         |      FROM c JOIN q ON c.code = q.qcode AND c.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM s) WHERE rn <= 5""".stripMargin
+    },
     "q_embed_neardup" ->
       s"""WITH e0 AS ($embSql),
          |e AS (SELECT * FROM e0 WHERE vec_id < 2000)
@@ -622,6 +646,18 @@ object SparkEntry {
         |  CAST(('0x' || substring(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+    // mirrors MultimodalOps.frameFeatures' md5 stub kernel: feature[j] =
+    // first 24 bits of md5(md5(content) || ':' || frame || ':' || j) / 2^24
+    "q_frame_features" -> {
+      def featSql(j: Int): String =
+        s"CAST(('0x' || substring(md5(md5(text) || ':' || f || ':$j'), 1, 6)) AS BIGINT)" +
+          " / 16777216.0"
+      s"""SELECT doc_id AS asset_id, f AS frame_idx,
+         |  round(${featSql(0)}, 6) AS f0,
+         |  round(${featSql(3)}, 6) AS f3
+         |FROM documents
+         |CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS f)""".stripMargin
+    },
     "q_contamination" ->
       s"""WITH d AS ($shinglesSql),
          |h AS (SELECT doc_id, $hashListSql AS hs FROM d),

@@ -139,9 +139,20 @@ object GraftFunctions {
           "usage: graft_langid(toks, <double literal minRatio>)")
       })
 
+  private[functions] val postingsEncodeDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_postings_encode"),
+      new ExpressionInfo(classOf[PostingsEncode].getName, "graft_postings_encode"),
+      (children: Seq[Expression]) => PostingsEncode(children.head))
+
+  private[functions] val postingsDecodeDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_postings_decode"),
+      new ExpressionInfo(classOf[PostingsDecode].getName, "graft_postings_decode"),
+      (children: Seq[Expression]) => PostingsDecode(children.head))
+
   private val descriptors: Seq[Descriptor] = Seq(
     dotDescriptor, shingleDescriptor, minhashDescriptor, jaccardDescriptor,
-    stopHitsDescriptor, simhashDescriptor, langIdDescriptor)
+    stopHitsDescriptor, simhashDescriptor, langIdDescriptor,
+    postingsEncodeDescriptor, postingsDecodeDescriptor)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = descriptors.foreach { d =>
@@ -160,5 +171,16 @@ object GraftFunctions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** d-gap+VInt postings pack/unpack via the native codec expressions. */
+  def postingsEncode(spark: SparkSession, postings: Column): Column = {
+    register(spark)
+    call_function("graft_postings_encode", postings)
+  }
+
+  def postingsDecode(spark: SparkSession, packed: Column): Column = {
+    register(spark)
+    call_function("graft_postings_decode", packed)
   }
 }

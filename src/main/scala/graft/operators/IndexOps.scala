@@ -89,18 +89,20 @@ object IndexOps {
     buf.toSeq
   }
 
-  private val encodeUdf = udf(encodePostings)
-  private val decodeUdf = udf(decodePostings)
-
-  /** Index with byte-packed postings column — the compressed form. */
+  /** Index with byte-packed postings column — the compressed form. The
+    * codec runs as a native expression (graft.functions.PostingsCodec) so
+    * the pack stays in whole-stage codegen; the Row-level closures above
+    * remain as the spec's reference implementation. */
   def compressedIndex(index: DataFrame): DataFrame =
     index.select(col("term"), col("df"),
-      encodeUdf(col("postings")).as("packed"))
+      graft.functions.GraftFunctions
+        .postingsEncode(index.sparkSession, col("postings")).as("packed"))
 
   /** Inverse of [[compressedIndex]] (docids reconstructed from d-gaps). */
   def decodeIndex(compressed: DataFrame): DataFrame =
     compressed.select(col("term"), col("df"),
-      decodeUdf(col("packed")).as("postings"))
+      graft.functions.GraftFunctions
+        .postingsDecode(compressed.sparkSession, col("packed")).as("postings"))
 
   /** Point lookup — S5 (MapFile.get analogue). */
   def lookupPostings(index: DataFrame, term: String): DataFrame =

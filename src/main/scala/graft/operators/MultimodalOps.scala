@@ -61,15 +61,27 @@ object MultimodalOps {
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // STUB KERNEL: a real implementation would decode `batch` with an
-        // image/video library here. The fake is deterministic in the bytes.
+        // image/video library here. The fake is deterministic in the bytes
+        // AND engine-portable (md5-derived, so a SQL oracle can replicate
+        // it): feature[j] = first 24 md5 bits of "contentDigest:frame:j"
+        // as a dyadic fraction in [0, 1) — exact in float32.
         batch.iterator.flatMap { a =>
+          val digest = md5Hex(a.content)
           (0 until framesPerAsset).iterator.map { f =>
-            val seed = java.util.Arrays.hashCode(a.content) * 31 + f
-            val rnd = new scala.util.Random(seed)
-            FrameFeature(a.asset_id, f, Array.fill(featureDim)(rnd.nextFloat()))
+            FrameFeature(a.asset_id, f, Array.tabulate(featureDim) { j =>
+              val h = md5Bytes(s"$digest:$f:$j".getBytes("UTF-8"))
+              val v = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
+              v / 16777216.0f // 2^24: v fits the float mantissa exactly
+            })
           }
         }
       }
     }
   }
+
+  private def md5Bytes(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+
+  private def md5Hex(b: Array[Byte]): String =
+    md5Bytes(b).map(x => f"$x%02x").mkString
 }

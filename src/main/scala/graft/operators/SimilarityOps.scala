@@ -157,24 +157,43 @@ object SimilarityOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
+    // the quantizer "model" is tiny (nlist vectors); collecting it to the
+    // driver and re-entering it as LITERAL arrays keeps the per-row
+    // assignment inside whole-stage codegen — no UDF boxing of
+    // Seq[Double] on the corpus (huge) side. Same hoisting trick as
+    // hyperplaneCodeFast.
     val cents = c.orderBy("vec_id").limit(nlist)
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)].collect()
       .map { case (i, v, n) => (i, v.toArray, n) }
-    val bc = spark.sparkContext.broadcast(cents)
-    def cosTo(cent: (Long, Array[Double], Double), v: Seq[Double], nrm: Double): Double = {
-      var s = 0.0; var i = 0; val n = cent._2.length
-      while (i < n) { s += cent._2(i) * v(i); i += 1 }
-      s / (cent._3 * nrm)
+    // per-centroid cosine columns against a (v, nrm) pair
+    def centScores(df: DataFrame, v: Column, nrm: Column): Seq[(Long, Column)] =
+      cents.toSeq.map { case (cid, cv, cnrm) =>
+        val cvLit = array(cv.map(lit).toIndexedSeq: _*)
+        cid -> fastDot(df, v, cvLit) / (lit(cnrm) * nrm)
+      }
+    // argmax via a greatest() struct fold; ties -> lowest centroid id,
+    // matching a first-wins maxBy and the oracle's (cos DESC, cent ASC)
+    def nearestCell(df: DataFrame, v: Column, nrm: Column): Column = {
+      val scored = centScores(df, v, nrm).map { case (cid, cos) =>
+        struct(cos.as("cos"), lit(-cid).as("negid"))
+      }
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      -best.getField("negid")
     }
-    val assignUdf = udf((v: Seq[Double], nrm: Double) =>
-      bc.value.maxBy(c => cosTo(c, v, nrm))._1)
-    val probeUdf = udf((v: Seq[Double], nrm: Double) =>
-      bc.value.map(c => (c._1, cosTo(c, v, nrm)))
-        .sortBy(-_._2).take(nprobe).map(_._1))
-    val assigned = c.withColumn("cell", assignUdf(col("v"), col("nrm")))
-    val q = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
-      .withColumn("cell", explode(probeUdf(col("qv"), col("qnrm"))))
+    val assigned = c.withColumn("cell", nearestCell(c, col("v"), col("nrm")))
+    // probe: top-nprobe cells per query via explode + window rank — the
+    // query side is small by contract, so the window is cheap
+    val q0 = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
+    val qScored = q0.withColumn("sc", explode(array(
+      centScores(q0, col("qv"), col("qnrm")).map { case (cid, cos) =>
+        struct(cos.as("cos"), lit(cid).as("cell"))
+      }.toIndexedSeq: _*)))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc.cos").desc, col("sc.cell").asc)
+    val q = qScored.withColumn("rc", row_number().over(wProbe))
+      .where(col("rc") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("sc.cell").as("cell"))
     val scored = assigned.join(broadcast(q),
         assigned("cell") === q("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

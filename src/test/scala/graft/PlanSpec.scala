@@ -101,6 +101,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("no gated query plans a Scala UDF — every hot path stays codegen-able") {
+    // A ScalaUDF boxes every row and blocks whole-stage codegen; the whole
+    // engine is built on native expressions/kernels, so any UDF appearing
+    // in a gated plan is a regression (last one out: the IVF cell
+    // assignment, replaced by a literal-centroid greatest() fold).
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    for ((name, q) <- SparkEntry.queries) {
+      val plan = q(spark, dir).queryExecution.analyzed
+      val udfs = plan.collectWithSubqueries {
+        case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
+      }.flatten
+      assert(udfs.isEmpty, s"$name plans ScalaUDFs: ${udfs.mkString(", ")}")
+    }
+  }
+
   test("term point-lookup on the sorted postings store pushes the filter to parquet") {
     // S5/S9: the MapFile random-access analogue — a sorted parquet postings
     // table must serve `term = t` via parquet predicate pushdown
