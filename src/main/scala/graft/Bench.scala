@@ -24,21 +24,36 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (local iteration aid)
+    // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (local iteration aid);
+    // SPARK_GRAFT_RUNS=n repeats each query n times and reports the
+    // per-query MEDIAN — single-shot numbers on this class of box swing
+    // up to 2x run-to-run, which made round-over-round deltas meaningless
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    def median(xs: Seq[Double]): Double = {
+      val v = xs.sorted
+      if (v.size % 2 == 1) v(v.size / 2) else (v(v.size / 2 - 1) + v(v.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%9.3f s")
-      (name, sec, ok)
+      val times = (1 to runs).map { i =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val okTimes = times.collect { case (s, true) => s }
+      // a query only counts as failed when EVERY run failed
+      val ok = okTimes.nonEmpty
+      val med = if (ok) median(okTimes) else -1.0
+      System.err.println(f"[bench] $name%-28s median $med%9.3f s of " +
+        times.map(t => f"${t._1}%.3f${if (t._2) "" else "!"}").mkString(" "))
+      (name, med, ok)
     }
     // a failed query reports -1 (not its elapsed time) so the JSON line is
     // self-describing; "failed" lists the names explicitly
@@ -47,7 +62,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

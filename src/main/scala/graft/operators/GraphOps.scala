@@ -71,13 +71,24 @@ object GraphOps {
       .union(edges.select(col("dst").as("nodeid")))
       .distinct()
 
+  /** Partition an edge relation by source — hash by default; `byRange`
+    * gives the reference's contiguous node-id ranges
+    * (reference/assignment4/src/main/basic/RangePartitioner.java:37-40),
+    * useful when node ids encode locality (e.g. crawl order). Both
+    * partitionings satisfy the downstream groupBy("src")'s clustered
+    * distribution, so the adjacency build adds no second exchange.
+    */
+  def partitionEdges(edges: DataFrame, parts: Int, byRange: Boolean = false): DataFrame =
+    if (byRange) edges.repartitionByRange(parts, col("src"))
+    else edges.repartition(parts, col("src"))
+
   /** (src, adj: array<long>, outdeg) — built once, reused every iteration.
     * `dedupe=false` preserves repeated out-edges (the reference keeps
     * duplicates in adjacency lists and divides by the raw list length).
     */
-  private def adjacencyOf(edges: DataFrame, parts: Int, dedupe: Boolean): DataFrame =
-    (if (dedupe) edges.distinct() else edges)
-      .repartition(parts, col("src"))
+  def adjacencyOf(edges: DataFrame, parts: Int, dedupe: Boolean,
+                  byRange: Boolean = false): DataFrame =
+    partitionEdges(if (dedupe) edges.distinct() else edges, parts, byRange)
       .groupBy("src")
       .agg(collect_list(col("dst")).as("adj"), count(lit(1)).as("outdeg"))
 
@@ -120,9 +131,10 @@ object GraphOps {
     * @return (vertices, vertexCount, adjacency(src, adj, outdeg))
     */
   private def buildGraph(edges: DataFrame, vertices: Option[DataFrame],
-                         numPartitions: Int, dedupeEdges: Boolean)
+                         numPartitions: Int, dedupeEdges: Boolean,
+                         rangePartition: Boolean = false)
       : (DataFrame, Long, DataFrame) = {
-    val adj = edges.repartition(numPartitions, col("src"))
+    val adj = partitionEdges(edges, numPartitions, rangePartition)
       .groupBy("src")
       .agg((if (dedupeEdges) collect_set(col("dst")) else collect_list(col("dst")))
         .as("adj"))
@@ -138,6 +150,43 @@ object GraphOps {
     (verts, n, adj)
   }
 
+  /** Hub-safe graph build for the edge-relation scatter: NO adjacency
+    * arrays. A hub with 100M out-edges would make `collect_set` produce a
+    * single ~1 GB array row — an executor OOM no partitioner fixes. Here
+    * the big side stays the flat (src, dst) relation, partitioned by src
+    * once and persisted; out-degrees are a separate narrow relation.
+    * @return (vertices, n, edges(src,dst) partitioned, deg(src, outdeg))
+    */
+  private def buildEdgeGraph(edges: DataFrame, vertices: Option[DataFrame],
+                             numPartitions: Int, dedupeEdges: Boolean,
+                             rangePartition: Boolean)
+      : (DataFrame, Long, DataFrame, DataFrame) = {
+    val e = partitionEdges(if (dedupeEdges) edges.distinct() else edges,
+        numPartitions, rangePartition)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    // reuses e's partitioning (clustered on src) — no extra exchange
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    val verts = vertices.getOrElse(
+        e.select(col("src").as("nodeid"))
+          .union(e.select(col("dst").as("nodeid")))
+          .distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    (verts, n, e, deg)
+  }
+
+  /** Max raw out-degree in one partially-aggregated count pass — an upper
+    * bound on the deduped out-degree, so the hub guard triggers
+    * conservatively without paying a distinct. */
+  private def maxRawOutDegree(edges: DataFrame): Long = {
+    val r = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** PageRank over a directed edge relation — G1/G3-G7/G9.
     *
     * @param edges    (src, dst); duplicates are collapsed
@@ -147,12 +196,21 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
                vertices: Option[DataFrame] = None, numPartitions: Int = 32,
-               dedupeEdges: Boolean = true): DataFrame = {
+               dedupeEdges: Boolean = true, rangePartition: Boolean = false,
+               hubDegreeThreshold: Long = 4000000L): DataFrame = {
+    // Hub guard: one cheap count pass over the edges; if any source's raw
+    // out-degree exceeds the threshold (default 4M ≈ a 32 MB array row),
+    // iterate off the flat edge relation instead of adjacency arrays —
+    // identical semantics, no giant collect_set row (VERDICT r2 §wrong-3).
+    if (maxRawOutDegree(edges) > hubDegreeThreshold)
+      return pageRankEdgeScatter(edges, iterations, alpha, vertices,
+        numPartitions, dedupeEdges, rangePartition)
     // ONE shuffle builds the adjacency: collect_set dedupes per source
     // during the aggregation itself (map-side partial included), replacing
     // the old standalone edges.distinct() shuffle + regroup. The vertex set
     // then derives from the (much smaller) adjacency relation.
-    val (verts, n, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges)
+    val (verts, n, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges,
+      rangePartition)
     val small = n < aqeIterationCutoff
     // on a SMALL graph the per-iteration relations are a few MB: hint both
     // joins broadcast (the checkpointed gather's rewritten stats look huge
@@ -208,6 +266,52 @@ object GraphOps {
     ranks
   }
 
+  /** Hub-safe PageRank iteration: scatter straight off the flat (src, dst)
+    * relation — rank⋈deg computes each source's per-edge mass on a narrow
+    * join, the (src-partitioned, persisted) edge relation fans it out, and
+    * dangling rank reaches the NULL sentinel via the deg left-outer join.
+    * Everything downstream of the scatter (sentinel gather, checkpointed
+    * aggregation, driver-scalar dangling mass, rank update) is identical to
+    * [[pageRank]]'s adjacency path, so results match bit-for-bit.
+    */
+  private def pageRankEdgeScatter(edges: DataFrame, iterations: Int, alpha: Double,
+                                  vertices: Option[DataFrame], numPartitions: Int,
+                                  dedupeEdges: Boolean, rangePartition: Boolean): DataFrame = {
+    val (verts, n, e, deg) =
+      buildEdgeGraph(edges, vertices, numPartitions, dedupeEdges, rangePartition)
+    val small = n < aqeIterationCutoff
+    def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    var ranks = verts.withColumn("rank", lit(1.0 / n))
+    try withIterationAqe(edges, n) { for (_ <- 1 to iterations) {
+      // verts, deg and e all derive from the same edge relation — alias
+      // every side so the self-join attributes stay unambiguous
+      val rd = ranks.as("r").join(maybeBroadcast(deg.as("dg")),
+        col("r.nodeid") === col("dg.src"), "left_outer")
+      val linked = rd.where(col("dg.outdeg").isNotNull)
+        .select(col("r.nodeid").as("esrc"), (col("r.rank") / col("dg.outdeg")).as("m"))
+        .join(e.as("eg"), col("esrc") === col("eg.src"))
+        .select(col("eg.dst").as("dst"), col("m"))
+      val dangling = rd.where(col("dg.outdeg").isNull)
+        .select(lit(null).cast("long").as("dst"), col("r.rank").as("m"))
+      val gathered = linked.union(dangling)
+        .groupBy("dst").agg(sum(col("m")).as("in_mass"))
+        .localCheckpoint()
+      val missing = gathered.where(col("dst").isNull)
+        .agg(coalesce(sum(col("in_mass")), lit(0.0))).head().getDouble(0)
+      ranks = verts.join(maybeBroadcast(gathered.where(col("dst").isNotNull)),
+          verts("nodeid") === col("dst"), "left_outer")
+        .select(verts("nodeid"),
+          (lit(alpha / n) +
+            lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) + lit(missing / n)))
+            .as("rank"))
+      }
+      ranks = ranks.localCheckpoint()
+    }
+    finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
+    ranks
+  }
+
   /** Personalized (multi-source) PageRank — G2/G8.
     *
     * State is the relation (source, nodeid, rank): all sources iterate in
@@ -220,10 +324,12 @@ object GraphOps {
     */
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long], iterations: Int,
                            alpha: Double = 0.15, vertices: Option[DataFrame] = None,
-                           numPartitions: Int = 32, dedupeEdges: Boolean = true): DataFrame = {
+                           numPartitions: Int = 32, dedupeEdges: Boolean = true,
+                           rangePartition: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val (verts, nVerts, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges)
+    val (verts, nVerts, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges,
+      rangePartition)
     val small = nVerts < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val srcDf = sources.toDF("source")
@@ -285,14 +391,15 @@ object GraphOps {
     */
   def pageRankLogSpace(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
                        vertices: Option[DataFrame] = None,
-                       numPartitions: Int = 32): DataFrame = {
+                       numPartitions: Int = 32,
+                       rangePartition: Boolean = false): DataFrame = {
     import graft.functions.LogSpace
     // same single-pass iteration structure as [[pageRank]] (sentinel
     // scatter, checkpointed gather, driver-scalar dangling mass), with the
     // arithmetic in log space: scatter subtracts log(outdeg), the gather is
     // a grouped log-sum-exp (its merge = the reference's combiner)
     val (verts, n, adj) = buildGraph(edges, vertices, numPartitions,
-      dedupeEdges = true)
+      dedupeEdges = true, rangePartition)
     val small = n < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val negInf = lit(Double.NegativeInfinity)

@@ -100,6 +100,25 @@ class GraphOpsSpec extends SparkSpec {
     for ((k, v) <- fixed) assert(math.abs(got(k) - v) < 1e-8, s"node $k")
   }
 
+  test("hub guard: edge-relation scatter produces identical ranks") {
+    // one hub with out-degree 20k plus the small graph's structure; a low
+    // threshold forces the edge-scatter fallback, a high one forces the
+    // adjacency path — ranks must agree to double precision
+    val hubEdges = (1L to 20000L).map(d => (0L, d)) ++
+      Seq((1L, 0L), (2L, 1L), (3L, 1L), (17L, 3L)) // 17 links back; 4..20000 dangling
+    val edges = hubEdges.toDF("src", "dst")
+    val viaAdjacency = GraphOps.pageRank(edges, iterations = 8,
+      numPartitions = 4, hubDegreeThreshold = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaEdges = GraphOps.pageRank(edges, iterations = 8,
+      numPartitions = 4, hubDegreeThreshold = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaEdges.keySet === viaAdjacency.keySet)
+    for ((k, v) <- viaAdjacency)
+      assert(math.abs(viaEdges(k) - v) < 1e-15, s"node $k")
+    assert(math.abs(viaEdges.values.sum - 1.0) < 1e-9, "rank mass conserved")
+  }
+
   test("graphStats counts nodes, edges, dangling (A8 counters)") {
     val stats = GraphOps.graphStats(smallEdges, Some(smallVerts))
     assert(stats === Map("nodes" -> 5L, "edges" -> 7L, "dangling" -> 1L))

@@ -101,6 +101,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("range graph partitioning plans a RangePartitioning exchange (G10)") {
+    import graft.operators.GraphOps
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ranged = GraphOps.adjacencyOf(edges, parts = 4, dedupe = true, byRange = true)
+      .queryExecution.executedPlan.toString
+    assert(ranged.toLowerCase.contains("rangepartitioning"), ranged)
+    val hashed = GraphOps.adjacencyOf(edges, parts = 4, dedupe = true)
+      .queryExecution.executedPlan.toString
+    assert(!hashed.toLowerCase.contains("rangepartitioning"), hashed)
+  }
+
   test("no gated query plans a Scala UDF — every hot path stays codegen-able") {
     // A ScalaUDF boxes every row and blocks whole-stage codegen; the whole
     // engine is built on native expressions/kernels, so any UDF appearing
