@@ -108,6 +108,68 @@ object IndexOps {
   def lookupPostings(index: DataFrame, term: String): DataFrame =
     index.where(col("term") === term)
 
+  // ---- Hadoop MapFile container (S5/S9 full parity) -------------------
+  // The reference stores the compressed index as a MapFile
+  // (BuildInvertedIndexCompressed.java:198 MapFileOutputFormat) and serves
+  // point lookups with MapFile.Reader.get
+  // (LookupPostingsCompressed.java / BooleanRetrievalCompressed.java).
+  // These write/read the SAME container, so a reference user's existing
+  // index files and tools interoperate with this engine.
+
+  /** Write a compressed index as Hadoop MapFiles (Text -> BytesWritable),
+    * one `part-r-NNNNN` MapFile per partition. Parts are RANGE-partitioned
+    * on term (each part covers a contiguous, sorted term range), so a point
+    * lookup opens exactly one part — unlike the reference's hash
+    * partitioning, which must rehash the key to find its part. */
+  def writeMapFileIndex(compressed: DataFrame, dir: String,
+                        numPartitions: Int = 1): Unit = {
+    import org.apache.hadoop.io.BytesWritable
+    val parted =
+      if (numPartitions == 1) compressed.coalesce(1).sortWithinPartitions("term")
+      else compressed.repartitionByRange(numPartitions, col("term"))
+        .sortWithinPartitions("term")
+    parted.select(col("term"), col("packed"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val path = new org.apache.hadoop.fs.Path(f"$dir/part-r-$pid%05d")
+          // uncompressed, like the reference's MapFileOutputFormat default
+          // (conf's io.seqfile.compression.type would otherwise sneak
+          // RECORD compression in)
+          val w = new org.apache.hadoop.io.MapFile.Writer(conf, path,
+            org.apache.hadoop.io.MapFile.Writer.keyClass(classOf[Text]),
+            org.apache.hadoop.io.MapFile.Writer.valueClass(classOf[BytesWritable]),
+            org.apache.hadoop.io.MapFile.Writer.compression(
+              org.apache.hadoop.io.SequenceFile.CompressionType.NONE))
+          try it.foreach { r =>
+            w.append(new Text(r.getString(0)),
+              new BytesWritable(r.getAs[Array[Byte]](1)))
+          }
+          finally w.close()
+        }
+      }
+  }
+
+  /** MapFile.get point lookup across the part files — decodes the packed
+    * postings back to (docid, tf) pairs. Driver-side by design: this is
+    * the interactive lookup tool (S5), not a distributed operator. */
+  def mapFileGet(dir: String, term: String): Option[Seq[(Long, Long)]] = {
+    import org.apache.hadoop.io.BytesWritable
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val key = new Text(term)
+    val value = new BytesWritable()
+    parts.iterator.flatMap { p =>
+      val r = new org.apache.hadoop.io.MapFile.Reader(p, conf)
+      try Option(r.get(key, value)).map(_ =>
+        decodePostings(java.util.Arrays.copyOf(value.getBytes, value.getLength)))
+      finally r.close()
+    }.nextOption()
+  }
+
   /** tf-value histogram for one term's postings — A7/R4. */
   def tfHistogram(termDocTf: DataFrame, term: String): DataFrame =
     termDocTf.where(col("term") === term)
