@@ -232,6 +232,15 @@ object SparkEntry {
         d.where(col("doc_id") >= 100), d.where(col("doc_id") < 100),
         "doc_id", "text", shingleN = 3)
     }),
+    // same overlap question through a FIXED-SIZE bloom bit set (the scale
+    // path when the benchmark side is itself huge); deterministic
+    // md5-permutation bit positions make it oracle-able
+    "q_bloom_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      PipelineOps.bloomContamination(
+        d.where(col("doc_id") >= 100), d.where(col("doc_id") < 100),
+        "doc_id", "text", shingleN = 3, numBits = 1 << 16, numHashes = 3)
+    }),
     // deterministic md5 train/valid/test split — same key, same split, forever
     "q_sample_split" -> ((s, dir) =>
       events(s, dir)
@@ -670,6 +679,29 @@ object SparkEntry {
          |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
          |  round(sum(hit)::DOUBLE / count(*), 6) AS contamination
          |FROM j GROUP BY doc_id""".stripMargin,
+    // mirrors PipelineOps.bloomContamination: bloom membership = every one
+    // of the k permuted-hash bit positions present in the benchmark's
+    // position set (bit-set words and a position set are equivalent here)
+    "q_bloom_contamination" -> {
+      val mask = (1 << 16) - 1
+      val cs = operators.DedupOps.minhashMultipliers(3)
+      def pos(x: String, c: Long) =
+        s"(${operators.DedupOps.permuteHashSql(x, c)} & $mask)"
+      s"""WITH d AS ($shinglesSql),
+         |h AS (SELECT doc_id, $hashListSql AS hs FROM d),
+         |bh AS (SELECT DISTINCT unnest(hs) AS h FROM h WHERE doc_id < 100),
+         |bloom AS (${cs.map(c => s"SELECT DISTINCT ${pos("h", c)} AS pos FROM bh")
+                        .mkString("\n|  UNION\n|  ")}),
+         |corp AS (SELECT doc_id, unnest(hs) AS h FROM h WHERE doc_id >= 100),
+         |probe AS (SELECT doc_id,
+         |  CASE WHEN ${cs.map(c => s"${pos("h", c)} IN (SELECT pos FROM bloom)")
+                         .mkString("\n|    AND ")}
+         |  THEN 1 ELSE 0 END AS hit FROM corp)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(hit) AS BIGINT) AS n_maybe_contaminated,
+         |  round(sum(hit)::DOUBLE / count(*), 6) AS bloom_rate
+         |FROM probe GROUP BY doc_id""".stripMargin
+    },
     "q_sample_split" ->
       s"""SELECT event_type, split, count(*) AS cnt FROM (
          |  SELECT event_type,

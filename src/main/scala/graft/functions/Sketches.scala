@@ -81,3 +81,43 @@ object KmvSketch {
   def kmvDistinct(hashes: Column, k: Int): Column =
     udaf(new Agg(k)).apply(hashes)
 }
+
+/** Bloom-filter bit set as a typed Aggregator: input rows are BIT
+  * POSITIONS (the caller derives the k positions per value — see
+  * PipelineOps.bloomContamination), state is the fixed `numBits/64` long
+  * words, merge is word-wise OR. Bounded state + associative merge =
+  * map-side partial aggregation, so building a bloom over 100 TB of
+  * benchmark shingles shuffles only `numBits/64` longs per partition —
+  * the bounded cousin of the exact distinct-hash-set broadcast in
+  * PipelineOps.contamination (which is exact but unbounded).
+  */
+object BloomSketch {
+
+  class Agg(numBits: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two, got $numBits")
+
+    override def zero: Array[Long] = new Array[Long](numBits >> 6)
+
+    override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      b((pos >> 6).toInt) |= 1L << (pos & 63)
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(st: Array[Long]): Array[Long] = st
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column aggregate: bloom words from a column of bit positions in
+    * [0, numBits). */
+  def bloomBits(positions: Column, numBits: Int): Column =
+    udaf(new Agg(numBits)).apply(positions)
+}

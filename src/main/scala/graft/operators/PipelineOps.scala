@@ -81,4 +81,63 @@ object PipelineOps {
       .withColumn("contamination",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
+
+  /** The k bloom bit positions of a 60-bit hash: md5-derived odd-multiplier
+    * permutations (the MinHash machinery — each is a bijection on [0,2^60))
+    * masked to [0, numBits). Deterministic and SQL-expressible, so the
+    * bloom semantics are engine-portable. */
+  private[operators] def bloomPositions(h: Column, numBits: Int,
+                                        numHashes: Int): Seq[Column] =
+    DedupOps.minhashMultipliers(numHashes).map(c =>
+      DedupOps.permuteHash(h, c).bitwiseAND(lit(numBits - 1L)))
+
+  /** Bloom-filter contamination check: same question as [[contamination]]
+    * ("how much of each corpus doc's shingle set appears in the benchmark"),
+    * but the benchmark side collapses to a FIXED-SIZE bloom bit set
+    * (numBits/64 longs) instead of an exact distinct-hash set. One-sided
+    * error: every truly-contaminated shingle hits (no false negatives);
+    * rates can only over-count, by the classic (1-e^{-kn/m})^k false-hit
+    * probability. Use this when the "benchmark" is itself huge (e.g. "does
+    * my new crawl overlap my existing 100 TB corpus") and an exact set
+    * cannot broadcast; the bloom is numBits/8 bytes no matter what.
+    *
+    * @return (doc_id, n_shingles, n_maybe_contaminated, bloom_rate)
+    */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, numBits: Int = 1 << 16,
+                         numHashes: Int = 3): DataFrame = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two, got $numBits")
+    // build: benchmark shingles -> k positions each -> one bloom row.
+    // The aggregation is the bounded Aggregator (map-side combined);
+    // positions fan out via explode (map-side, no shuffle of values).
+    val benchPos = benchmark
+      .select(explode(DedupOps.shingleHashes64(
+        TextOps.tokens(col(textCol)), shingleN)).as("h"))
+      .select(explode(array(bloomPositions(col("h"), numBits, numHashes): _*))
+        .as("pos"))
+    val bloom = benchPos.agg(
+      graft.functions.BloomSketch.bloomBits(col("pos"), numBits).as("bloom"))
+    // probe: one corpus pass; the bloom words arrive as a broadcast
+    // single-row relation; the k bit tests are pure column arithmetic
+    def bitSet(words: Column, pos: Column): Column =
+      call_function("shiftright",
+        element_at(words, shiftright(pos, 6).cast("int") + lit(1)),
+        pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    val hit = bloomPositions(col("h"), numBits, numHashes)
+      .map(p => bitSet(col("bloom"), p))
+      .reduce(_ && _)
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(DedupOps.shingleHashes64(
+          TextOps.tokens(col(textCol)), shingleN)).as("h"))
+      .crossJoin(broadcast(bloom))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("n_maybe_contaminated"))
+      .withColumn("bloom_rate",
+        round(col("n_maybe_contaminated").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -23,6 +23,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(102L) === ((4L, 2L, 0.5)))
   }
 
+  test("bloom contamination: no false negatives, bounded over-count, partition-invariant") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = d.where(col("doc_id") < 100)
+    val corpus = d.where(col("doc_id") >= 100)
+    val exact = PipelineOps.contamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = PipelineOps.bloomContamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloom.keySet === exact.keySet)
+    var over = 0L; var total = 0L
+    for ((id, (n, maybe)) <- bloom) {
+      assert(n === exact(id)._1, s"doc $id shingle count")
+      // one-sided error: a bloom can only OVER-count contamination
+      assert(maybe >= exact(id)._2, s"doc $id false negative")
+      over += maybe - exact(id)._2; total += n
+    }
+    // theoretical false-hit rate (1-e^{-kn/m})^k at k=3, m=2^16 and the
+    // ~12k distinct benchmark shingles of sf0.001 is ~7.6%; observed must
+    // stay the same order (well under 1.5x theory)
+    assert(over.toDouble / total < 0.11, s"false-positive mass $over/$total")
+    // the bit-set aggregation merges associatively: physical partitioning
+    // must not change a single count
+    val repart = PipelineOps.bloomContamination(
+      corpus.repartition(13), bench.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(repart === bloom.map { case (k, v) => k -> v._2 })
+  }
+
   test("split labels are deterministic, exhaustive, and roughly proportional") {
     val keys = spark.range(10000).toDF("id")
     val labeled = keys.select(col("id"), PipelineOps.splitLabel(col("id")).as("split"))
