@@ -158,6 +158,11 @@ object SparkEntry {
       DedupOps.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
         shingleN = 3, k = 12, bands = 4, threshold = 0.5)
         .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))),
+    // pairs -> dedup decisions: connected components over the near-dup
+    // graph; min-id per component is the canonical doc
+    "q_dedup_clusters" -> ((s, dir) =>
+      DedupOps.nearDupClusters(docs(s, dir), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5)),
     // brute-force O(n²) oracle baseline for the LSH path — bounded to the
     // first 1000 docs so bench cost stays bounded (the LSH variant above is
     // the full-corpus path)
@@ -508,6 +513,35 @@ object SparkEntry {
          |SELECT ida, idb, round($jaccardSql, 6) AS jaccard
          |FROM cand JOIN h a ON cand.ida = a.doc_id JOIN h b ON cand.idb = b.doc_id
          |WHERE $jaccardSql >= 0.5""".stripMargin
+    },
+    // same LSH pipeline as q_dedup_minhash, then components as a recursive
+    // transitive closure (fine at oracle scale; the engine iterates
+    // min-label propagation instead)
+    "q_dedup_clusters" -> {
+      val mods = DedupOps.minhashMultipliers(12).map(c =>
+        s"list_min([${DedupOps.permuteHashSql("x", c)} FOR x IN hs])")
+        .mkString(",\n|    ")
+      s"""WITH RECURSIVE d AS ($shinglesSql),
+         |h AS (SELECT doc_id, $hashListSql AS hs FROM d),
+         |sig AS (SELECT doc_id, [
+         |    $mods
+         |  ] AS sig FROM h),
+         |bands AS (SELECT doc_id, b,
+         |  md5(b || '|' || array_to_string(sig[b*3+1 : b*3+3], ',')) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT ida, idb
+         |  FROM cand JOIN h a ON cand.ida = a.doc_id JOIN h b ON cand.idb = b.doc_id
+         |  WHERE $jaccardSql >= 0.5),
+         |e AS (SELECT ida AS u, idb AS v FROM pairs
+         |      UNION SELECT idb, ida FROM pairs),
+         |reach AS (SELECT u, v FROM e
+         |          UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id,
+         |       least(u, min(v)) = u AS is_canonical
+         |FROM reach GROUP BY u""".stripMargin
     },
     "q_ngram_jaccard" ->
       s"""WITH d0 AS ($shinglesSql),

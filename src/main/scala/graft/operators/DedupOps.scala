@@ -177,6 +177,60 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair relation by min-label
+    * propagation: every vertex's label converges to the minimum id in its
+    * component. This is the step that turns near-dup PAIRS into dedup
+    * DECISIONS — a cluster keeps its minimum-id doc as canonical.
+    *
+    * Scale design: one symmetrized edge relation built once; each
+    * iteration is a join + min-aggregation with `localCheckpoint` keeping
+    * the plan O(1) (the PageRank loop's discipline). Iteration count is
+    * the component diameter — near-dup clusters are shallow (stars/cliques
+    * around a template), so this converges in a handful of rounds even
+    * when a 100 TB corpus holds millions of clusters.
+    *
+    * @return (id, cluster_id) for every vertex of the pair graph
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "ida",
+                          bCol: String = "idb",
+                          maxIterations: Int = 50): DataFrame = {
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val nbrMin = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(sym("u").as("nid"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .where(col("n.cluster_id") =!= col("p.cluster_id")).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters end-to-end: MinHash+LSH pairs -> connected
+    * components -> (doc_id, cluster_id, is_canonical). Docs with no
+    * near-duplicate don't appear (their cluster is themselves). */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame =
+    connectedComponents(
+      minhashNearDupPairs(docs, idCol, textCol, shingleN, k, bands, threshold))
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+
   /** Brute-force all-pairs n-gram Jaccard >= threshold — O(n²) oracle for
     * [[minhashNearDupPairs]]; small corpora only.
     *

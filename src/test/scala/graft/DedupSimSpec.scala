@@ -60,6 +60,28 @@ class DedupSimSpec extends SparkSpec {
     assert(brute.subsetOf(lsh) && lsh.subsetOf(brute))
   }
 
+  test("connectedComponents: min-label propagation finds exact components") {
+    // two components (a 4-chain that needs >1 propagation round, and a
+    // triangle) — labels must converge to the component minimum
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("ida", "idb")
+    val comp = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupClusters groups the planted duplicate family under one canonical") {
+    val clusters = DedupOps.nearDupClusters(docs, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // 1, 2, 5 form one near-dup component (1-2 and 1-5 pairs); 1 canonical
+    assert(clusters(1L) === ((1L, true)))
+    assert(clusters(2L) === ((1L, false)))
+    assert(clusters(5L) === ((1L, false)))
+    assert(!clusters.contains(4L), "doc with no near-dup is not in the pair graph")
+  }
+
   test("simhash: identical docs collide, near-dups are close, others far") {
     val sh = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
