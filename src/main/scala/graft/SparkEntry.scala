@@ -274,6 +274,16 @@ object SparkEntry {
           round(graft.functions.KmvSketch.kmvDistinct(col("h"), 64), 6)
             .as("kmv_est"))),
 
+    // HyperLogLog distinct sketch (fixed 2^p-byte state, register-max
+    // merge) vs the exact distinct — the constant-state cousin of KMV
+    "q_hll_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("h", PipelineOps.hash60(col("user_id")))
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact"),
+          round(graft.functions.HllSketch.hllDistinct(col("h"), 8), 6)
+            .as("hll_est"))),
+
     // batched per-partition media kernel (stub decode — md5-derived, so
     // the DuckDB oracle replicates it bit-for-bit)
     "q_frame_features" -> ((s, dir) =>
@@ -761,6 +771,31 @@ object SparkEntry {
          |  round(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
          |             ELSE 63.0 * pow(2.0, 60) / hs[64] END, 6) AS kmv_est
          |FROM k""".stripMargin,
+    // mirrors functions.HllSketch at p=8: register = top 8 hash bits,
+    // rank = 53 - bitlength(low 52 bits) (53 when zero), harmonic mean +
+    // linear-counting correction; bin() keeps the rank integer-exact
+    "q_hll_distinct" -> {
+      val lowMask = (1L << 52) - 1
+      s"""WITH h AS (SELECT event_type, user_id,
+         |  CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h >> 52 AS idx,
+         |  max(CASE WHEN (h & $lowMask) = 0 THEN 53
+         |      ELSE 53 - length(bin(h & $lowMask)) END) AS rank
+         |  FROM h GROUP BY event_type, idx),
+         |s AS (SELECT event_type,
+         |  sum(pow(2.0::DOUBLE, -rank)) + (256 - count(*)) AS sm,
+         |  256 - count(*) AS zeros FROM r GROUP BY event_type),
+         |e AS (SELECT event_type,
+         |  (0.7213::DOUBLE / (1 + 1.079::DOUBLE / 256)) * 256 * 256 / sm AS raw,
+         |  zeros FROM s),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS exact
+         |      FROM events GROUP BY event_type)
+         |SELECT x.event_type, x.exact,
+         |  round(CASE WHEN e.raw <= 2.5::DOUBLE * 256 AND e.zeros > 0
+         |    THEN 256 * ln(256.0::DOUBLE / e.zeros) ELSE e.raw END, 6) AS hll_est
+         |FROM x JOIN e USING (event_type)""".stripMargin
+    },
     "q_rolling" ->
       """SELECT user_id, event_id,
         |  round(avg(value) OVER w, 6) AS roll_avg,

@@ -106,6 +106,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est === est2)
   }
 
+  test("HLL sketch: within 3 sigma at 5k distinct, partition-invariant, linear-count regime") {
+    import graft.functions.HllSketch
+    val df = spark.range(5000).toDF("id")
+      .withColumn("h", PipelineOps.hash60(col("id")))
+    val est = df.agg(HllSketch.hllDistinct(col("h"), 8)).head().getDouble(0)
+    // sigma = 1.04/sqrt(256) ~ 6.5%; 3 sigma ~ 19.5%
+    assert(math.abs(est - 5000) / 5000.0 < 0.195, s"est=$est")
+    // merge correctness: estimate independent of physical partitioning
+    val est2 = df.repartition(13).agg(HllSketch.hllDistinct(col("h"), 8))
+      .head().getDouble(0)
+    assert(est === est2)
+    // small cardinalities land in the linear-counting branch and stay tight
+    val small = spark.range(100).toDF("id")
+      .withColumn("h", PipelineOps.hash60(col("id")))
+    val se = small.agg(HllSketch.hllDistinct(col("h"), 8)).head().getDouble(0)
+    assert(math.abs(se - 100) / 100.0 < 0.15, s"small est=$se")
+  }
+
   test("rollingStats matches a hand-computed trailing frame") {
     val ev = Seq(
       (1L, 1L, "2026-01-01 00:00:01", 1.0),
