@@ -101,6 +101,32 @@ object StreamingOps {
                            pattern: String, watermark: String = "2 hours"): DataFrame =
     hourlyCountsStream(events.where(col(filterCol).rlike(pattern)), tsCol, watermark)
 
+  /** Stream-STREAM interval join: match rows of two live streams on a key
+    * within a bounded event-time interval (right.ts in
+    * [left.ts - before, left.ts + after]). The time bound is what makes
+    * this runnable at all: both sides' state stores hold only the
+    * watermark+interval window, so state is O(rate x window), not O(all
+    * history). Column names must be disjoint apart from the key; the two
+    * timestamp columns keep their own names.
+    *
+    * The classic use: impressions joined to clicks within 10 minutes —
+    * the streaming cousin of the batch as-of join (JoinOps).
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                          leftTsCol: String, rightTsCol: String,
+                          before: String = "0 seconds",
+                          after: String = "10 minutes",
+                          leftWatermark: String = "1 hour",
+                          rightWatermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, leftWatermark)
+    val r = right.withWatermark(rightTsCol, rightWatermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $before") &&
+        r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $after"))
+      .drop(r(keyCol))
+  }
+
   /** Stream-static enrichment: join a live stream against a broadcast
     * dimension table (the standard lookup shape — user profile, device
     * registry). The static side is re-read per micro-batch by Spark's

@@ -57,6 +57,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches in-window pairs only") {
+    implicit val sc = spark.sqlContext
+    // impressions joined to clicks within 10 minutes, keyed by user
+    val imps = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val joined = StreamingOps.intervalJoinStreams(
+      imps.toDF().toDF("imp_ts", "user_id", "ad"),
+      clicks.toDF().toDF("click_ts", "user_id", "target"),
+      "user_id", "imp_ts", "click_ts",
+      before = "0 seconds", after = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts(60), 1L, "adA"), (ts(60), 2L, "adB"), (ts(200), 1L, "adC"))
+      clicks.addData(
+        (ts(65), 1L, "siteA"),   // in-window for adA
+        (ts(95), 2L, "siteB"),   // 35 min late -> outside window
+        (ts(199), 1L, "early"),  // BEFORE the adC impression -> excluded
+        (ts(205), 1L, "siteC"))  // in-window for adC
+      q.processAllAvailable()
+      // advance both watermarks so results emit
+      imps.addData((ts(600), 9L, "adZ"))
+      clicks.addData((ts(600), 9L, "z"))
+      q.processAllAvailable()
+      // the watermark-advancer pair (adZ, z) matches itself — exclude it
+      val got = spark.sql(
+        "SELECT ad, target FROM attributed WHERE ad <> 'adZ' ORDER BY ad")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq === Seq(("adA", "siteA"), ("adC", "siteC")))
+    } finally q.stop()
+  }
+
   test("hourlyCountsStream runs against a file source (readStream wiring)") {
     // the production ingestion shape: new files appear in a directory and
     // stream through the same windowed plan
