@@ -216,6 +216,10 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysisOps.fingerprintSketch(docs(s, dir), "doc_id", "text",
         shingleN = 4, window = 4)),
+    // Gopher-style repetitiveness signal: repeated-shingle fraction
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysisOps.repetitionRatio(docs(s, dir), "doc_id", "text",
+        shingleN = 3)),
     // fingerprint-bucket pair detection (plagiarism application): pairs
     // sharing >= 2 winnowing fingerprints, hot fps df-capped at 50
     "q_winnow_pairs" -> ((s, dir) =>
@@ -678,6 +682,22 @@ object SparkEntry {
          |    AS regex_tokens,
          |  CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS approx_subwords
          |FROM documents""".stripMargin,
+    // distinct counted over the 60-bit HASHES (as the engine does), so a
+    // hash collision — however unlikely — cannot split the two engines
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s0 AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN [array_to_string(toks[i:i+2], ' ')
+         |          FOR i IN generate_series(1, len(toks)-2)]
+         |    ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM t),
+         |h AS (SELECT doc_id, $hashListSql AS hs FROM s0)
+         |SELECT doc_id, len(hs) AS n_ngrams,
+         |  len(list_distinct(hs)) AS n_distinct,
+         |  round((len(hs) - len(list_distinct(hs)))::DOUBLE / len(hs), 6)
+         |    AS repetition_ratio
+         |FROM h""".stripMargin,
     "q_fingerprint" ->
       s"""WITH $winnowCtes
          |SELECT doc_id, len(fps) AS n_fingerprints,

@@ -104,6 +104,29 @@ object TextAnalysisOps {
         .as("regex_tokens"),
       ceil(length(col(textCol)).cast("double") / 4).cast("long").as("approx_subwords"))
 
+  /** n-gram repetition ratio — the Gopher-style repetitiveness signal
+    * (Rae et al. 2021 §A1.1): fraction of a doc's sequential `n`-gram
+    * shingles that are repeats of an earlier shingle. Boilerplate, spam
+    * and degenerate generations score high; the filter drops docs above a
+    * threshold. Pure per-row map over the NON-distinct shingle stream
+    * (one kernel call for total, one for distinct) — no shuffle.
+    *
+    * @return (id, n_ngrams, n_distinct, repetition_ratio in [0,1])
+    */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3): DataFrame = {
+    val all = DedupOps.shingleHashes64(
+      TextOps.tokens(col(textCol)), shingleN, distinct = false)
+    val ded = DedupOps.shingleHashes64(
+      TextOps.tokens(col(textCol)), shingleN, distinct = true)
+    docs.select(col(idCol).as("doc_id"),
+      size(all).cast("long").as("n_ngrams"),
+      size(ded).cast("long").as("n_distinct"))
+      .withColumn("repetition_ratio",
+        round((col("n_ngrams") - col("n_distinct")).cast("double") /
+          col("n_ngrams"), 6))
+  }
+
   /** Winnowing fingerprint sets (Schleimer et al., SIGMOD'03): hash every
     * sequential `shingleN`-gram (60-bit md5 prefix), keep the min hash of
     * every `window`-length sliding window, dedupe + sort. Docs with fewer

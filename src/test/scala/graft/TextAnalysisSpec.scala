@@ -41,6 +41,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(1L) > q(2L) && q(2L) > q(3L))
   }
 
+  test("repetitionRatio: 0 for all-distinct, high for looped boilerplate") {
+    val df = Seq(
+      (1L, "one two three four five six seven"),          // all trigrams distinct
+      (2L, "spam ham spam ham spam ham spam ham spam ham"), // 2-period loop
+      (3L, "a b")                                          // shorter than n -> 1 shingle
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.repetitionRatio(df, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((5L, 5L, 0.0)))
+    // 8 trigrams, only 2 distinct ("spam ham spam", "ham spam ham") -> 6/8
+    assert(out(2L) === ((8L, 2L, 0.75)))
+    assert(out(3L) === ((1L, 1L, 0.0)))
+  }
+
   test("winnowedPairs finds the overlapping pair and respects the df cap") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
