@@ -250,6 +250,12 @@ object SparkEntry {
         d.where(col("doc_id") >= 100), d.where(col("doc_id") < 100),
         "doc_id", "text", shingleN = 3, numBits = 1 << 16, numHashes = 3)
     }),
+    // exact-k deterministic sample per class (md5-priority reservoir)
+    "q_sample_exact" -> ((s, dir) =>
+      PipelineOps.sampleExactPerClass(
+        events(s, dir).select(col("event_type"), col("event_id")),
+        col("event_type"), col("event_id"), k = 20)
+        .select(col("event_type"), col("event_id"), col("sample_rank"))),
     // deterministic md5 train/valid/test split — same key, same split, forever
     "q_sample_split" -> ((s, dir) =>
       events(s, dir)
@@ -766,6 +772,13 @@ object SparkEntry {
          |  round(sum(hit)::DOUBLE / count(*), 6) AS bloom_rate
          |FROM probe GROUP BY doc_id""".stripMargin
     },
+    "q_sample_exact" ->
+      s"""SELECT event_type, event_id, sample_rank FROM (
+         |  SELECT event_type, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY $hash60Sql ASC, event_id ASC) AS sample_rank
+         |  FROM events)
+         |WHERE sample_rank <= 20""".stripMargin,
     "q_sample_split" ->
       s"""SELECT event_type, split, count(*) AS cnt FROM (
          |  SELECT event_type,

@@ -82,6 +82,23 @@ object PipelineOps {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Deterministic EXACT-size sample per class: the k rows whose key
+    * hashes smallest within each class — a "reservoir sample" whose
+    * reservoir is a total md5 order, so the result is identical across
+    * reruns, retries and engines (a true random reservoir is neither).
+    * Percentage sampling ([[sampleByHash]]) can't hit an exact count;
+    * this can, at the cost of a per-class top-k (window rank — one
+    * shuffle on the class column, same plan shape as any per-group
+    * top-k). Ties on the full 60-bit hash are broken by the key itself.
+    */
+  def sampleExactPerClass(df: DataFrame, classCol: Column, key: Column,
+                          k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol).orderBy(hash60(key).asc, key.asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
   /** The k bloom bit positions of a 60-bit hash: md5-derived odd-multiplier
     * permutations (the MinHash machinery — each is a bijection on [0,2^60))
     * masked to [0, numBits). Deterministic and SQL-expressible, so the

@@ -151,42 +151,101 @@ object SimilarityOps {
     * cell assignment is one broadcast map pass and the probe is a
     * cell-equality join — the corpus is never shuffled per query.
     */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** (cell id, vector, norm) — the coarse-quantizer model shape. */
+  type Centroid = (Long, Array[Double], Double)
+
+  /** Deterministic quantizer init: the `nlist` lowest-id corpus vectors. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int): Array[Centroid] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
+      .orderBy("vec_id").limit(nlist)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map { case (i, v, n) => (i, v.toArray, norm2(v.toArray)) }
+  }
+
+  private def norm2(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Spherical k-means (Lloyd) refinement of the IVF coarse quantizer:
+    * assign every vector to its max-cosine centroid (the same codegen'd
+    * argmax fold the probe uses), recompute each cell's centroid as the
+    * element-wise mean of its members, repeat. Deterministic end to end
+    * (seeded by [[seedCentroids]], ties to the lowest cell id), so a
+    * trained index rebuilds identically on a rerun. Each iteration is one
+    * pass over the corpus + an nlist x dim aggregation — the training cost
+    * a real IVF pays once at index build. Empty cells keep their previous
+    * centroid. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iterations: Int = 5): Array[Centroid] = {
+    val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
+      .localCheckpoint()
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    var cents = seedCentroids(corpus, idCol, vecCol, nlist)
+    for (_ <- 1 to iterations) {
+      val assigned = c.withColumn("cell",
+        nearestCellFor(c, cents, col("v"), col("nrm")))
+      val meanCols = (0 until dim).map(i =>
+        avg(element_at(col("v"), i + 1)).as(s"m$i"))
+      val means = assigned.groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) ->
+          Array.tabulate(dim)(i => r.getDouble(i + 1))).toMap
+      cents = cents.map { case (cid, v, n) =>
+        means.get(cid) match {
+          case Some(m) => (cid, m, norm2(m))
+          case None    => (cid, v, n) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Per-centroid cosine columns against a (v, nrm) pair — centroids as
+    * literal arrays so the scoring stays in whole-stage codegen. */
+  private def centScoresFor(df: DataFrame, cents: Array[Centroid],
+                            v: Column, nrm: Column): Seq[(Long, Column)] =
+    cents.toSeq.map { case (cid, cv, cnrm) =>
+      val cvLit = array(cv.map(lit).toIndexedSeq: _*)
+      cid -> fastDot(df, v, cvLit) / (lit(cnrm) * nrm)
+    }
+
+  /** Argmax cell via a greatest() struct fold; ties -> lowest centroid id. */
+  private def nearestCellFor(df: DataFrame, cents: Array[Centroid],
+                             v: Column, nrm: Column): Column = {
+    val scored = centScoresFor(df, cents, v, nrm).map { case (cid, cos) =>
+      struct(cos.as("cos"), lit(-cid).as("negid"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    -best.getField("negid")
+  }
+
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              centroids: Option[Array[Centroid]] = None): DataFrame = {
     val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
     // the quantizer "model" is tiny (nlist vectors); collecting it to the
     // driver and re-entering it as LITERAL arrays keeps the per-row
     // assignment inside whole-stage codegen — no UDF boxing of
     // Seq[Double] on the corpus (huge) side. Same hoisting trick as
-    // hyperplaneCodeFast.
-    val cents = c.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Seq[Double], Double)].collect()
-      .map { case (i, v, n) => (i, v.toArray, n) }
-    // per-centroid cosine columns against a (v, nrm) pair
-    def centScores(df: DataFrame, v: Column, nrm: Column): Seq[(Long, Column)] =
-      cents.toSeq.map { case (cid, cv, cnrm) =>
-        val cvLit = array(cv.map(lit).toIndexedSeq: _*)
-        cid -> fastDot(df, v, cvLit) / (lit(cnrm) * nrm)
-      }
-    // argmax via a greatest() struct fold; ties -> lowest centroid id,
-    // matching a first-wins maxBy and the oracle's (cos DESC, cent ASC)
-    def nearestCell(df: DataFrame, v: Column, nrm: Column): Column = {
-      val scored = centScores(df, v, nrm).map { case (cid, cos) =>
-        struct(cos.as("cos"), lit(-cid).as("negid"))
-      }
-      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-      -best.getField("negid")
-    }
-    val assigned = c.withColumn("cell", nearestCell(c, col("v"), col("nrm")))
+    // hyperplaneCodeFast. Pass `centroids` (e.g. from trainIvfCentroids)
+    // to swap the quantizer without touching the plan.
+    val cents = centroids.getOrElse(seedCentroids(corpus, idCol, vecCol, nlist))
+    // assignment: argmax via the greatest() struct fold; ties -> lowest
+    // centroid id, matching a first-wins maxBy and the oracle's
+    // (cos DESC, cent ASC)
+    val assigned = c.withColumn("cell", nearestCellFor(c, cents, col("v"), col("nrm")))
     // probe: top-nprobe cells per query via explode + window rank — the
     // query side is small by contract, so the window is cheap
     val q0 = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
     val qScored = q0.withColumn("sc", explode(array(
-      centScores(q0, col("qv"), col("qnrm")).map { case (cid, cos) =>
+      centScoresFor(q0, cents, col("qv"), col("qnrm")).map { case (cid, cos) =>
         struct(cos.as("cos"), lit(cid).as("cell"))
       }.toIndexedSeq: _*)))
     val wProbe = Window.partitionBy(col("query_id"))

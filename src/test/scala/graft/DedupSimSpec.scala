@@ -134,6 +134,49 @@ class DedupSimSpec extends SparkSpec {
     lsh.foreach { case (k, c) => assert(brute.get(k).forall(_ === c)) }
   }
 
+  test("IVF k-means training: deterministic, objective non-decreasing, sane recall") {
+    import graft.operators.SimilarityOps.Centroid
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seed = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val trained = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iterations = 3)
+    val trained2 = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iterations = 3)
+    // deterministic rebuild: identical centroids bit for bit
+    assert(trained.zip(trained2).forall { case (a, b) =>
+      a._1 == b._1 && a._2.sameElements(b._2) })
+    // spherical k-means objective (mean best cosine) must not decrease
+    import spark.implicits._
+    val vecs = SimilarityOps.asDouble(col("embedding"))
+    val data = emb.select(col("vec_id"), vecs.as("v"))
+      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    def objective(cents: Array[Centroid]): Double = data.map { v =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      cents.map { case (_, c, cn) =>
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j) * c(j); j += 1 }
+        s / (math.sqrt(n) * cn)
+      }.max
+    }.sum / data.length
+    assert(objective(trained) >= objective(seed) - 1e-9,
+      s"objective ${objective(trained)} < seed ${objective(seed)}")
+    // trained quantizer slots into ivfTopK unchanged and finds most of the
+    // true top-k at nprobe=2 of nlist=8
+    val queries = emb.where(col("vec_id") < 3)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, nlist = 8, nprobe = 2,
+      centroids = Some(trained))
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.intersect(brute).size.toDouble / brute.size > 0.5,
+      s"recall ${ivf.intersect(brute).size}/${brute.size}")
+  }
+
   test("IVF top-k equals brute force under full probe, candidates agree under partial") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.where(col("vec_id") < 2)
