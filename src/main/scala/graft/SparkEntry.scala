@@ -284,6 +284,18 @@ object SparkEntry {
           round(graft.functions.KmvSketch.kmvDistinct(col("h"), 64), 6)
             .as("kmv_est"))),
 
+    // bounded-state quantile sketch: deterministic bottom-k-by-hash sample
+    // + linear interpolation (k (hash,value) pairs per group, mergeable)
+    "q_quantile_sketch" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("h", PipelineOps.hash60(col("event_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.QuantileSketch.quantile(
+            col("h"), col("value"), 128, 0.5), 6).as("p50_est"),
+          round(graft.functions.QuantileSketch.quantile(
+            col("h"), col("value"), 128, 0.95), 6).as("p95_est"))),
+
     // HyperLogLog distinct sketch (fixed 2^p-byte state, register-max
     // merge) vs the exact distinct — the constant-state cousin of KMV
     "q_hll_distinct" -> ((s, dir) =>
@@ -804,6 +816,30 @@ object SparkEntry {
          |  round(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
          |             ELSE 63.0 * pow(2.0, 60) / hs[64] END, 6) AS kmv_est
          |FROM k""".stripMargin,
+    // mirrors functions.QuantileSketch at k=128: the sample is the 128
+    // rows with smallest md5 hash; interpolation arithmetic is spelled
+    // out identically on both sides
+    "q_quantile_sketch" -> {
+      def interp(qv: String): String =
+        s"""CASE WHEN CAST(floor($qv * (len(vs) - 1)) AS BIGINT) + 2 > len(vs)
+           | THEN vs[len(vs)]
+           | ELSE vs[CAST(floor($qv * (len(vs) - 1)) AS BIGINT) + 1]
+           |   + (vs[CAST(floor($qv * (len(vs) - 1)) AS BIGINT) + 2]
+           |      - vs[CAST(floor($qv * (len(vs) - 1)) AS BIGINT) + 1])
+           |     * ($qv * (len(vs) - 1) - floor($qv * (len(vs) - 1)))
+           | END""".stripMargin
+      s"""WITH h AS (SELECT event_type, value, $hash60Sql AS h FROM events),
+         |s AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+         |  FROM h),
+         |g AS (SELECT event_type, list_sort(list(value)) AS vs
+         |      FROM s WHERE rn <= 128 GROUP BY event_type),
+         |x AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+         |SELECT x.event_type, x.n,
+         |  round(${interp("0.5::DOUBLE")}, 6) AS p50_est,
+         |  round(${interp("0.95::DOUBLE")}, 6) AS p95_est
+         |FROM x JOIN g USING (event_type)""".stripMargin
+    },
     // mirrors functions.HllSketch at p=8: register = top 8 hash bits,
     // rank = 53 - bitlength(low 52 bits) (53 when zero), harmonic mean +
     // linear-counting correction; bin() keeps the rank integer-exact

@@ -82,6 +82,84 @@ object KmvSketch {
     udaf(new Agg(k)).apply(hashes)
 }
 
+/** Bounded-state quantile sketch: keep the k rows whose 60-bit row-key
+  * hashes are smallest (a deterministic uniform sample — the md5 order IS
+  * the reservoir), then answer quantiles by linear interpolation over the
+  * sample. Merge = bottom-k merge of two sorted samples, so Catalyst runs
+  * it map-side like every other sketch here. Error ~ O(1/sqrt(k)) in rank;
+  * state is k (hash, value) pairs no matter how many rows flow in.
+  * Everything — membership, sort, interpolation — is elementary and
+  * deterministic, so a SQL oracle reproduces the estimate bit-for-bit
+  * (t-digest/GK give tighter tails but are not engine-portable).
+  */
+object QuantileSketch {
+
+  /** Sample entries sorted ascending by hash, at most k, hash-distinct. */
+  class Agg(k: Int, q: Double) extends Aggregator[(Long, Double), Array[(Long, Double)], Double] {
+    require(k >= 2 && q >= 0.0 && q <= 1.0)
+
+    override def zero: Array[(Long, Double)] = Array.empty
+
+    override def reduce(b: Array[(Long, Double)], in: (Long, Double)): Array[(Long, Double)] = {
+      val (h, v) = in
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid)._1 < h) lo = mid + 1 else hi = mid
+      }
+      if (lo < b.length && b(lo)._1 == h) b // hash already sampled
+      else if (b.length < k) {
+        val out = new Array[(Long, Double)](b.length + 1)
+        System.arraycopy(b, 0, out, 0, lo)
+        out(lo) = (h, v)
+        System.arraycopy(b, lo, out, lo + 1, b.length - lo)
+        out
+      } else if (lo < k) {
+        val out = new Array[(Long, Double)](k)
+        System.arraycopy(b, 0, out, 0, lo)
+        out(lo) = (h, v)
+        System.arraycopy(b, lo, out, lo + 1, k - lo - 1)
+        out
+      } else b
+    }
+
+    override def merge(a: Array[(Long, Double)], b: Array[(Long, Double)]): Array[(Long, Double)] = {
+      val out = new Array[(Long, Double)](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      var lastH = Long.MinValue; var first = true
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val e =
+          if (j >= b.length || (i < a.length && a(i)._1 <= b(j)._1)) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (first || e._1 != lastH) { out(o) = e; o += 1; lastH = e._1; first = false }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    override def finish(st: Array[(Long, Double)]): Double = {
+      if (st.isEmpty) return Double.NaN
+      val vs = st.map(_._2)
+      java.util.Arrays.sort(vs)
+      // linear interpolation at rank q*(n-1) — quantile_cont semantics,
+      // spelled out so the oracle can reproduce the exact arithmetic
+      val pos = q * (vs.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 >= vs.length) vs(vs.length - 1)
+      else vs(lo) + (vs(lo + 1) - vs(lo)) * frac
+    }
+
+    override def bufferEncoder: Encoder[Array[(Long, Double)]] =
+      ExpressionEncoder[Array[(Long, Double)]]()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column aggregate: approximate q-quantile of `value` sampled by the
+    * k smallest `hash` values. */
+  def quantile(hash: Column, value: Column, k: Int, q: Double): Column =
+    udaf(new Agg(k, q)).apply(hash, value)
+}
+
 /** HyperLogLog distinct-count sketch over 60-bit md5 hashes: 2^p one-byte
   * registers, register j = max rank (leading-zero run + 1) of hashes
   * routed to j by their top p bits. Merge is element-wise max — fully

@@ -124,6 +124,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(se - 100) / 100.0 < 0.15, s"small est=$se")
   }
 
+  test("quantile sketch: tracks exact quantiles within rank error, partition-invariant") {
+    import graft.functions.QuantileSketch
+    val df = spark.range(20000).toDF("id")
+      .withColumn("h", PipelineOps.hash60(col("id")))
+      .withColumn("value", col("id").cast("double")) // known quantiles
+    def est(q: Double): Double =
+      df.agg(QuantileSketch.quantile(col("h"), col("value"), 256, q))
+        .head().getDouble(0)
+    // rank error ~ O(1/sqrt(k)) => value error on uniform 0..20000 within
+    // a few percent of the range at k=256
+    assert(math.abs(est(0.5) - 10000) < 2000, s"p50=${est(0.5)}")
+    assert(math.abs(est(0.95) - 19000) < 2000, s"p95=${est(0.95)}")
+    val repart = df.repartition(17)
+      .agg(QuantileSketch.quantile(col("h"), col("value"), 256, 0.5))
+      .head().getDouble(0)
+    assert(repart === est(0.5), "merge is partition-invariant")
+    // below k the sample is the whole dataset: exact interpolated quantile
+    val small = spark.range(101).toDF("id")
+      .withColumn("h", PipelineOps.hash60(col("id")))
+      .withColumn("value", col("id").cast("double"))
+    assert(small.agg(QuantileSketch.quantile(col("h"), col("value"), 256, 0.5))
+      .head().getDouble(0) === 50.0)
+  }
+
   test("rollingStats matches a hand-computed trailing frame") {
     val ev = Seq(
       (1L, 1L, "2026-01-01 00:00:01", 1.0),
