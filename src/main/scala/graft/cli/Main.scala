@@ -44,14 +44,17 @@ object Main {
       |tools: wordcount bigrams cooc-pairs cooc-stripes pmi build-index
       |       lookup-postings boolean-retrieval pagerank
       |       personalized-pagerank hourly-counts graph-stats
-      |       split contamination   (pipeline extensions over parquet)
+      |       split contamination dedup-clusters sample-exact
+      |                             (pipeline extensions over parquet)
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
       |         --collection PATH (boolean-retrieval corpus; defaults to --input)
       |         --egypt true --partitions N
       |         --key COL --train N --valid N          (split)
       |         --benchmark PATH --id COL --text COL --shingle-n N
-      |                                                (contamination)""".stripMargin
+      |         --bloom-bits N (contamination; bloom path when set)
+      |         --threshold F --minhash-k N --bands N  (dedup-clusters)
+      |         --class COL --k N                      (sample-exact)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val (cmd, opts) = parseArgs(args)
@@ -159,8 +162,31 @@ object Main {
             s"contamination requires --benchmark PATH\n$usage")))
         val id = opts.getOrElse("id", "doc_id")
         val text = opts.getOrElse("text", "text")
-        PipelineOps.contamination(corpus, bench, id, text,
-          opts.getOrElse("shingle-n", "3").toInt)
+        val n = opts.getOrElse("shingle-n", "3").toInt
+        // --bloom-bits switches to the bounded-memory bloom path (for
+        // benchmark sides too big to broadcast as an exact set)
+        (opts.get("bloom-bits") match {
+          case Some(bits) =>
+            PipelineOps.bloomContamination(corpus, bench, id, text, n,
+              numBits = bits.toInt)
+          case None => PipelineOps.contamination(corpus, bench, id, text, n)
+        }).write.mode("overwrite").parquet(out)
+      case "dedup-clusters" =>
+        // near-dup clustering: (doc_id, cluster_id, is_canonical) — keep
+        // is_canonical rows (or anti-join the rest) to dedup a corpus
+        DedupOps.nearDupClusters(spark.read.parquet(in),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("shingle-n", "3").toInt,
+          opts.getOrElse("minhash-k", "12").toInt,
+          opts.getOrElse("bands", "4").toInt,
+          opts.getOrElse("threshold", "0.5").toDouble)
+          .write.mode("overwrite").parquet(out)
+      case "sample-exact" =>
+        // exact-k deterministic per-class sample
+        PipelineOps.sampleExactPerClass(spark.read.parquet(in),
+          col(opts.getOrElse("class", "event_type")),
+          col(opts.getOrElse("key", "event_id")),
+          opts.getOrElse("k", "100").toInt)
           .write.mode("overwrite").parquet(out)
       case "hourly-counts" =>
         val tweets = TweetOps.parseTsv(text)

@@ -101,6 +101,25 @@ object StreamingOps {
                            pattern: String, watermark: String = "2 hours"): DataFrame =
     hourlyCountsStream(events.where(col(filterCol).rlike(pattern)), tsCol, watermark)
 
+  /** Windowed approximate distinct count on a stream: the SAME HllSketch
+    * Aggregator the batch surface uses, inside a watermarked tumbling
+    * window. Exact streaming distinct needs per-key state proportional to
+    * the distinct count; the sketch caps it at 2^p bytes per window — the
+    * difference between a state store that grows forever and one that
+    * doesn't. Because the sketch is deterministic in the hash set, the
+    * streaming estimate EQUALS the batch estimate over the same rows
+    * (spec'd), so backfill and live pipelines agree.
+    */
+  def windowedDistinctStream(events: DataFrame, tsCol: String, hashCol: String,
+                             windowLen: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(round(graft.functions.HllSketch.hllDistinct(col(hashCol), 8), 6)
+        .as("distinct_est"))
+      .select(col("w.start").as("window_start"), col("distinct_est"))
+
   /** Stream-STREAM interval join: match rows of two live streams on a key
     * within a bounded event-time interval (right.ts in
     * [left.ts - before, left.ts + after]). The time bound is what makes

@@ -94,6 +94,41 @@ class CliSpec extends SparkSpec {
     assert(readTsv(out2) === Seq("1/23\t10\t1"))
   }
 
+  test("pipeline subcommands: dedup-clusters, sample-exact, bloom contamination") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val docsPath = tmpOut()
+    docs.write.parquet(docsPath)
+
+    val clustersOut = tmpOut()
+    Main.run(spark, "dedup-clusters", Map("input" -> docsPath,
+      "output" -> clustersOut, "threshold" -> "0.5"))
+    val clusters = spark.read.parquet(clustersOut).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L))
+
+    val bloomOut = tmpOut()
+    Main.run(spark, "contamination", Map("input" -> docsPath,
+      "benchmark" -> docsPath, "output" -> bloomOut, "bloom-bits" -> "65536"))
+    // benchmark == corpus -> every shingle hits its own bloom entry
+    val rates = spark.read.parquet(bloomOut).collect().map(_.getDouble(3))
+    assert(rates.forall(_ === 1.0))
+
+    val evPath = tmpOut()
+    spark.range(100).selectExpr("CAST(id % 3 AS STRING) AS event_type", "id AS event_id")
+      .write.parquet(evPath)
+    val sampleOut = tmpOut()
+    Main.run(spark, "sample-exact", Map("input" -> evPath,
+      "output" -> sampleOut, "class" -> "event_type", "key" -> "event_id", "k" -> "5"))
+    val counts = spark.read.parquet(sampleOut).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSeq === Seq(5L, 5L, 5L))
+  }
+
   test("unknown tool raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(spark, "no-such-tool", Map.empty)

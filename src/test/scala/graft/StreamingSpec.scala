@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed HLL equals the batch estimate on the same rows") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val rows = (0 until 90).map(m => (ts(m), (m % 40).toLong)) // 40 distinct users
+    val est = StreamingOps.windowedDistinctStream(
+      input.toDF().toDF("ts", "user_id")
+        .withColumn("h", graft.operators.PipelineOps.hash60(col("user_id"))),
+      "ts", "h")
+    val q = est.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start, distinct_est FROM hll_stream ORDER BY window_start")
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getDouble(1))
+      // batch reference over the same rows, same window split
+      import spark.implicits._
+      val batch = rows.toDF("ts", "user_id")
+        .withColumn("h", graft.operators.PipelineOps.hash60(col("user_id")))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(round(graft.functions.HllSketch.hllDistinct(col("h"), 8), 6).as("e"))
+        .collect().map(r => r.getStruct(0).getTimestamp(0).getTime -> r.getDouble(1))
+        .sortBy(_._1)
+      assert(got.toSeq === batch.toSeq, "stream == batch, window for window")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches in-window pairs only") {
     implicit val sc = spark.sqlContext
     // impressions joined to clicks within 10 minutes, keyed by user
