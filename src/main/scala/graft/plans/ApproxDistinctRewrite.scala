@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.KmvSketch
+import graft.functions.{HllSketch, KmvSketch}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
@@ -38,10 +38,13 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   /** Sketch size: distinct counts <= k stay exact; error ~ 1/sqrt(k). */
   val kConfKey = "spark.graft.approxDistinct.k"
   val defaultK = 256
+  /** Sketch choice: `kmv` (k longs, exact below k) or `hll` (2^p bytes,
+    * p = log2(k) clamped to [4,16] — constant state, never exact). */
+  val implConfKey = "spark.graft.approxDistinct.impl"
 
-  private def kmvOver(child: Expression, k: Int): Expression = {
+  private def sketchOver(child: Expression, k: Int, impl: String): Expression = {
     // 60-bit md5 hash of the value (engine-portable, same construction as
-    // PipelineOps.hash60), fed to the KMV Aggregator
+    // PipelineOps.hash60), fed to the sketch Aggregator
     val hash = Cast(
       Conv(Substring(Md5(Cast(Cast(child, StringType), BinaryType)),
         Literal(1), Literal(15)), Literal(16), Literal(10)),
@@ -49,11 +52,24 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     // encoders must be resolved HERE: the analyzer's
     // ResolveEncodersInScalaAgg rule already ran (this rewrite happens at
     // optimization time), so nothing downstream will bind them for us
-    val scalaAgg = ScalaAggregator[Long, Array[Long], Double](
-      Seq(hash), new KmvSketch.Agg(k),
-      ExpressionEncoder[Long]().resolveAndBind(),
-      ExpressionEncoder[Array[Long]]().resolveAndBind(),
-      nullable = false, isDeterministic = true)
+    val scalaAgg = impl match {
+      case "kmv" =>
+        ScalaAggregator[Long, Array[Long], Double](
+          Seq(hash), new KmvSketch.Agg(k),
+          ExpressionEncoder[Long]().resolveAndBind(),
+          ExpressionEncoder[Array[Long]]().resolveAndBind(),
+          nullable = false, isDeterministic = true)
+      case "hll" =>
+        val p = math.max(4, math.min(16,
+          (63 - java.lang.Long.numberOfLeadingZeros(math.max(k, 16).toLong)).toInt))
+        ScalaAggregator[Long, Array[Byte], Double](
+          Seq(hash), new HllSketch.Agg(p),
+          ExpressionEncoder[Long]().resolveAndBind(),
+          ExpressionEncoder[Array[Byte]]().resolveAndBind(),
+          nullable = false, isDeterministic = true)
+      case other => throw new IllegalArgumentException(
+        s"$implConfKey must be kmv or hll, got '$other'")
+    }
     // keep the original BIGINT column type; clamp before the cast — a
     // pathological k-th minimum makes the estimate exceed Long range,
     // which would ERROR under ANSI instead of saturating
@@ -67,12 +83,13 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     if (!conf.getConfString(confKey, "false").toBoolean) return plan
     val k = conf.getConfString(kConfKey, defaultK.toString).toInt
     require(k >= 2, s"$kConfKey must be >= 2, got $k")
+    val impl = conf.getConfString(implConfKey, "kmv")
     plan.transform {
       case agg: Aggregate =>
         agg.transformExpressions {
           case ae @ AggregateExpression(
               Count(Seq(child)), _, true, None, _) if child.resolved =>
-            kmvOver(child, k)
+            sketchOver(child, k, impl)
         }
     }
   }

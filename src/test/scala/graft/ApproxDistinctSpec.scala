@@ -58,6 +58,22 @@ class ApproxDistinctSpec extends AnyFunSuite {
     }
   }
 
+  test("impl=hll selects the constant-state HLL sketch") {
+    spark.conf.set(ApproxDistinctRewrite.confKey, "true")
+    spark.conf.set(ApproxDistinctRewrite.implConfKey, "hll")
+    try {
+      val df = spark.range(10000).selectExpr("0 AS g", "id AS v")
+        .groupBy("g").agg(count_distinct(col("v")).as("d"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("$Agg"))
+      val est = df.head().getLong(1)
+      // p = log2(256) = 8 -> sigma ~ 6.5%; 3 sigma bound
+      assert(math.abs(est - 10000) / 10000.0 < 0.20, s"est=$est")
+    } finally {
+      spark.conf.set(ApproxDistinctRewrite.confKey, "false")
+      spark.conf.unset(ApproxDistinctRewrite.implConfKey)
+    }
+  }
+
   test("schema is unchanged by the rewrite (still bigint)") {
     spark.conf.set(ApproxDistinctRewrite.confKey, "true")
     try {

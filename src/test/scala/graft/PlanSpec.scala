@@ -101,6 +101,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("bloom contamination probes via the 1-row broadcast, never a shuffle join") {
+    val p = planOf("q_bloom_contamination")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("repetition ratio is a pure map + one aggregation-free projection") {
+    // per-row kernel calls only; the single Exchange allowed is the final
+    // (absent) aggregation — there must be NO shuffle at all
+    val p = planOf("q_repetition")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("graft_shingle_hash"), p)
+  }
+
+  test("exact-k sampling shuffles once on the class column") {
+    val p = planOf("q_sample_exact")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"), p)
+  }
+
   test("range graph partitioning plans a RangePartitioning exchange (G10)") {
     import graft.operators.GraphOps
     import spark.implicits._
