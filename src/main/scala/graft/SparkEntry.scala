@@ -284,6 +284,20 @@ object SparkEntry {
           round(graft.functions.KmvSketch.kmvDistinct(col("h"), 64), 6)
             .as("kmv_est"))),
 
+    // count-min frequency sketch: d x w counter matrix (fixed state),
+    // point estimates = min over rows; probes checked against exact counts
+    "q_cms_counts" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("h", PipelineOps.hash60(col("user_id")))
+      val matrix = ev.agg(
+        graft.functions.CmsSketch.cmsMatrix(col("h"), 3, 1024).as("m"))
+      val probes = ev.where(col("user_id") < 20)
+        .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      probes.crossJoin(broadcast(matrix))
+        .select(col("user_id"), col("exact"),
+          graft.functions.CmsSketch.estimate(col("m"),
+            PipelineOps.hash60(col("user_id")), 3, 1024).as("cms_est"))
+    }),
+
     // bounded-state quantile sketch: deterministic bottom-k-by-hash sample
     // + linear interpolation (k (hash,value) pairs per group, mergeable)
     "q_quantile_sketch" -> ((s, dir) =>
@@ -816,6 +830,28 @@ object SparkEntry {
          |  round(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
          |             ELSE 63.0 * pow(2.0, 60) / hs[64] END, 6) AS kmv_est
          |FROM k""".stripMargin,
+    // mirrors functions.CmsSketch at d=3, w=1024: a row-j counter is the
+    // total count of events hashing to the same permuted bucket; the
+    // estimate is the min over the three rows
+    "q_cms_counts" -> {
+      val cs = operators.DedupOps.minhashMultipliers(3)
+      def pos(c: Long) = s"(${operators.DedupOps.permuteHashSql("h", c)} % 1024)"
+      s"""WITH h AS (SELECT user_id,
+         |  CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |b AS (SELECT user_id, ${cs.zipWithIndex.map { case (c, j) =>
+                  s"${pos(c)} AS p$j" }.mkString(", ")} FROM h),
+         |${cs.indices.map(j =>
+             s"c$j AS (SELECT p$j, count(*) AS n$j FROM b GROUP BY p$j)")
+             .mkString(",\n|")},
+         |probe AS (SELECT user_id, count(*) AS exact,
+         |  ${cs.indices.map(j => s"min(p$j) AS q$j").mkString(", ")}
+         |  FROM b WHERE user_id < 20 GROUP BY user_id)
+         |SELECT probe.user_id, probe.exact,
+         |  least(${cs.indices.map(j => s"c$j.n$j").mkString(", ")}) AS cms_est
+         |FROM probe ${cs.indices.map(j =>
+             s"JOIN c$j ON probe.q$j = c$j.p$j").mkString(" ")}""".stripMargin
+    },
     // mirrors functions.QuantileSketch at k=128: the sample is the 128
     // rows with smallest md5 hash; interpolation arithmetic is spelled
     // out identically on both sides

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values) distinct-count sketch as a typed Aggregator.
   *
@@ -220,6 +220,66 @@ object HllSketch {
   /** Column aggregate: HLL distinct estimate over a 60-bit hash column. */
   def hllDistinct(hashes: Column, p: Int = 8): Column =
     udaf(new Agg(p)).apply(hashes)
+}
+
+/** Count-min sketch (Cormode-Muthukrishnan): d x w counter matrix; each
+  * item increments one counter per row (bucket = md5-permutation of the
+  * item hash mod w), and a frequency estimate is the MIN over the d
+  * counters — never an under-estimate, over by at most the collision
+  * mass. Merge is element-wise sum, so partial aggregation applies, and
+  * the state is a fixed d*w longs however many rows flow in: frequency /
+  * heavy-hitter estimation over 100 TB with a KB-scale buffer. The
+  * md5-derived buckets make estimates engine-portable (SQL-oracle-able).
+  */
+object CmsSketch {
+
+  /** Bucket of `h` in row `j`: md5-permuted hash mod w — the same odd-
+    * multiplier permutation family the MinHash/Bloom machinery uses
+    * (multipliers from the cached Kernels table). JVM wrap-multiply
+    * masked to 60 bits equals the 30-bit-split column form. */
+  def bucket(h: Long, j: Int, d: Int, w: Int): Int = {
+    val c = Kernels.multipliers(d)(j)
+    (((h * c) & Kernels.mask60) % w).toInt
+  }
+
+  class Agg(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(d >= 1 && w >= 1, s"need d,w >= 1, got d=$d w=$w")
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var j = 0
+      while (j < d) { b(j * w + bucket(h, j, d, w)) += 1; j += 1 }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(st: Array[Long]): Array[Long] = st
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column aggregate: the d*w counter matrix over a 60-bit hash column. */
+  def cmsMatrix(hashes: Column, d: Int, w: Int): Column =
+    udaf(new Agg(d, w)).apply(hashes)
+
+  /** Point estimate from a matrix column for an item-hash column:
+    * min over rows of the item's counter. Pure column arithmetic
+    * (element_at + least) — usable after broadcasting the 1-row matrix. */
+  def estimate(matrix: Column, itemHash: Column, d: Int, w: Int): Column = {
+    val rows = (0 until d).map { j =>
+      val c = Kernels.multipliers(d)(j)
+      val pos = pmod(graft.operators.DedupOps.permuteHash(itemHash, c), lit(w.toLong))
+      element_at(matrix, (lit(j * w) + pos).cast("int") + lit(1))
+    }
+    if (rows.size == 1) rows.head else least(rows: _*)
+  }
 }
 
 /** Bloom-filter bit set as a typed Aggregator: input rows are BIT

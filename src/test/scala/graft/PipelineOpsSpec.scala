@@ -124,6 +124,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(se - 100) / 100.0 < 0.15, s"small est=$se")
   }
 
+  test("count-min sketch: never under-estimates, tight at small collision mass, partition-invariant") {
+    import graft.functions.CmsSketch
+    val df = spark.range(50000).selectExpr("id % 1000 AS item")
+      .withColumn("h", PipelineOps.hash60(col("item"))) // 1000 items x 50 each
+    val m = df.agg(CmsSketch.cmsMatrix(col("h"), 3, 1024).as("m"))
+    val probes = df.where(col("item") < 10).groupBy("item")
+      .agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(m))
+      .select(col("item"), col("exact"),
+        CmsSketch.estimate(col("m"), PipelineOps.hash60(col("item")), 3, 1024)
+          .as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((item, exact, est) <- probes) {
+      assert(est >= exact, s"item $item under-estimated: $est < $exact")
+      assert(est <= exact * 4, s"item $item collision mass too large: $est vs $exact")
+    }
+    // merge = elementwise sum: matrix independent of partitioning
+    val m1 = m.head().getSeq[Long](0)
+    val m2 = df.repartition(13).agg(CmsSketch.cmsMatrix(col("h"), 3, 1024))
+      .head().getSeq[Long](0)
+    assert(m1 === m2)
+  }
+
   test("quantile sketch: tracks exact quantiles within rank error, partition-invariant") {
     import graft.functions.QuantileSketch
     val df = spark.range(20000).toDF("id")
