@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{DedupOps, GraphOps, PipelineOps, TextAnalysisOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty relations, all-dangling graphs,
+  * docs shorter than the shingle width. A 100 TB pipeline hits every one
+  * of these in some partition on some day; operators must return empty or
+  * well-defined results, never throw.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("text operators on an empty corpus return empty, not errors") {
+    assert(TextOps.wordCount(emptyDocs, "text").count() === 0)
+    assert(TextOps.pmi(emptyDocs, "doc_id", "text", minCount = 1).count() === 0)
+    assert(DedupOps.minhashNearDupPairs(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysisOps.repetitionRatio(emptyDocs, "doc_id", "text").count() === 0)
+  }
+
+  test("connectedComponents of an empty pair relation is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    assert(DedupOps.connectedComponents(pairs).count() === 0)
+  }
+
+  test("pageRank on an all-dangling graph keeps the uniform distribution") {
+    // no edges at all: every node is dangling, all mass redistributes
+    // uniformly every iteration -> ranks stay exactly 1/n
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("nodeid")
+    val ranks = GraphOps.pageRank(edges, iterations = 3,
+      vertices = Some(verts), numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet === Set(1L, 2L, 3L, 4L))
+    for ((k, v) <- ranks) assert(math.abs(v - 0.25) < 1e-12, s"node $k")
+  }
+
+  test("bloom contamination with an empty benchmark reports zero everywhere") {
+    val corpus = Seq((100L, "some corpus document text here")).toDF("doc_id", "text")
+    val out = PipelineOps.bloomContamination(corpus, emptyDocs, "doc_id", "text")
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(2) === 0L, "no shingle can hit an empty bloom")
+  }
+
+  test("docs shorter than the shingle width count as one whole-doc shingle") {
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val rep = TextAnalysisOps.repetitionRatio(tiny, "doc_id", "text", shingleN = 5)
+      .head()
+    assert(rep.getLong(1) === 1L && rep.getLong(2) === 1L)
+    assert(PipelineOps.contamination(tiny, tiny, "doc_id", "text", shingleN = 5)
+      .head().getDouble(3) === 1.0, "the whole-doc shingle matches itself")
+  }
+}
