@@ -344,6 +344,38 @@ object SparkEntry {
       p.select(col("m") +: col("d") +:
         types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
     }),
+    // full SQL window-function surface in one query: offsets (lag/lead),
+    // ranking (rank/row_number), distribution (percent_rank), bucketing
+    // (ntile) — ONE partition pass serves all of them
+    "q_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).where(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val wv = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id").asc)
+      ev.select(col("user_id"), col("event_id"),
+        round(lag("value", 1).over(w), 6).as("prev_value"),
+        round(lead("value", 1).over(w), 6).as("next_value"),
+        rank().over(wv).as("value_rank"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        row_number().over(w).as("rn"))
+    }),
+    // edit distance over the LSH near-dup candidates (the precise-refine
+    // step a fuzzy-dedup pipeline runs after candidate generation)
+    "q_levenshtein" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.minhashNearDupPairs(d, "doc_id", "text",
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+        .select(col("ida"), col("idb"))
+        .join(d.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+        .join(d.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+        .select(col("ida"), col("idb"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"))
+    }),
     // JSON property extraction (get_json_object, codegen'd — no UDF)
     "q_json_kstats" -> ((s, dir) =>
       TimeSeriesOps.jsonKStats(events(s, dir), "event_type", "props")),
@@ -917,6 +949,42 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_suite" ->
+      """SELECT user_id, event_id,
+        |  round(lag(value, 1) OVER w, 6) AS prev_value,
+        |  round(lead(value, 1) OVER w, 6) AS next_value,
+        |  rank() OVER (PARTITION BY user_id
+        |               ORDER BY value DESC, event_id ASC) AS value_rank,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  row_number() OVER w AS rn
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |      FROM events WHERE user_id < 50)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)""".stripMargin,
+    // same LSH candidate pipeline as q_dedup_minhash, refined by edit
+    // distance (both engines implement unit-cost Levenshtein)
+    "q_levenshtein" -> {
+      val mods = DedupOps.minhashMultipliers(12).map(c =>
+        s"list_min([${DedupOps.permuteHashSql("x", c)} FOR x IN hs])")
+        .mkString(",\n|    ")
+      s"""WITH d AS ($shinglesSql),
+         |h AS (SELECT doc_id, $hashListSql AS hs FROM d),
+         |sig AS (SELECT doc_id, [
+         |    $mods
+         |  ] AS sig FROM h),
+         |bands AS (SELECT doc_id, b,
+         |  md5(b || '|' || array_to_string(sig[b*3+1 : b*3+3], ',')) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT ida, idb
+         |  FROM cand JOIN h a ON cand.ida = a.doc_id JOIN h b ON cand.idb = b.doc_id
+         |  WHERE $jaccardSql >= 0.5)
+         |SELECT ida, idb, levenshtein(da.text, db.text) AS edit_dist
+         |FROM pairs JOIN documents da ON pairs.ida = da.doc_id
+         |JOIN documents db ON pairs.idb = db.doc_id""".stripMargin
+    },
     "q_json_kstats" ->
       """SELECT event_type, count(k) AS n_with_k,
         |  round(avg(k), 6) AS mean_k, round(min(k), 6) AS min_k,
