@@ -177,17 +177,23 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Connected components over an undirected pair relation by min-label
-    * propagation: every vertex's label converges to the minimum id in its
-    * component. This is the step that turns near-dup PAIRS into dedup
-    * DECISIONS — a cluster keeps its minimum-id doc as canonical.
+  /** Connected components over an undirected pair relation: every vertex's
+    * label converges to the minimum id in its component. This is the step
+    * that turns near-dup PAIRS into dedup DECISIONS — a cluster keeps its
+    * minimum-id doc as canonical.
     *
-    * Scale design: one symmetrized edge relation built once; each
-    * iteration is a join + min-aggregation with `localCheckpoint` keeping
-    * the plan O(1) (the PageRank loop's discipline). Iteration count is
-    * the component diameter — near-dup clusters are shallow (stars/cliques
-    * around a template), so this converges in a handful of rounds even
-    * when a 100 TB corpus holds millions of clusters.
+    * Algorithm: hash-min propagation WITH pointer jumping — each round a
+    * vertex takes the min of its own label, its neighbors' labels, and its
+    * label's label (`label(label(v))`). Plain neighbor propagation needs
+    * diameter rounds, which is pathological on chain-shaped components
+    * (A≈B≈C≈… — exactly what serial plagiarism produces); the jump halves
+    * remaining distances, giving O(log n) rounds on any shape.
+    *
+    * Scale design: one symmetrized edge relation built once; each round is
+    * two joins + a min-aggregation with `localCheckpoint` keeping the plan
+    * O(1) (the PageRank loop's discipline). Throws if `maxIterations`
+    * rounds don't converge — silently returning partial clusters would
+    * merge/miss duplicates invisibly.
     *
     * @return (id, cluster_id) for every vertex of the pair graph
     */
@@ -200,15 +206,23 @@ object DedupOps {
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
     var it = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && it < maxIterations) {
       val nbrMin = sym.join(labels, sym("v") === labels("id"))
         .groupBy(sym("u").as("nid"))
         .agg(min(col("cluster_id")).as("nmin"))
-      val next = labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
+      val stepped = labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
+      // pointer jump: follow the label one hop (label(label(v))) — labels
+      // only ever shrink, so taking the min stays correct and the jump
+      // compresses chains exponentially
+      val next = stepped.as("s")
+        .join(labels.as("l"), col("s.cluster_id") === col("l.id"), "left_outer")
+        .select(col("s.id").as("id"),
+          least(col("s.cluster_id"),
+            coalesce(col("l.cluster_id"), col("s.cluster_id"))).as("cluster_id"))
         .localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
@@ -217,6 +231,8 @@ object DedupOps {
       converged = changed == 0L
       it += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations rounds")
     labels
   }
 

@@ -71,6 +71,18 @@ class DedupSimSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents: pointer jumping handles a 300-node chain in few rounds") {
+    // a path graph is the worst case for plain neighbor propagation
+    // (diameter rounds = 300 > the 20-round cap here); the label(label(v))
+    // jump must close it in O(log n) rounds
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("ida", "idb")
+    val comp = DedupOps.connectedComponents(chain, maxIterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 300)
+    assert(comp.values.forall(_ == 0L), "whole chain is one component rooted at 0")
+  }
+
   test("nearDupClusters groups the planted duplicate family under one canonical") {
     val clusters = DedupOps.nearDupClusters(docs, "doc_id", "text",
       shingleN = 3, k = 12, bands = 4, threshold = 0.5)
