@@ -54,7 +54,7 @@ object Main {
       |         --benchmark PATH --id COL --text COL --shingle-n N
       |         --bloom-bits N (contamination; bloom path when set)
       |         --threshold F --minhash-k N --bands N  (dedup-clusters)
-      |         --class COL --k N                      (sample-exact)""".stripMargin
+      |         --class COL --key COL --k N            (sample-exact)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val (cmd, opts) = parseArgs(args)

@@ -172,7 +172,11 @@ object QuantileSketch {
 object HllSketch {
 
   class Agg(p: Int) extends Aggregator[Long, Array[Byte], Double] {
-    require(p >= 4 && p <= 16, s"precision p must be in [4,16], got $p")
+    // floor 7 (m=128): the closed-form alpha = 0.7213/(1+1.079/m) only
+    // holds for m >= 128 (Flajolet et al. 2007 give fixed constants for
+    // m in {16,32,64}); admitting smaller p would bake in a systematic
+    // bias outside the linear-counting regime
+    require(p >= 7 && p <= 16, s"precision p must be in [7,16], got $p")
     private val m = 1 << p
     private val lowBits = 60 - p
     private val lowMask = (1L << lowBits) - 1

@@ -124,6 +124,17 @@ object IndexOps {
   def writeMapFileIndex(compressed: DataFrame, dir: String,
                         numPartitions: Int = 1): Unit = {
     import org.apache.hadoop.io.BytesWritable
+    // executors must resolve the SAME filesystem the session would (HDFS/
+    // S3/local per fs.defaultFS) — a bare executor-side Configuration()
+    // sees whatever core-site happens to be on that classpath. Hadoop
+    // Configuration is Writable, not Serializable: ship the entries.
+    val confEntries = {
+      val hc = compressed.sparkSession.sparkContext.hadoopConfiguration
+      val it = hc.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
     val parted =
       if (numPartitions == 1) compressed.coalesce(1).sortWithinPartitions("term")
       else compressed.repartitionByRange(numPartitions, col("term"))
@@ -133,6 +144,7 @@ object IndexOps {
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val conf = new org.apache.hadoop.conf.Configuration()
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
           val path = new org.apache.hadoop.fs.Path(f"$dir/part-r-$pid%05d")
           // uncompressed, like the reference's MapFileOutputFormat default
           // (conf's io.seqfile.compression.type would otherwise sneak
@@ -154,11 +166,16 @@ object IndexOps {
   /** MapFile.get point lookup across the part files — decodes the packed
     * postings back to (docid, tf) pairs. Driver-side by design: this is
     * the interactive lookup tool (S5), not a distributed operator. */
-  def mapFileGet(dir: String, term: String): Option[Seq[(Long, Long)]] = {
+  def mapFileGet(dir: String, term: String,
+                 conf: org.apache.hadoop.conf.Configuration =
+                   org.apache.spark.sql.SparkSession.active
+                     .sparkContext.hadoopConfiguration): Option[Seq[(Long, Long)]] = {
     import org.apache.hadoop.io.BytesWritable
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    // resolve the path's OWN filesystem (hdfs://, s3a://, file:, or the
+    // conf's default) — must match wherever writeMapFileIndex landed
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val parts = fs.listStatus(dirPath)
       .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val key = new Text(term)
     val value = new BytesWritable()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -175,9 +175,13 @@ object SimilarityOps {
   /** Spherical k-means (Lloyd) refinement of the IVF coarse quantizer:
     * assign every vector to its max-cosine centroid (the same codegen'd
     * argmax fold the probe uses), recompute each cell's centroid as the
-    * element-wise mean of its members, repeat. Deterministic end to end
-    * (seeded by [[seedCentroids]], ties to the lowest cell id), so a
-    * trained index rebuilds identically on a rerun. Each iteration is one
+    * element-wise mean of its members, repeat. The seeding and tie-breaks
+    * are deterministic (lowest id / lowest cell), so reruns over the SAME
+    * physical partitioning rebuild identical centroids; the residual
+    * nondeterminism is avg()'s floating summation order, which can move a
+    * centroid by an ulp under a different partition layout and flip a
+    * borderline vector's cell — harmless for recall, but don't hash-gate
+    * anything downstream of a trained quantizer. Each iteration is one
     * pass over the corpus + an nlist x dim aggregation — the training cost
     * a real IVF pays once at index build. Empty cells keep their previous
     * centroid. */
@@ -185,7 +189,9 @@ object SimilarityOps {
                         nlist: Int, iterations: Int = 5): Array[Centroid] = {
     val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
       .localCheckpoint()
-    val dim = c.select(size(col("v"))).head().getInt(0)
+    val dimRow = c.select(size(col("v"))).head(1)
+    if (dimRow.isEmpty) return Array.empty // empty corpus -> empty model
+    val dim = dimRow(0).getInt(0)
     var cents = seedCentroids(corpus, idCol, vecCol, nlist)
     for (_ <- 1 to iterations) {
       val assigned = c.withColumn("cell",
@@ -237,6 +243,15 @@ object SimilarityOps {
     // hyperplaneCodeFast. Pass `centroids` (e.g. from trainIvfCentroids)
     // to swap the quantizer without touching the plan.
     val cents = centroids.getOrElse(seedCentroids(corpus, idCol, vecCol, nlist))
+    if (cents.isEmpty) {
+      // empty corpus/model: zero-argument greatest() would fail analysis;
+      // return the (empty) result with the contract schema instead
+      import org.apache.spark.sql.types._
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("query_id", LongType), StructField("vec_id", LongType),
+          StructField("cos", DoubleType), StructField("rn", IntegerType))))
+    }
     // assignment: argmax via the greatest() struct fold; ties -> lowest
     // centroid id, matching a first-wins maxBy and the oracle's
     // (cos DESC, cent ASC)

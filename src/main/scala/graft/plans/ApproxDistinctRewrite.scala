@@ -60,7 +60,8 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
           ExpressionEncoder[Array[Long]]().resolveAndBind(),
           nullable = false, isDeterministic = true)
       case "hll" =>
-        val p = math.max(4, math.min(16,
+        // p >= 7: HllSketch's alpha formula needs m >= 128 registers
+        val p = math.max(7, math.min(16,
           (63 - java.lang.Long.numberOfLeadingZeros(math.max(k, 16).toLong)).toInt))
         ScalaAggregator[Long, Array[Byte], Double](
           Seq(hash), new HllSketch.Agg(p),

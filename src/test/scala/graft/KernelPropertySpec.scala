@@ -96,6 +96,29 @@ class KernelPropertySpec extends AnyFunSuite {
     }, "simhash64")
   }
 
+  test("CMS build and probe bucket paths agree (JVM wrap-multiply vs 30-bit split)") {
+    // CmsSketch.reduce buckets via Kernels.multipliers + JVM wrap-multiply;
+    // CmsSketch.estimate buckets via DedupOps.permuteHash (30-bit-split
+    // column form) + pmod. The one-sided CMS guarantee dies silently if
+    // these ever diverge — pin their equality over random hashes.
+    val d = 3; val w = 1024
+    val mults = Kernels.multipliers(d)
+    def splitBucket(h: Long, j: Int): Int = {
+      // the exact arithmetic DedupOps.permuteHash emits as columns
+      val mask30 = (1L << 30) - 1
+      val c = mults(j)
+      val c1 = c >> 30; val c0 = c & mask30
+      val h1 = h >>> 30; val h0 = h & mask30
+      val mid = (h0 * c1 + h1 * c0) & mask30
+      val perm = (h0 * c0 + (mid << 30)) & Kernels.mask60
+      (perm % w).toInt
+    }
+    check(forAll(Gen.chooseNum(0L, (1L << 60) - 1)) { h =>
+      (0 until d).forall(j =>
+        graft.functions.CmsSketch.bucket(h, j, d, w) == splitBucket(h, j))
+    }, "cms bucket parity")
+  }
+
   test("KMV sketch: merge is commutative/associative, partition-order invariant") {
     val agg = new KmvSketch.Agg(32)
     val genHs = Gen.listOf(Gen.choose(0L, Kernels.mask60))

@@ -77,7 +77,8 @@ fails, passes, skips = [], [], []
 result_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
 for d in result_dirs:
     name = os.path.basename(d)
-    got = pq.read_table(d).to_pandas()
+    got_arrow = pq.read_table(d)
+    got = got_arrow.to_pandas()
     if name not in oracle:
         skips.append((name, len(got)))
         continue
@@ -87,7 +88,7 @@ for d in result_dirs:
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
-    tbad = arrow_type_mismatches(pq.read_table(d), exp_arrow)
+    tbad = arrow_type_mismatches(got_arrow, exp_arrow)
     if tbad:
         fails.append((name, "arrow dtype drift: " + "; ".join(tbad)))
         continue
