@@ -198,6 +198,14 @@ object SparkEntry {
         emb.where(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, planes = 4)
     }),
+    // multi-probe LSH: also probes the Hamming-distance-1 buckets on the
+    // query side (recall recovery for near-hyperplane vectors)
+    "q_ann_lsh_mp" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, planes = 4, probeBits = 4)
+    }),
     // brute-force O(n²) pair scan — bounded to the first 2000 vectors; the
     // hyperplane-LSH bucketing in SimilarityOps is the full-corpus path
     "q_embed_neardup" -> ((s, dir) =>
@@ -692,6 +700,30 @@ object SparkEntry {
          |c AS (SELECT vec_id, v, nrm, $codeSql AS code FROM e),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, code AS qcode
          |      FROM c WHERE vec_id < 3),
+         |s AS (SELECT query_id, vec_id,
+         |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
+         |      FROM c JOIN q ON c.code = q.qcode AND c.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM s) WHERE rn <= 5""".stripMargin
+    },
+    // q_ann_lsh plus the query-side Hamming-1 probe codes
+    "q_ann_lsh_mp" -> {
+      def planeSql(p: Int): String =
+        s"[CASE WHEN CAST(('0x' || substring(md5('$p:' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 0" +
+          s" THEN 1.0 ELSE -1.0 END FOR d IN generate_series(0, len(v) - 1)]"
+      val codeSql = (0 until 4).map(p =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n|    + ")
+      s"""WITH e AS ($embSql),
+         |c AS (SELECT vec_id, v, nrm, $codeSql AS code FROM e),
+         |q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, code AS qc
+         |       FROM c WHERE vec_id < 3),
+         |q AS (SELECT query_id, qv, qnrm,
+         |        unnest([qc, xor(qc, 1), xor(qc, 2), xor(qc, 4), xor(qc, 8)])
+         |          AS qcode
+         |      FROM q0),
          |s AS (SELECT query_id, vec_id,
          |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
          |      FROM c JOIN q ON c.code = q.qcode AND c.vec_id <> q.query_id)

@@ -49,4 +49,19 @@ object LayoutOps {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Hive-style partitioned parquet write on a derived column: the
+    * standard date/category layout that turns a predicate on the
+    * partition column into DIRECTORY pruning (whole partitions never
+    * open — stronger than row-group stats). The repartition on the
+    * partition column keeps it one file per partition value per write
+    * instead of numPartitions small files each.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       value: Column): Unit =
+    df.withColumn(partitionCol, value)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

@@ -121,14 +121,25 @@ object SimilarityOps {
     * bigger buckets = higher recall & cost). */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int, planes: Int = 8): DataFrame = {
+              k: Int, planes: Int = 8, probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= planes,
+      s"probeBits must be in [0, planes], got $probeBits")
     // embedding dimension read once from the data (arrays carry no length
     // in the schema); the plane literals hoist against it
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
     val cc = c.withColumn("code", hyperplaneCodeFast(c, col("v"), planes, dim))
     val q0 = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
-    val q = q0.withColumn("qcode", hyperplaneCodeFast(q0, col("qv"), planes, dim))
+    // multi-probe: beyond the exact code, probe the first `probeBits`
+    // Hamming-distance-1 codes (flip one plane's sign bit). A vector near
+    // a hyperplane lands on either side by a hair — probing the adjacent
+    // buckets recovers those misses for a probeBits+1 factor of candidate
+    // cost, WITHOUT growing the corpus index (the standard multi-probe
+    // LSH trade; probe codes are query-side only)
+    val q1 = q0.withColumn("qcode0", hyperplaneCodeFast(q0, col("qv"), planes, dim))
+    val probeCodes = col("qcode0") +:
+      (0 until probeBits).map(p => col("qcode0").bitwiseXOR(lit(1L << p)))
+    val q = q1.withColumn("qcode", explode(array(probeCodes: _*)))
     val scored = cc.join(broadcast(q),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -146,6 +146,23 @@ class DedupSimSpec extends SparkSpec {
     lsh.foreach { case (k, c) => assert(brute.get(k).forall(_ === c)) }
   }
 
+  test("multi-probe LSH recall is at least the exact-bucket recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    val exact = pairs(SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, planes = 4))
+    val mp = pairs(SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, planes = 4, probeBits = 4))
+    // probing a SUPERSET of buckets can only surface closer candidates
+    assert(mp.intersect(brute).size >= exact.intersect(brute).size,
+      s"mp recall ${mp.intersect(brute).size} < exact ${exact.intersect(brute).size}")
+  }
+
   test("IVF k-means training: deterministic, objective non-decreasing, sane recall") {
     import graft.operators.SimilarityOps.Centroid
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

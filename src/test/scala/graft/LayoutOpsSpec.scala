@@ -38,6 +38,26 @@ class LayoutOpsSpec extends SparkSpec {
     assert(avgArea <= 512.0, s"avg chunk area $avgArea")
   }
 
+  test("partitioned write prunes whole directories on partition predicates") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/ev"
+    LayoutOps.writePartitioned(
+      ev.select(col("event_id"), col("event_type"), col("value")),
+      dir, "etype", col("event_type"))
+    // hive-style layout on disk
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("etype=")).sorted
+    assert(subdirs.nonEmpty && subdirs.forall(_.contains("=")))
+    // a partition-column predicate becomes a PartitionFilter (directory
+    // pruning) and must NOT appear as a data filter on the scan
+    val back = spark.read.parquet(dir).where(col("etype") === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(etype"), plan)
+    val clicks = ev.where(col("event_type") === "click").count()
+    assert(back.count() === clicks)
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
