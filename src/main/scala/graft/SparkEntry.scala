@@ -82,6 +82,24 @@ object SparkEntry {
           round(col("purchase_value"), 6).as("purchase_value"))
     }),
 
+    // bucketized range join: points to containing [lo, hi] intervals as a
+    // plain equi-join on buckets (the naive range condition plans as an
+    // O(n*m) BroadcastNestedLoopJoin)
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val points = ev.select(col("event_id"), col("value"))
+      val intervals = ev
+        .where(col("user_id") < 30 && col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"),
+          col("value").as("lo"), (col("value") + lit(25.0)).as("hi"))
+      JoinOps.rangeJoin(points, "value", intervals, "lo", "hi",
+        bucketWidth = 25.0)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_points"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))
+    }),
+
     // ---- inverted index / retrieval (assignment-3 family): A6, R1-R4, J3 ----
     "q_term_doctf" -> ((s, dir) =>
       IndexOps.termDocTf(docs(s, dir), "doc_id", "text")
@@ -981,6 +999,14 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, value FROM events),
+        |i AS (SELECT event_id AS interval_id, value AS lo, value + 25.0 AS hi
+        |      FROM events WHERE user_id < 30 AND event_type = 'purchase')
+        |SELECT interval_id, count(*) AS n_points,
+        |  round(min(p.value), 6) AS min_v, round(max(p.value), 6) AS max_v
+        |FROM p JOIN i ON p.value >= i.lo AND p.value <= i.hi
+        |GROUP BY interval_id""".stripMargin,
     "q_window_suite" ->
       """SELECT user_id, event_id,
         |  round(lag(value, 1) OVER w, 6) AS prev_value,

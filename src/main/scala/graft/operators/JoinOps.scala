@@ -76,4 +76,38 @@ object JoinOps {
       .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
         valueCols.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** Bucketized range join: every point row paired with every interval row
+    * (same optional key) whose `[lo, hi]` contains the point.
+    *
+    * Spark plans a naive `p >= lo AND p <= hi` join condition as a
+    * BroadcastNestedLoopJoin — O(|points| x |intervals|) comparisons and
+    * a broadcast of a whole side. Here intervals explode to the buckets
+    * of width `bucketWidth` they overlap, points map to their single
+    * bucket, and the pairing becomes a plain shuffled EQUI-join on
+    * (key, bucket) with the exact containment as a post-filter: work is
+    * O(candidates in the same bucket), both sides shuffle-partitioned,
+    * nothing broadcast. Each (point, interval) pair meets in exactly one
+    * bucket (the point's), so no dedup is needed.
+    *
+    * Pick `bucketWidth` near the typical interval length: much smaller
+    * explodes intervals into many buckets; much larger inflates
+    * same-bucket candidate counts. Degenerate giant intervals (>> width)
+    * fan out proportionally — cap interval length upstream if the
+    * distribution is adversarial.
+    */
+  def rangeJoin(points: DataFrame, pCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double, keyCol: Option[String] = None): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    val pB = points.withColumn("__bucket", bucketOf(col(pCol)))
+    val iB = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    val joinKeys = "__bucket" +: keyCol.toSeq
+    pB.join(iB, joinKeys)
+      .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }

@@ -46,6 +46,31 @@ class JoinOpsSpec extends SparkSpec {
       4L -> None, 5L -> None))
   }
 
+  test("rangeJoin equals the brute-force inequality join for any bucket width") {
+    val points = (0 until 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "p")
+    val intervals = Seq(
+      (1L, 5.0, 12.0), (2L, 11.9, 12.1), (3L, 50.0, 130.0), // long interval
+      (4L, 200.0, 300.0), (5L, -10.0, -1.0)                 // no matches
+    ).toDF("iid", "lo", "hi")
+    val brute = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(0.5, 7.0, 1000.0)) {
+      val got = JoinOps.rangeJoin(points, "p", intervals, "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute, s"bucketWidth=$w")
+    }
+    // keyed variant: matches must also agree on the key
+    val kp = points.withColumn("k", col("pid") % 2)
+    val ki = intervals.withColumn("k", col("iid") % 2)
+    val bruteK = kp.join(ki, col("p") >= col("lo") && col("p") <= col("hi") &&
+        kp("k") === ki("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotK = JoinOps.rangeJoin(kp, "p", ki, "lo", "hi", 7.0, keyCol = Some("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotK === bruteK)
+  }
+
   test("as-of join output keeps every left row exactly once") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("ts"))

@@ -101,6 +101,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("range join plans as an equi-join on buckets, never a nested loop") {
+    val p = planOf("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
   test("bloom contamination probes via the 1-row broadcast, never a shuffle join") {
     val p = planOf("q_bloom_contamination")
     assert(!p.contains("SortMergeJoin"), p)
