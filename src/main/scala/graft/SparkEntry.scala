@@ -706,50 +706,10 @@ object SparkEntry {
     // hyperplane-LSH: the md5-derived ±1 planes (SimilarityOps.planeSign /
     // planeVector — first md5 hex char of "p:d" even -> +1) are fully
     // deterministic, so the bucket code is SQL-expressible exactly like
-    // the MinHash permutations above.
-    "q_ann_lsh" -> {
-      def planeSql(p: Int): String =
-        s"[CASE WHEN CAST(('0x' || substring(md5('$p:' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 0" +
-          s" THEN 1.0 ELSE -1.0 END FOR d IN generate_series(0, len(v) - 1)]"
-      val codeSql = (0 until 4).map(p =>
-        s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString("\n|    + ")
-      s"""WITH e AS ($embSql),
-         |c AS (SELECT vec_id, v, nrm, $codeSql AS code FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, code AS qcode
-         |      FROM c WHERE vec_id < 3),
-         |s AS (SELECT query_id, vec_id,
-         |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
-         |      FROM c JOIN q ON c.code = q.qcode AND c.vec_id <> q.query_id)
-         |SELECT query_id, vec_id, cos, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY cos DESC, vec_id ASC) AS rn
-         |  FROM s) WHERE rn <= 5""".stripMargin
-    },
-    // q_ann_lsh plus the query-side Hamming-1 probe codes
-    "q_ann_lsh_mp" -> {
-      def planeSql(p: Int): String =
-        s"[CASE WHEN CAST(('0x' || substring(md5('$p:' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 0" +
-          s" THEN 1.0 ELSE -1.0 END FOR d IN generate_series(0, len(v) - 1)]"
-      val codeSql = (0 until 4).map(p =>
-        s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString("\n|    + ")
-      s"""WITH e AS ($embSql),
-         |c AS (SELECT vec_id, v, nrm, $codeSql AS code FROM e),
-         |q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, code AS qc
-         |       FROM c WHERE vec_id < 3),
-         |q AS (SELECT query_id, qv, qnrm,
-         |        unnest([qc, xor(qc, 1), xor(qc, 2), xor(qc, 4), xor(qc, 8)])
-         |          AS qcode
-         |      FROM q0),
-         |s AS (SELECT query_id, vec_id,
-         |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
-         |      FROM c JOIN q ON c.code = q.qcode AND c.vec_id <> q.query_id)
-         |SELECT query_id, vec_id, cos, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY cos DESC, vec_id ASC) AS rn
-         |  FROM s) WHERE rn <= 5""".stripMargin
-    },
+    // the MinHash permutations above. q_ann_lsh_mp shares every piece
+    // except the query CTE, which also unnests the Hamming-1 probe codes.
+    "q_ann_lsh" -> lshAnnOracleSql(multiProbe = false),
+    "q_ann_lsh_mp" -> lshAnnOracleSql(multiProbe = true),
     "q_embed_neardup" ->
       s"""WITH e0 AS ($embSql),
          |e AS (SELECT * FROM e0 WHERE vec_id < 2000)
@@ -1189,6 +1149,41 @@ object SparkEntry {
     """SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings)""".stripMargin
+
+  /** Hyperplane-LSH ANN oracle (planes=4, k=5, queries vec_id < 3),
+    * mirroring SimilarityOps.lshTopK: md5-derived ±1 plane signs, packed
+    * sign-bit code, bucket-equality join, (cos DESC, vec_id ASC) rank.
+    * `multiProbe` adds the query-side Hamming-distance-1 codes —
+    * everything else is shared so the two gates cannot drift apart. */
+  private def lshAnnOracleSql(multiProbe: Boolean): String = {
+    def planeSql(p: Int): String =
+      s"[CASE WHEN CAST(('0x' || substring(md5('$p:' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 0" +
+        s" THEN 1.0 ELSE -1.0 END FOR d IN generate_series(0, len(v) - 1)]"
+    val codeSql = (0 until 4).map(p =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n|    + ")
+    val qCte =
+      if (!multiProbe)
+        """q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, code AS qcode
+          |      FROM c WHERE vec_id < 3)""".stripMargin
+      else
+        """q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, code AS qc
+          |       FROM c WHERE vec_id < 3),
+          |q AS (SELECT query_id, qv, qnrm,
+          |        unnest([qc, xor(qc, 1), xor(qc, 2), xor(qc, 4), xor(qc, 8)])
+          |          AS qcode
+          |      FROM q0)""".stripMargin
+    s"""WITH e AS ($embSql),
+       |c AS (SELECT vec_id, v, nrm, $codeSql AS code FROM e),
+       |$qCte,
+       |s AS (SELECT query_id, vec_id,
+       |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
+       |      FROM c JOIN q ON c.code = q.qcode AND c.vec_id <> q.query_id)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM s) WHERE rn <= 5""".stripMargin
+  }
 
   // Shared graph CTEs: part->supplier edges from lineitem (deduped, as the
   // engine dedupes), vertex set = src UNION dst, out-degrees.

@@ -88,18 +88,29 @@ object JoinOps {
     * (key, bucket) with the exact containment as a post-filter: work is
     * O(candidates in the same bucket), both sides shuffle-partitioned,
     * nothing broadcast. Each (point, interval) pair meets in exactly one
-    * bucket (the point's), so no dedup is needed.
+    * bucket (the point's), so no dedup is needed. The planner is free to
+    * broadcast the (usually small) exploded-interval side — that's a fine
+    * outcome; the invariant this shape buys is never a NESTED LOOP.
     *
     * Pick `bucketWidth` near the typical interval length: much smaller
     * explodes intervals into many buckets; much larger inflates
     * same-bucket candidate counts. Degenerate giant intervals (>> width)
     * fan out proportionally — cap interval length upstream if the
     * distribution is adversarial.
+    *
+    * Column names of the two inputs must be disjoint apart from `keyCol`
+    * (checked) — the output carries both sides' columns flat.
     */
   def rangeJoin(points: DataFrame, pCol: String,
                 intervals: DataFrame, loCol: String, hiCol: String,
                 bucketWidth: Double, keyCol: Option[String] = None): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet) -- keyCol
+    require(overlap.isEmpty,
+      s"points/intervals column names must be disjoint apart from the key; " +
+        s"shared: ${overlap.mkString(", ")}")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by rangeJoin")
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / bucketWidth).cast("long")
     val pB = points.withColumn("__bucket", bucketOf(col(pCol)))

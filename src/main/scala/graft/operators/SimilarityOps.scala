@@ -136,10 +136,15 @@ object SimilarityOps {
     // buckets recovers those misses for a probeBits+1 factor of candidate
     // cost, WITHOUT growing the corpus index (the standard multi-probe
     // LSH trade; probe codes are query-side only)
-    val q1 = q0.withColumn("qcode0", hyperplaneCodeFast(q0, col("qv"), planes, dim))
-    val probeCodes = col("qcode0") +:
-      (0 until probeBits).map(p => col("qcode0").bitwiseXOR(lit(1L << p)))
-    val q = q1.withColumn("qcode", explode(array(probeCodes: _*)))
+    val q = if (probeBits == 0) {
+      // exact-bucket path keeps its original plan shape (no Generate node)
+      q0.withColumn("qcode", hyperplaneCodeFast(q0, col("qv"), planes, dim))
+    } else {
+      val q1 = q0.withColumn("qcode0", hyperplaneCodeFast(q0, col("qv"), planes, dim))
+      val probeCodes = col("qcode0") +:
+        (0 until probeBits).map(p => col("qcode0").bitwiseXOR(lit(1L << p)))
+      q1.withColumn("qcode", explode(array(probeCodes: _*))).drop("qcode0")
+    }
     val scored = cc.join(broadcast(q),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

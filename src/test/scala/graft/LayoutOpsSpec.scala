@@ -50,12 +50,23 @@ class LayoutOpsSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("etype=")).sorted
     assert(subdirs.nonEmpty && subdirs.forall(_.contains("=")))
     // a partition-column predicate becomes a PartitionFilter (directory
-    // pruning) and must NOT appear as a data filter on the scan
+    // pruning) and must NOT appear as a pushed data filter on the scan
     val back = spark.read.parquet(dir).where(col("etype") === "click")
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(etype"), plan)
+    // the FileScan line carries all filter lists; slice each bracket out
+    def bracketAfter(tag: String): String = {
+      val i = plan.indexOf(tag)
+      if (i < 0) "" else plan.substring(i, plan.indexOf("]", i) + 1)
+    }
+    assert(!bracketAfter("PushedFilters:").contains("etype"),
+      s"partition predicate leaked into pushed filters: $plan")
+    assert(!bracketAfter("DataFilters:").contains("etype"),
+      s"partition predicate leaked into data filters: $plan")
     val clicks = ev.where(col("event_type") === "click").count()
     assert(back.count() === clicks)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
   }
 
   test("zOrderBy preserves rows and orders partitions by z") {
