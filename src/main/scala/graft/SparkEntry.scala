@@ -147,6 +147,18 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(graphEdges(s, dir), iterations = 5)
         .select(col("nodeid"), round(col("rank"), 9).as("pr"))),
+    // SAME oracle, alternate physical paths: range-partitioned adjacency
+    // (G10 second half) and the hub-guard edge-relation scatter (forced
+    // with threshold 1) — both must land on identical ranks, so the
+    // driver's gate exercises every PageRank code path end-to-end
+    "q_pagerank_range" -> ((s, dir) =>
+      GraphOps.pageRank(graphEdges(s, dir), iterations = 5,
+        rangePartition = true)
+        .select(col("nodeid"), round(col("rank"), 9).as("pr"))),
+    "q_pagerank_hub" -> ((s, dir) =>
+      GraphOps.pageRank(graphEdges(s, dir), iterations = 5,
+        hubDegreeThreshold = 1L)
+        .select(col("nodeid"), round(col("rank"), 9).as("pr"))),
     // the log-space numeric regime (the reference's float-underflow
     // armor, double-precision here) must agree with linear space to
     // 9 decimals — gated against the SAME unrolled oracle as q_pagerank
@@ -587,6 +599,8 @@ object SparkEntry {
         |       (SELECT count(*) FROM v
         |        WHERE nodeid NOT IN (SELECT DISTINCT src FROM e)) AS dangling""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
+    "q_pagerank_range" -> pageRankOracle(5),
+    "q_pagerank_hub" -> pageRankOracle(5),
     "q_pagerank_log" -> pageRankOracle(5),
     "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
     "q_dedup_exact" ->
