@@ -403,7 +403,10 @@ object SparkEntry {
         row_number().over(w).as("rn"))
     }),
     // edit distance over the LSH near-dup candidates (the precise-refine
-    // step a fuzzy-dedup pipeline runs after candidate generation)
+    // step a fuzzy-dedup pipeline runs after candidate generation).
+    // Candidate count grows quadratically in per-doc COPY count — run
+    // exact dedup first on heavily-duplicated corpora (measured 76x on a
+    // deliberately 80%-duplicate 5x dataset)
     "q_levenshtein" -> ((s, dir) => {
       val d = docs(s, dir)
       DedupOps.minhashNearDupPairs(d, "doc_id", "text",
