@@ -170,6 +170,13 @@ object SparkEntry {
         .select(col("source"), col("nodeid"), round(col("rank"), 9).as("rank"))
       GraphOps.topKPerSource(pr, 5).withColumnRenamed("rank", "pr")
     }),
+    // personalized hub-fallback path forced end-to-end, same oracle
+    "q_ppr_hub" -> ((s, dir) => {
+      val pr = GraphOps.personalizedPageRank(graphEdges(s, dir), Seq(1L, 2L),
+        iterations = 5, hubDegreeThreshold = 1L)
+        .select(col("source"), col("nodeid"), round(col("rank"), 9).as("rank"))
+      GraphOps.topKPerSource(pr, 5).withColumnRenamed("rank", "pr")
+    }),
 
     // graph summary counters (A8) — the reference's job-counter surface
     "q_graph_stats" -> ((s, dir) => {
@@ -606,6 +613,7 @@ object SparkEntry {
     "q_pagerank_hub" -> pageRankOracle(5),
     "q_pagerank_log" -> pageRankOracle(5),
     "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
+    "q_ppr_hub" -> pprTopkOracle(5, Seq(1L, 2L), 5),
     "q_dedup_exact" ->
       s"""WITH d AS (SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

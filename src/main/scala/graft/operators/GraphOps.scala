@@ -325,9 +325,15 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long], iterations: Int,
                            alpha: Double = 0.15, vertices: Option[DataFrame] = None,
                            numPartitions: Int = 32, dedupeEdges: Boolean = true,
-                           rangePartition: Boolean = false): DataFrame = {
+                           rangePartition: Boolean = false,
+                           hubDegreeThreshold: Long = 4000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // same hub guard as pageRank: adjacency arrays are per-source rows, so
+    // a 100M-out-degree hub OOMs identically here
+    if (maxRawOutDegree(edges) > hubDegreeThreshold)
+      return personalizedPageRankEdgeScatter(edges, sources, iterations, alpha,
+        vertices, numPartitions, dedupeEdges, rangePartition)
     val (verts, nVerts, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges,
       rangePartition)
     val small = nVerts < aqeIterationCutoff
@@ -377,6 +383,66 @@ object GraphOps {
       state = state.localCheckpoint()
     }
     finally { adj.unpersist(); verts.unpersist() }
+    state
+  }
+
+  /** Hub-safe personalized PageRank: the per-source state scatters off the
+    * flat (src, dst) relation exactly as [[pageRankEdgeScatter]] does for
+    * the global walk — state⋈deg computes per-edge mass on the narrow
+    * join, the persisted edge relation fans it out, dangling rank reaches
+    * the NULL sentinel via the deg anti-side. Downstream (per-source
+    * literal dangling relation, state update) is identical to the
+    * adjacency path, so ranks match bit-for-bit.
+    */
+  private def personalizedPageRankEdgeScatter(
+      edges: DataFrame, sources: Seq[Long], iterations: Int, alpha: Double,
+      vertices: Option[DataFrame], numPartitions: Int,
+      dedupeEdges: Boolean, rangePartition: Boolean): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (verts, nVerts, e, deg) =
+      buildEdgeGraph(edges, vertices, numPartitions, dedupeEdges, rangePartition)
+    val small = nVerts < aqeIterationCutoff
+    def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val srcDf = sources.toDF("source")
+
+    var state = verts.crossJoin(srcDf)
+      .withColumn("rank", when(col("nodeid") === col("source"), lit(1.0)).otherwise(lit(0.0)))
+    try withIterationAqe(edges, nVerts) { for (_ <- 1 to iterations) {
+      val rd = state.as("st").join(maybeBroadcast(deg.as("dg")),
+        col("st.nodeid") === col("dg.src"), "left_outer")
+      val linked = rd.where(col("dg.outdeg").isNotNull)
+        .select(col("st.source").as("source"), col("st.nodeid").as("esrc"),
+          (col("st.rank") / col("dg.outdeg")).as("m"))
+        .join(e.as("eg"), col("esrc") === col("eg.src"))
+        .select(col("source"), col("eg.dst").as("dst"), col("m"))
+      val dangling = rd.where(col("dg.outdeg").isNull)
+        .select(col("st.source").as("source"),
+          lit(null).cast("long").as("dst"), col("st.rank").as("m"))
+      val gathered0 = linked.union(dangling)
+        .groupBy("source", "dst").agg(sum(col("m")).as("in_mass"))
+        .localCheckpoint()
+      val missing = gathered0.where(col("dst").isNull)
+        .select(col("source"), col("in_mass"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .toDF("msource", "miss")
+      val gathered = gathered0.where(col("dst").isNotNull)
+        .withColumnRenamed("source", "gsource").withColumnRenamed("dst", "gdst")
+      state = verts.crossJoin(srcDf)
+        .join(maybeBroadcast(gathered),
+          col("nodeid") === col("gdst") && col("source") === col("gsource"),
+          "left_outer")
+        .join(broadcast(missing), col("source") === col("msource"), "left_outer")
+        .select(col("source"), col("nodeid"),
+          (when(col("nodeid") === col("source"), lit(alpha)).otherwise(lit(0.0)) +
+            lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) +
+              when(col("nodeid") === col("source"), coalesce(col("miss"), lit(0.0)))
+                .otherwise(lit(0.0))))
+            .as("rank"))
+      }
+      state = state.localCheckpoint()
+    }
+    finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
     state
   }
 

@@ -119,6 +119,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(viaEdges.values.sum - 1.0) < 1e-9, "rank mass conserved")
   }
 
+  test("hub guard on personalized PageRank matches the adjacency path and oracle") {
+    val viaAdjacency = GraphOps.personalizedPageRank(smallEdges, Seq(1L, 4L),
+      iterations = 10, vertices = Some(smallVerts), numPartitions = 4,
+      hubDegreeThreshold = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaEdges = GraphOps.personalizedPageRank(smallEdges, Seq(1L, 4L),
+      iterations = 10, vertices = Some(smallVerts), numPartitions = 4,
+      hubDegreeThreshold = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaEdges.keySet === viaAdjacency.keySet)
+    for ((k, v) <- viaAdjacency)
+      assert(math.abs(viaEdges(k) - v) < 1e-15, s"state $k")
+    for (src <- Seq(1L, 4L)) {
+      val exp = seqPpr(smallAdj, src, 10)
+      for ((k, v) <- exp)
+        assert(math.abs(viaEdges((src, k)) - v) < 1e-12, s"source $src node $k")
+    }
+  }
+
   test("graphStats counts nodes, edges, dangling (A8 counters)") {
     val stats = GraphOps.graphStats(smallEdges, Some(smallVerts))
     assert(stats === Map("nodes" -> 5L, "edges" -> 7L, "dangling" -> 1L))
