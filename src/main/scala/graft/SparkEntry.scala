@@ -155,8 +155,11 @@ object SparkEntry {
       GraphOps.pageRank(graphEdges(s, dir), iterations = 5,
         rangePartition = true)
         .select(col("nodeid"), round(col("rank"), 9).as("pr"))),
+    // 3 iterations: these exist to gate the alternate physical path, and
+    // path coverage is identical at any depth — no need to pay the
+    // worst-case fallback 5 deep
     "q_pagerank_hub" -> ((s, dir) =>
-      GraphOps.pageRank(graphEdges(s, dir), iterations = 5,
+      GraphOps.pageRank(graphEdges(s, dir), iterations = 3,
         hubDegreeThreshold = 1L)
         .select(col("nodeid"), round(col("rank"), 9).as("pr"))),
     // the log-space numeric regime (the reference's float-underflow
@@ -173,7 +176,7 @@ object SparkEntry {
     // personalized hub-fallback path forced end-to-end, same oracle
     "q_ppr_hub" -> ((s, dir) => {
       val pr = GraphOps.personalizedPageRank(graphEdges(s, dir), Seq(1L, 2L),
-        iterations = 5, hubDegreeThreshold = 1L)
+        iterations = 3, hubDegreeThreshold = 1L)
         .select(col("source"), col("nodeid"), round(col("rank"), 9).as("rank"))
       GraphOps.topKPerSource(pr, 5).withColumnRenamed("rank", "pr")
     }),
@@ -610,10 +613,10 @@ object SparkEntry {
         |        WHERE nodeid NOT IN (SELECT DISTINCT src FROM e)) AS dangling""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
     "q_pagerank_range" -> pageRankOracle(5),
-    "q_pagerank_hub" -> pageRankOracle(5),
+    "q_pagerank_hub" -> pageRankOracle(3),
     "q_pagerank_log" -> pageRankOracle(5),
     "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
-    "q_ppr_hub" -> pprTopkOracle(5, Seq(1L, 2L), 5),
+    "q_ppr_hub" -> pprTopkOracle(3, Seq(1L, 2L), 5),
     "q_dedup_exact" ->
       s"""WITH d AS (SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
