@@ -64,4 +64,34 @@ object LayoutOps {
       .write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Compact a parquet directory to ~`targetFileBytes` output files — the
+    * small-files maintenance pass every streaming/incremental writer needs
+    * (thousands of KB-sized files turn scans into metadata storms and
+    * starve HDFS namenodes). File count is sized from the CURRENT on-disk
+    * bytes (already-encoded parquet, so the estimate is honest), then the
+    * data is rewritten through a single repartition into a temp dir and
+    * atomically* swapped in (*rename-atomic on posix/HDFS; object stores
+    * need a manifest commit instead — out of scope here).
+    * @return number of output files written
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__precompact")
+    fs.delete(bak, true)
+    require(fs.rename(p, bak), s"could not move $path aside")
+    require(fs.rename(tmp, p), s"could not move compacted data into $path")
+    fs.delete(bak, true)
+    nFiles
+  }
 }

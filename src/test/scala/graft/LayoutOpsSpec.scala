@@ -69,6 +69,27 @@ class LayoutOpsSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("compact collapses a many-small-files table, preserving every row") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$base/t"
+    // 40 small files
+    spark.range(20000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(40).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles === 40)
+    val before = spark.read.parquet(path).agg(sum("v"), count(lit(1))).head()
+    val n = graft.operators.LayoutOps.compact(spark, path,
+      targetFileBytes = 1L * 1024 * 1024)
+    val after = spark.read.parquet(path).agg(sum("v"), count(lit(1))).head()
+    assert(after === before, "content identical after compaction")
+    assert(parquetFiles === n && n < 40, s"files: $parquetFiles (target $n)")
+    assert(!new java.io.File(path + "__compacting").exists())
+    assert(!new java.io.File(path + "__precompact").exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
