@@ -458,8 +458,16 @@ object GraphOps {
   def pageRankLogSpace(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
                        vertices: Option[DataFrame] = None,
                        numPartitions: Int = 32,
-                       rangePartition: Boolean = false): DataFrame = {
+                       rangePartition: Boolean = false,
+                       hubDegreeThreshold: Long = 4000000L): DataFrame = {
     import graft.functions.LogSpace
+    // this variant exists for NUMERIC parity and stays adjacency-based;
+    // failing loudly on a mega-hub beats the silent executor OOM the
+    // collect_set array row would cause — the production hub-safe walk
+    // is [[pageRank]]
+    require(maxRawOutDegree(edges) <= hubDegreeThreshold,
+      s"max out-degree exceeds $hubDegreeThreshold; use pageRank (hub-safe " +
+        "edge-relation scatter) — log-space is the adjacency-based parity variant")
     // same single-pass iteration structure as [[pageRank]] (sentinel
     // scatter, checkpointed gather, driver-scalar dangling mass), with the
     // arithmetic in log space: scatter subtracts log(outdeg), the gather is
@@ -510,7 +518,13 @@ object GraphOps {
   def pageRankConverged(edges: DataFrame, tol: Double = 1e-7,
                         maxIterations: Int = 100, alpha: Double = 0.15,
                         vertices: Option[DataFrame] = None,
-                        numPartitions: Int = 32): (DataFrame, Int) = {
+                        numPartitions: Int = 32,
+                        hubDegreeThreshold: Long = 4000000L): (DataFrame, Int) = {
+    // adjacency-based (see pageRankLogSpace's note): fail loudly on a
+    // mega-hub rather than OOM building the adjacency array row
+    require(maxRawOutDegree(edges) <= hubDegreeThreshold,
+      s"max out-degree exceeds $hubDegreeThreshold; use pageRank (hub-safe) " +
+        "with a fixed iteration count instead")
     val verts = vertices.getOrElse(verticesOf(edges))
       .repartition(numPartitions, col("nodeid"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -72,8 +72,11 @@ object LayoutOps {
     * bytes (already-encoded parquet, so the estimate is honest), then the
     * data is rewritten through a single repartition into a temp dir and
     * atomically* swapped in (*rename-atomic on posix/HDFS; object stores
-    * need a manifest commit instead — out of scope here).
-    * @return number of output files written
+    * need a manifest commit instead — out of scope here). Refuses a
+    * Hive-partitioned root (compact leaf partition dirs individually —
+    * a flat rewrite would destroy the layout and re-infer partition
+    * values).
+    * @return number of parquet files present after the swap
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
@@ -81,17 +84,32 @@ object LayoutOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    // refuse Hive-partitioned layouts: a flat re-read would strip the
+    // directory structure AND re-infer partition values by type
+    // ('pc=00123' -> int 123) — compact each leaf partition dir instead
+    val partitioned = fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path is Hive-partitioned; compact each partition directory, not the root")
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    // siblings via Path(parent, name+suffix): string concat would nest
+    // them INSIDE the table when `path` carries a trailing slash
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compacting")
+    val bak = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__precompact")
     fs.delete(tmp, true)
-    spark.read.parquet(path).repartition(nFiles)
+    spark.read.parquet(p.toString).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "__precompact")
     fs.delete(bak, true)
     require(fs.rename(p, bak), s"could not move $path aside")
-    require(fs.rename(tmp, p), s"could not move compacted data into $path")
+    if (!fs.rename(tmp, p)) {
+      // roll the original back before failing — the table path must never
+      // be left empty
+      fs.rename(bak, p)
+      throw new java.io.IOException(s"could not move compacted data into $path")
+    }
     fs.delete(bak, true)
-    nFiles
+    // actual files written (empty repartition slots produce none)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
 }
