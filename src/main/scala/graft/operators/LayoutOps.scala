@@ -71,18 +71,35 @@ object LayoutOps {
     * starve HDFS namenodes). File count is sized from the CURRENT on-disk
     * bytes (already-encoded parquet, so the estimate is honest), then the
     * data is rewritten through a single repartition into a temp dir and
-    * atomically* swapped in (*rename-atomic on posix/HDFS; object stores
-    * need a manifest commit instead — out of scope here). Refuses a
+    * atomically* swapped in (*rename-atomic on posix/HDFS; object-store
+    * schemes are REFUSED up front — their copy+delete "rename" would
+    * expose readers to a missing table; use a manifest-committing table
+    * format there). Refuses a
     * Hive-partitioned root (compact leaf partition dirs individually —
     * a flat rewrite would destroy the layout and re-infer partition
     * values).
     * @return number of parquet files present after the swap
     */
+  /** FS schemes whose "rename" is a non-atomic client-side copy+delete —
+    * the directory swap in [[compact]] would expose concurrent readers to
+    * a missing or half-copied table on these. Object stores need a
+    * manifest-committing table format instead. */
+  private val nonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+    "cos", "cosn", "swift")
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
+    // guard BEFORE any FS call: the rename-swap commit below is only safe
+    // where directory rename is atomic (posix, HDFS)
+    val scheme = Option(p.toUri.getScheme).getOrElse(
+      org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme)
+    require(scheme == null || !nonAtomicRenameSchemes.contains(scheme.toLowerCase),
+      s"compact() commits by directory rename, which is not atomic on " +
+        s"'$scheme' — object stores need a manifest-committing table format")
     val fs = p.getFileSystem(conf)
     // refuse Hive-partitioned layouts: a flat re-read would strip the
     // directory structure AND re-infer partition values by type

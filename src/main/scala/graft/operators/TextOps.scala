@@ -115,7 +115,12 @@ object TextOps {
     */
   def pmi(docs: DataFrame, docIdCol: String, textCol: String,
           minCount: Int = 10): DataFrame = {
-    val terms = docDistinctTerms(docs, docIdCol, textCol).cache()
+    // localCheckpoint, not cache(): a cached relation would leak one
+    // CacheManager entry per pmi() call for the session's lifetime (the
+    // minhashNearDupPairs lesson). Checkpointed blocks are GC'd with the
+    // RDD, and both downstream scans (marginals, pairs) still read the
+    // materialized blocks instead of re-tokenizing the corpus.
+    val terms = docDistinctTerms(docs, docIdCol, textCol).localCheckpoint()
     val n = terms.count() // corpus size; reference hardcodes 156215
     val marginals = terms
       .select(explode(col("terms")).as("t"))

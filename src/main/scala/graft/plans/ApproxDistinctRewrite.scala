@@ -39,7 +39,8 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   val kConfKey = "spark.graft.approxDistinct.k"
   val defaultK = 256
   /** Sketch choice: `kmv` (k longs, exact below k) or `hll` (2^p bytes,
-    * p = log2(k) clamped to [4,16] — constant state, never exact). */
+    * p = log2(k) clamped to [7,16] — the floor is HllSketch's alpha-formula
+    * validity bound — constant state, never exact). */
   val implConfKey = "spark.graft.approxDistinct.impl"
 
   private def sketchOver(child: Expression, k: Int, impl: String): Expression = {

