@@ -110,9 +110,12 @@ object Main {
         compressed.write.mode("overwrite").parquet(out)
         // --mapfile DIR additionally writes the reference's MapFile
         // container; --num-parts is the reference's -numReducers analogue
-        // (part count of the term-range-partitioned MapFile output)
-        opts.get("mapfile").foreach(IndexOps.writeMapFileIndex(compressed, _,
-          opts.getOrElse("num-parts", "1").toInt))
+        // (part count of the term-range-partitioned MapFile output).
+        // Fed from the parquet just written, NOT from `compressed` — the
+        // tokenize+groupBy+encode pipeline would otherwise run a second
+        // time for the container write.
+        opts.get("mapfile").foreach(IndexOps.writeMapFileIndex(
+          spark.read.parquet(out), _, opts.getOrElse("num-parts", "1").toInt))
       case "lookup-postings" =>
         val term = opts("term")
         // --mapfile DIR serves the lookup through MapFile.Reader.get on the

@@ -26,6 +26,9 @@ object PostingsCodec {
     var prev = 0L
     var i = 0
     while (i < n) {
+      if (postings.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_postings_encode: null postings element at index $i")
       val r = postings.getStruct(i, 2)
       if (r.isNullAt(0) || r.isNullAt(1))
         throw new IllegalArgumentException(
@@ -67,18 +70,17 @@ object PostingsCodec {
   * d-gap+VInt packed binary. */
 case class PostingsEncode(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    // containsNull arrays are rejected up front (encode() reads elements
-    // with getStruct and no producer of postings emits null elements —
-    // sort_array(collect_list(...)) is containsNull=false). Fields may be
-    // MARKED nullable (parquet doc_id columns usually are) — an actually-
-    // null field raises a descriptive error inside encode() instead of an
-    // NPE.
-    case ArrayType(StructType(fields), false)
+    // containsNull=true arrays are ACCEPTED at analysis time: a postings
+    // array round-tripped through parquet is element-nullable by default
+    // even when no element is null, and rejecting it would break
+    // re-encoding a persisted index. Elements and fields that are
+    // actually null raise a descriptive error inside encode() instead of
+    // an NPE.
+    case ArrayType(StructType(fields), _)
         if fields.length == 2 && fields.forall(_.dataType == LongType) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_postings_encode requires array<struct<bigint,bigint>> " +
-        "without null elements (containsNull=false), got " +
+      "graft_postings_encode requires array<struct<bigint,bigint>>, got " +
         child.dataType.simpleString)
   }
   override def dataType: DataType = BinaryType

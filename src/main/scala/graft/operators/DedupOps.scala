@@ -58,7 +58,12 @@ object DedupOps {
   def exactDedup(df: DataFrame, idCol: String, fingerprint: Column): DataFrame = {
     val withFp = df.withColumn("fp", fingerprint)
     val canon = withFp.groupBy("fp").agg(min(col(idCol)).as("canonical_id"))
-    withFp.join(canon, "fp")
+      .withColumnRenamed("fp", "fp_c")
+    // null-safe equality: a NULL fingerprint group must keep its rows (the
+    // fingerprint is a caller-supplied Column; a plain equi-join would
+    // silently drop them, where groupBy above keeps NULL as a group key).
+    // <=> is still an equi-join key, so the de-skew shape is unchanged.
+    withFp.join(canon, col("fp") <=> col("fp_c")).drop("fp_c")
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 

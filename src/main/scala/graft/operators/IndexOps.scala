@@ -121,6 +121,17 @@ object IndexOps {
     * on term (each part covers a contiguous, sorted term range), so a point
     * lookup opens exactly one part — unlike the reference's hash
     * partitioning, which must rehash the key to find its part. */
+  /** Sidecar file recording each part's [first, last] term range, written
+    * by [[writeMapFileIndex]] and used by [[mapFileGet]] to open exactly
+    * ONE part per point lookup. One line per part:
+    * `part-r-NNNNN \t base64(firstKey) \t base64(lastKey)` (keys as UTF-8
+    * bytes — base64 keeps arbitrary term bytes unambiguous in a text
+    * line). The reference's MapFileOutputFormat.getEntry does the same
+    * single-part selection by re-hashing the key
+    * (reference/assignment3/src/main/BooleanRetrievalCompressed.java:42-46
+    * opens one reader); range-partitioned parts need the ranges instead. */
+  private val rangesSidecar = "_ranges"
+
   def writeMapFileIndex(compressed: DataFrame, dir: String,
                         numPartitions: Int = 1): Unit = {
     import org.apache.hadoop.io.BytesWritable
@@ -145,6 +156,13 @@ object IndexOps {
       if (numPartitions == 1) compressed.coalesce(1).sortWithinPartitions("term")
       else compressed.repartitionByRange(numPartitions, col("term"))
         .sortWithinPartitions("term")
+    // each task reports its part's (first, last) term so the driver can
+    // write the _ranges sidecar; a CollectionAccumulator rather than a
+    // mapPartitions collect keeps the write an action (no second job), and
+    // duplicates from speculative attempts are deduped by partition id
+    // (the values are identical — same sorted data)
+    val ranges = compressed.sparkSession.sparkContext
+      .collectionAccumulator[(Int, String, String)]("mapfile-part-ranges")
     parted.select(col("term"), col("packed"))
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
@@ -171,22 +189,101 @@ object IndexOps {
             org.apache.hadoop.io.MapFile.Writer.valueClass(classOf[BytesWritable]),
             org.apache.hadoop.io.MapFile.Writer.compression(
               org.apache.hadoop.io.SequenceFile.CompressionType.NONE))
+          var first: String = null
+          var last: String = null
           try it.foreach { r =>
-            w.append(new Text(r.getString(0)),
+            val term = r.getString(0)
+            if (first == null) first = term
+            last = term
+            w.append(new Text(term),
               new BytesWritable(r.getAs[Array[Byte]](1)))
           }
           finally w.close()
-          if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
-            throw new java.io.IOException(
-              s"could not commit $tmpPath to $finalPath")
+          ranges.add((pid, first, last))
+          // existence check BEFORE the rename: old-API FileSystem.rename
+          // moves the source INTO an existing destination directory (and
+          // returns true), so a losing attempt renaming onto a committed
+          // part would nest junk inside the MapFile dir rather than fail.
+          // An already-present finalPath is an already-committed win.
+          if (!fs.exists(finalPath)) {
+            if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+              throw new java.io.IOException(
+                s"could not commit $tmpPath to $finalPath")
+            // exists->rename race: a concurrent winner committing between
+            // the check and our rename turns our rename into a move INTO
+            // the committed dir — remove the nested junk (reads were never
+            // at risk: MapFile.Reader opens finalPath/data|index directly)
+            val nested = new org.apache.hadoop.fs.Path(finalPath, tmpPath.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          }
           fs.delete(tmpDir, true) // no-op when the rename moved it away
           ()
         }
       }
     // drop the attempt scratch space once every partition has committed
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(compressed.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(dirPath, "_temporary"), true)
+    val fs = dirPath
+      .getFileSystem(compressed.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dirPath, "_temporary"), true)
+    // _ranges sidecar: dedupe accumulator entries by pid (a speculative
+    // duplicate reports the same range) and record each part's term span
+    // so point lookups open one Reader instead of probing every part
+    import scala.jdk.CollectionConverters._
+    val b64 = java.util.Base64.getEncoder
+    def enc(s: String): String = b64.encodeToString(s.getBytes("UTF-8"))
+    val lines = ranges.value.asScala.toSeq
+      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+      .map { case (pid, first, last) =>
+        f"part-r-$pid%05d\t${enc(first)}\t${enc(last)}" }
+    if (lines.nonEmpty) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, rangesSidecar), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Unsigned byte-wise comparison — the ordering of both Hadoop `Text`
+    * and Spark's UTF8String range partitioning, so sidecar range checks
+    * agree with how the write side laid terms out (Scala String compare
+    * is UTF-16 code-unit order, which DISAGREES beyond the BMP). */
+  private def compareUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Parts that can contain `term`: with the _ranges sidecar present this
+    * is the SINGLE part whose [first, last] span covers the term (or none
+    * — the lookup then opens zero readers); without it (an index written
+    * by an older version or by the reference's Hadoop job) every part, in
+    * order, as the sequential-probe fallback. */
+  private[graft] def candidateParts(dir: String, term: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[org.apache.hadoop.fs.Path] = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val sidecar = new org.apache.hadoop.fs.Path(dirPath, rangesSidecar)
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      val content =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      val b64 = java.util.Base64.getDecoder
+      val termBytes = term.getBytes("UTF-8")
+      content.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+        val Array(part, first, last) = line.split("\t", 3)
+        if (compareUtf8(b64.decode(first), termBytes) <= 0 &&
+            compareUtf8(termBytes, b64.decode(last)) <= 0)
+          Some(new org.apache.hadoop.fs.Path(dirPath, part))
+        else None
+      }
+    } else
+      fs.listStatus(dirPath).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
   }
 
   /** MapFile.get point lookup across the part files — decodes the packed
@@ -197,15 +294,14 @@ object IndexOps {
                    org.apache.spark.sql.SparkSession.active
                      .sparkContext.hadoopConfiguration): Option[Seq[(Long, Long)]] = {
     import org.apache.hadoop.io.BytesWritable
-    // resolve the path's OWN filesystem (hdfs://, s3a://, file:, or the
-    // conf's default) — must match wherever writeMapFileIndex landed
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(conf)
-    val parts = fs.listStatus(dirPath)
-      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // range-pruned: the _ranges sidecar (written alongside the parts)
+    // selects the ONE range-partitioned part that can hold the term, so a
+    // point lookup opens exactly one Reader — O(1) in the part count, like
+    // the reference's MapFileOutputFormat.getEntry partition hash. Falls
+    // back to probing parts in order only when no sidecar exists.
     val key = new Text(term)
     val value = new BytesWritable()
-    parts.iterator.flatMap { p =>
+    candidateParts(dir, term, conf).iterator.flatMap { p =>
       val r = new org.apache.hadoop.io.MapFile.Reader(p, conf)
       try Option(r.get(key, value)).map(_ =>
         decodePostings(java.util.Arrays.copyOf(value.getBytes, value.getLength)))

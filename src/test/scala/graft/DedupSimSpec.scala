@@ -34,6 +34,19 @@ class DedupSimSpec extends SparkSpec {
     assert(byText.toSeq === Seq(5L), "only the byte-identical copy")
   }
 
+  test("exactDedup keeps rows whose fingerprint is NULL (null-safe group join)") {
+    // the fingerprint is a caller-supplied Column: a NULL fp forms its own
+    // group (as groupBy treats it) instead of being dropped by the re-join
+    val withNull = docs.union(Seq((6L, null: String), (7L, null: String))
+      .toDF("doc_id", "text"))
+    val out = DedupOps.exactDedup(withNull, "doc_id", md5(col("text")))
+      .select("doc_id", "canonical_id", "is_dup")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size === 7, "NULL-fingerprint rows must survive the join")
+    assert(out(6L) === ((6L, false)), "lowest NULL-fp id is canonical")
+    assert(out(7L) === ((6L, true)), "other NULL-fp rows are its dups")
+  }
+
   test("exactDedup: hot fingerprint gets partial aggregation, not a window funnel") {
     // 100k rows sharing ONE fingerprint — the degenerate-skew case. The
     // plan must contain no Window (every row of a hot fp through one task)

@@ -32,6 +32,32 @@ class IndexOpsSpec extends SparkSpec {
     assert(IndexOps.decodePostings(IndexOps.encodePostings(rows)) === postings)
   }
 
+  test("re-encoding postings persisted through parquet works (containsNull=true)") {
+    import spark.implicits._
+    // parquet marks array elements nullable by default — the encoder must
+    // accept the round-tripped schema at analysis time and only reject
+    // ACTUAL null elements at runtime
+    val corpus = Seq((0L, "a b a c"), (10L, "b c c"), (20L, "a"))
+      .toDF("docid", "text")
+    val idx = IndexOps.invertedIndex(corpus, "docid", "text")
+    val packed0 = IndexOps.compressedIndex(idx)
+      .select("term", "packed").as[(String, Array[Byte])].collect().toMap
+    val dir = "/tmp/graft-postings-roundtrip-parquet"
+    IndexOps.decodeIndex(IndexOps.compressedIndex(idx))
+      .withColumnRenamed("postings", "postings0")
+      .selectExpr("term", "df",
+        "transform(postings0, p -> struct(p._1 AS docid, p._2 AS tf)) AS postings")
+      .write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    assert(reread.schema("postings").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val repacked = IndexOps.compressedIndex(reread)
+      .select("term", "packed").as[(String, Array[Byte])].collect().toMap
+    assert(repacked.keySet === packed0.keySet)
+    packed0.foreach { case (t, b) =>
+      assert(java.util.Arrays.equals(repacked(t), b), s"term $t") }
+  }
+
   // ---- golden corpus fixtures ----------------------------------------
 
   private val gzPath = "/root/reference/assignment2/bible+shakes.nopunc.gz"
@@ -146,6 +172,40 @@ class IndexOpsSpec extends SparkSpec {
     assert(gold.length === 584)
     assert(gold.take(2) === Seq((5303L, 1L), (5408L, 1L)))
     assert(IndexOps.mapFileGet(dir, "bronze") === None)
+  }
+
+  test("point lookup opens exactly ONE part of a 4-part index (range-pruned)") {
+    assume(haveCorpus)
+    val dir = "/tmp/graft-mapfile-pruned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val c = IndexOps.compressedIndex(IndexOps.invertedIndex(corpus, "docid", "text"))
+    IndexOps.writeMapFileIndex(c, dir, numPartitions = 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).sorted
+    assert(parts.length === 4)
+    // terms spread across the vocabulary range: each must resolve to a
+    // SINGLE candidate part (the sidecar's span covers every term exactly
+    // once — parts are range-partitioned, so spans are disjoint)
+    val probes = Seq("aaron", "gold", "outrageous", "zeal", "starcross'd")
+    val hits = probes.map { t =>
+      val cand = IndexOps.candidateParts(dir, t, conf)
+      assert(cand.length === 1, s"term '$t' must map to exactly one part")
+      cand.head.getName
+    }
+    assert(hits.distinct.length > 1, "probes must span multiple parts")
+    // a term OUTSIDE every span opens zero readers ("bronze" is absent
+    // from the corpus but may fall inside a span; use extremes)
+    assert(IndexOps.candidateParts(dir, "", conf).isEmpty)
+    assert(IndexOps.candidateParts(dir, "\uffff\uffff", conf).isEmpty)
+    // lookups through the pruned path agree with the 1-part golden values
+    assert(IndexOps.mapFileGet(dir, "starcross'd") === Some(Seq((5047738L, 1L))))
+    assert(IndexOps.mapFileGet(dir, "gold").get.length === 584)
+    // fallback: with the sidecar removed (reference-written container),
+    // sequential probing still serves lookups from all parts
+    assert(new java.io.File(dir, "_ranges").delete())
+    assert(IndexOps.candidateParts(dir, "gold", conf).length === 4)
+    assert(IndexOps.mapFileGet(dir, "starcross'd") === Some(Seq((5047738L, 1L))))
   }
 
   test("MapFile framing reproduces the reference's 6,553,277 bytes exactly") {
