@@ -99,7 +99,8 @@ object LayoutOps {
       org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme)
     require(scheme == null || !nonAtomicRenameSchemes.contains(scheme.toLowerCase),
       s"compact() commits by directory rename, which is not atomic on " +
-        s"'$scheme' — object stores need a manifest-committing table format")
+        s"'$scheme' — use the manifest-committed layout (writeManifested /" +
+        s" compactManifest) on object stores")
     val fs = p.getFileSystem(conf)
     // refuse Hive-partitioned layouts: a flat re-read would strip the
     // directory structure AND re-infer partition values by type
@@ -128,5 +129,176 @@ object LayoutOps {
     fs.delete(bak, true)
     // actual files written (empty repartition slots produce none)
     fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  // ---- manifest-committed table layout (object-store safe) -------------
+  // The rename-swap in [[compact]] is only atomic on posix/HDFS; on an
+  // object store a directory "rename" is a client-side copy+delete that
+  // exposes concurrent readers to a missing or half-copied table. The
+  // standard answer (the core of every lake-house table format) is a
+  // MANIFEST: data files are immutable and write-once, and the table's
+  // current state is whatever the highest-numbered manifest file lists.
+  // Commit = make one new small manifest object visible; readers resolve
+  // the listing, never the data directory. A single-FILE rename is safe
+  // even as copy+delete — the destination object appears complete or not
+  // at all — which is exactly the property the directory swap lacks.
+  //
+  // Layout:  <root>/_manifests/%020d.manifest   (one line per data file,
+  //          paths relative to <root>)
+  //          <root>/data-g<gen>-<uuid>/part-*.parquet
+  //
+  // Single-writer assumption: two concurrent committers race to create
+  // the same generation number; the loser's rename fails (destination
+  // exists) and it must retry on the new latest. (S3-class stores that
+  // cannot fail-on-exists need a conditional-PUT or a lock service for
+  // multi-writer — same caveat as every manifest-based format.)
+
+  private val manifestsDirName = "_manifests"
+  private val manifestSuffix = ".manifest"
+
+  private def manifestGen(name: String): Option[Long] =
+    if (name.endsWith(manifestSuffix))
+      name.stripSuffix(manifestSuffix).toLongOption
+    else None
+
+  /** (generation, path) of the newest committed manifest, if any. */
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, org.apache.hadoop.fs.Path)] = {
+    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
+    if (!fs.exists(md)) None
+    else fs.listStatus(md).toSeq
+      .flatMap(s => manifestGen(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(_._1).lastOption
+  }
+
+  private def readManifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    val content =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    content.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Commit `files` (relative paths) as generation `gen`: write a temp
+    * manifest object fully, then rename it to the final name. Fails if
+    * the generation was committed concurrently. */
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String]): Unit = {
+    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
+    fs.mkdirs(md)
+    val tmp = new org.apache.hadoop.fs.Path(md,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new org.apache.hadoop.fs.Path(md, f"$gen%020d$manifestSuffix")
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"manifest generation $gen was committed concurrently at $target — " +
+          "re-read the table and retry")
+    }
+  }
+
+  private def newDataDir(gen: Long): String =
+    s"data-g$gen-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Create (or advance) a manifest-committed table at `path` with the
+    * contents of `df`. Data lands in a fresh immutable directory; the
+    * table flips to it atomically via the manifest commit. Previous
+    * generations stay on disk (time travel / concurrent readers) until
+    * [[vacuumManifested]]. */
+  def writeManifested(df: DataFrame, path: String,
+                      numFiles: Int = 0): Unit = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
+    val dataDir = newDataDir(gen)
+    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    out.write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dataDir/$n").toSeq
+    commitManifest(fs, root, gen, files)
+  }
+
+  /** Read a manifest-committed table: resolve the newest manifest and
+    * load exactly the files it lists — in-flight or superseded data
+    * directories are invisible. */
+  def readManifested(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
+      s"$path has no committed manifest — not a manifested table"))
+    val files = readManifestFiles(fs, mp)
+      .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Compact a manifest-committed table to ~`targetFileBytes` files —
+    * the object-store-safe sibling of [[compact]]. New files are written
+    * BESIDE the live ones and the table flips via one manifest commit;
+    * no table-directory rename ever happens, so readers on any scheme
+    * (including copy+delete-rename object stores) always resolve a fully
+    * present generation. Superseded files survive until
+    * [[vacuumManifested]].
+    * @return number of data files in the new generation
+    */
+  def compactManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
+      s"$path has no committed manifest — writeManifested() it first"))
+    val live = readManifestFiles(fs, mp)
+    val totalBytes = live.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val dataDir = newDataDir(gen + 1)
+    spark.read
+      .parquet(live.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
+      .repartition(nFiles)
+      .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dataDir/$n").toSeq
+    commitManifest(fs, root, gen + 1, files)
+    files.size
+  }
+
+  /** Delete data files no longer referenced by the NEWEST manifest, plus
+    * superseded manifest files. Destroys time travel and breaks readers
+    * still resolving an old generation — production systems gate this on
+    * a retention window; here it is the explicit cleanup step.
+    * @return number of data files deleted
+    */
+  def vacuumManifested(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
+      s"$path has no committed manifest — nothing to vacuum"))
+    val live = readManifestFiles(fs, mp).toSet
+    var removed = 0
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("data-g")).foreach { d =>
+      val dirName = d.getPath.getName
+      val entries = fs.listStatus(d.getPath)
+      val (keep, drop) = entries
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .partition(e => live.contains(s"$dirName/${e.getPath.getName}"))
+      drop.foreach { e => fs.delete(e.getPath, false); removed += 1 }
+      if (keep.isEmpty) fs.delete(d.getPath, true) // whole superseded generation
+    }
+    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
+    fs.listStatus(md).foreach { m =>
+      if (manifestGen(m.getPath.getName).exists(_ < gen))
+        fs.delete(m.getPath, false)
+    }
+    removed
   }
 }

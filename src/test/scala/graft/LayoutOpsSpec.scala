@@ -102,6 +102,56 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("rename-swap compact loses the table on a non-atomic-rename FS; " +
+      "the manifest-committed layout survives it") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.faux.impl", classOf[FauxCopyDeleteFileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    try {
+      // -- the hazard the scheme guard can't fully close: an UNKNOWN
+      // object-store-like scheme slips past the known-scheme list, and the
+      // swap's second rename dies mid copy+delete → the table path is GONE
+      val plain = s"faux://$base/plain"
+      spark.range(1000).toDF("id").repartition(8).write.parquet(plain)
+      FauxCopyDeleteFileSystem.failRenameTo = Some(s"$base/plain")
+      intercept[java.io.IOException] {
+        LayoutOps.compact(spark, plain, targetFileBytes = 1L * 1024 * 1024)
+      }
+      assert(!new java.io.File(s"$base/plain").exists(),
+        "demonstrates the data-loss window: the table path vanished")
+      FauxCopyDeleteFileSystem.failRenameTo = None
+
+      // -- the fix: the manifested layout never renames the table dir, so
+      // the same broken rename (armed on the table root throughout) is
+      // never exercised; every commit is one new immutable manifest object
+      val mt = s"faux://$base/mt"
+      FauxCopyDeleteFileSystem.failRenameTo = Some(s"$base/mt")
+      val df = spark.range(2000).select(col("id"), (col("id") * 3).as("v"))
+      LayoutOps.writeManifested(df, mt, numFiles = 16)
+      val before = LayoutOps.readManifested(spark, mt)
+        .agg(sum("v"), count(lit(1))).head()
+      val n = LayoutOps.compactManifest(spark, mt,
+        targetFileBytes = 4L * 1024 * 1024)
+      assert(n < 16, s"compacted to $n files")
+      val after = LayoutOps.readManifested(spark, mt)
+        .agg(sum("v"), count(lit(1))).head()
+      assert(after === before, "content identical through the manifest flip")
+      // both generations coexist until vacuum (concurrent readers of the
+      // old manifest stay consistent)
+      def dataDirs = new java.io.File(s"$base/mt").listFiles()
+        .filter(_.getName.startsWith("data-g"))
+      assert(dataDirs.length === 2)
+      val removed = LayoutOps.vacuumManifested(spark, mt)
+      assert(removed === 16, s"vacuum removed $removed superseded files")
+      assert(dataDirs.length === 1)
+      assert(LayoutOps.readManifested(spark, mt)
+        .agg(sum("v"), count(lit(1))).head() === after)
+    } finally {
+      FauxCopyDeleteFileSystem.failRenameTo = None
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
