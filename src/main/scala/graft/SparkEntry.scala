@@ -185,6 +185,21 @@ object SparkEntry {
       GraphOps.topKPerSource(pr, 5).withColumnRenamed("rank", "pr")
     }),
 
+    // convergence mode (the iteration-count-free variant a real engine
+    // offers): stops when the L∞ rank change drops below tol. The oracle
+    // is a SELF-TERMINATING recursive CTE running the same loop with the
+    // same stopping rule, so the gate holds at any SF; the reported
+    // iteration count is emitted as a column and must agree cross-engine.
+    // tol=1e-4 sits ≥25% from the nearest per-iteration delta at sf0.01
+    // and sf0.1 (deltas shrink ~8x/iteration), so float noise cannot flip
+    // the stopping iteration between engines.
+    "q_pagerank_conv" -> ((s, dir) => {
+      val (ranks, iters) = GraphOps.pageRankConverged(graphEdges(s, dir),
+        tol = 1e-4, maxIterations = 20)
+      ranks.select(col("nodeid"), round(col("rank"), 9).as("pr"),
+        lit(iters).as("iters"))
+    }),
+
     // graph summary counters (A8) — the reference's job-counter surface
     "q_graph_stats" -> ((s, dir) => {
       val stats = GraphOps.graphStats(graphEdges(s, dir))
@@ -233,6 +248,19 @@ object SparkEntry {
       SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, nlist = 8, nprobe = 2)
+    }),
+    // the full train->probe IVF pipeline: k-means-refined centroids
+    // (2 Lloyd iterations, coordinates quantized to 6 decimals per
+    // iteration — the quantization is what makes a TRAINED float model
+    // hash-stable cross-engine) fed through the same probe path as
+    // q_ann_ivf. The oracle unrolls the identical training iterations.
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding",
+        nlist = 8, iterations = 2, roundDecimals = Some(6))
+      SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, centroids = Some(cents))
     }),
     // hyperplane-LSH bucketed ANN (approximate by construction — no SQL
     // oracle; the driver records a rows-only check)
@@ -619,6 +647,7 @@ object SparkEntry {
     "q_pagerank_range" -> pageRankOracle(5),
     "q_pagerank_hub" -> pageRankOracle(3),
     "q_pagerank_log" -> pageRankOracle(5),
+    "q_pagerank_conv" -> pageRankConvOracle(1e-4, 20),
     "q_ppr_topk" -> pprTopkOracle(5, Seq(1L, 2L), 5),
     "q_ppr_hub" -> pprTopkOracle(2, Seq(1L), 5),
     "q_dedup_exact" ->
@@ -740,6 +769,8 @@ object SparkEntry {
     // deterministic, so the bucket code is SQL-expressible exactly like
     // the MinHash permutations above. q_ann_lsh_mp shares every piece
     // except the query CTE, which also unnests the Hamming-1 probe codes.
+    "q_ann_ivf_trained" -> ivfTrainedOracleSql(nlist = 8, iters = 2,
+      nprobe = 2, k = 5),
     "q_ann_lsh" -> lshAnnOracleSql(multiProbe = false),
     "q_ann_lsh_mp" -> lshAnnOracleSql(multiProbe = true),
     "q_embed_neardup" ->
@@ -1182,6 +1213,63 @@ object SparkEntry {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings)""".stripMargin
 
+  /** Trained-IVF oracle: unrolls the k-means (Lloyd) training iterations
+    * of `SimilarityOps.trainIvfCentroids(roundDecimals=Some(6))` — assign
+    * every vector to its max-cosine centroid (ties -> lowest cell),
+    * recompute each cell's centroid as the per-dimension mean ROUNDED to
+    * 6 decimals (the per-iteration quantization that resets cross-engine
+    * float noise), empty cells keep their previous centroid — then probes
+    * with the same top-`nprobe`-cells / top-`k` pipeline as q_ann_ivf.
+    * The per-dimension mean zips parallel `unnest`s (DuckDB evaluates
+    * them in lockstep) and rebuilds the vector with list(... ORDER BY d).
+    */
+  private def ivfTrainedOracleSql(nlist: Int, iters: Int, nprobe: Int,
+                                  k: Int): String = {
+    def iteration(i: Int): String =
+      s"""asg$i AS (SELECT vec_id, v, nrm, cell FROM (
+         |  SELECT e.vec_id, e.v, e.nrm, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)
+         |        DESC, c.cell ASC) AS rc
+         |  FROM e CROSS JOIN cents${i - 1} c) WHERE rc = 1),
+         |m$i AS (SELECT cell, list(mx ORDER BY d) AS cv FROM (
+         |  SELECT cell, d, round(avg(val), 6) AS mx FROM (
+         |    SELECT cell, unnest(v) AS val,
+         |           unnest(generate_series(1, len(v))) AS d FROM asg$i)
+         |  GROUP BY cell, d) GROUP BY cell),
+         |cents$i AS (SELECT c0.cell, COALESCE(m$i.cv, c0.cv) AS cv,
+         |  sqrt(list_dot_product(COALESCE(m$i.cv, c0.cv),
+         |                        COALESCE(m$i.cv, c0.cv))) AS cnrm
+         |  FROM cents${i - 1} c0 LEFT JOIN m$i USING (cell))""".stripMargin
+    s"""WITH e AS ($embSql),
+       |cents0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
+       |           WHERE vec_id < $nlist),
+       |${(1 to iters).map(iteration).mkString(",\n")},
+       |asg AS (SELECT vec_id, v, nrm, cell FROM (
+       |  SELECT e.vec_id, e.v, e.nrm, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)
+       |        DESC, c.cell ASC) AS rc
+       |  FROM e CROSS JOIN cents$iters c) WHERE rc = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+       |      WHERE vec_id < 3),
+       |probe AS (SELECT query_id, qv, qnrm, cell FROM (
+       |  SELECT q.query_id, q.qv, q.qnrm, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm)
+       |        DESC, c.cell ASC) AS rc
+       |  FROM q CROSS JOIN cents$iters c) WHERE rc <= $nprobe),
+       |s AS (SELECT probe.query_id, asg.vec_id,
+       |  round(list_dot_product(probe.qv, asg.v) / (probe.qnrm * asg.nrm), 6)
+       |    AS cos
+       |  FROM asg JOIN probe ON asg.cell = probe.cell
+       |  WHERE asg.vec_id <> probe.query_id)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM s) WHERE rn <= $k""".stripMargin
+  }
+
   /** Hyperplane-LSH ANN oracle (planes=4, k=5, queries vec_id < 3),
     * mirroring SimilarityOps.lshTopK: md5-derived ±1 plane signs, packed
     * sign-bit code, bucket-equality join, (cos DESC, vec_id ASC) rank.
@@ -1245,6 +1333,50 @@ object SparkEntry {
        |$rounds
        |SELECT nodeid, round(pr, 9) AS pr FROM r$iters""".stripMargin
   }
+
+  /** Convergence-mode PageRank as a SELF-TERMINATING recursive CTE: each
+    * recursion round computes the next rank vector from the working table
+    * (exactly the engine's per-iteration dataflow), carries the L∞ delta
+    * as a column, and recurses only while the previous round's delta
+    * exceeds `tol` — the same stopping rule as
+    * `GraphOps.pageRankConverged`, so the oracle needs no hardcoded
+    * iteration count and holds at any SF.
+    *
+    * DuckDB quirk: inside WITH RECURSIVE, a helper CTE whose body is a
+    * TOP-LEVEL `UNION` is itself given recursive-CTE treatment (and
+    * silently mis-evaluates); the vertex union is wrapped in a subquery
+    * with an explicit DISTINCT instead. */
+  private def pageRankConvOracle(tol: Double, maxIter: Int): String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       |v AS (SELECT DISTINCT nodeid FROM
+       |      (SELECT src AS nodeid FROM e UNION ALL SELECT dst AS nodeid FROM e)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+       |it AS (
+       |  SELECT nodeid, 1.0/(SELECT n FROM nn) AS pr, 1e300 AS delta, 0 AS iter FROM v
+       |  UNION ALL
+       |  (WITH prev AS (SELECT * FROM it),
+       |   d AS (SELECT COALESCE(sum(pr),0) AS d FROM prev
+       |         WHERE nodeid NOT IN (SELECT src FROM e)),
+       |   g AS (SELECT e.dst AS nodeid, sum(p.pr/deg.outdeg) AS mass
+       |         FROM prev p JOIN e ON p.nodeid=e.src JOIN deg ON e.src=deg.src
+       |         GROUP BY e.dst),
+       |   nxt AS (SELECT v.nodeid,
+       |           CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+       |           + CAST(0.85 AS DOUBLE)*(COALESCE(g.mass,0)
+       |               + (SELECT d FROM d)/(SELECT n FROM nn)) AS pr
+       |           FROM v LEFT JOIN g USING (nodeid)),
+       |   dl AS (SELECT max(abs(nxt.pr - prev.pr)) AS delta
+       |          FROM nxt JOIN prev USING (nodeid))
+       |   SELECT nxt.nodeid, nxt.pr, (SELECT delta FROM dl) AS delta,
+       |          (SELECT max(iter)+1 FROM prev) AS iter
+       |   FROM nxt
+       |   WHERE (SELECT max(delta) FROM prev) > $tol
+       |     AND (SELECT max(iter) FROM prev) < $maxIter)
+       |)
+       |SELECT nodeid, round(pr, 9) AS pr, iter AS iters
+       |FROM it WHERE iter = (SELECT max(iter) FROM it)""".stripMargin
 
   /** Personalized PageRank: teleport + dangling mass go to the walk's own
     * source only; state keyed by (source, nodeid). Top-k per source after

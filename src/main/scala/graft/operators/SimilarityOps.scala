@@ -202,12 +202,24 @@ object SimilarityOps {
     * a real IVF pays once at index build. Empty cells keep their previous
     * centroid. */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                        nlist: Int, iterations: Int = 5): Array[Centroid] = {
+                        nlist: Int, iterations: Int = 5,
+                        roundDecimals: Option[Int] = None): Array[Centroid] = {
     val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
       .localCheckpoint()
     val dimRow = c.select(size(col("v"))).head(1)
     if (dimRow.isEmpty) return Array.empty // empty corpus -> empty model
     val dim = dimRow(0).getInt(0)
+    // roundDecimals: quantize each recomputed centroid coordinate per
+    // iteration (BigDecimal HALF_UP — the same rounding as Spark's and
+    // DuckDB's round()). This resets the summation-order float noise at
+    // every round, making the TRAINED model engine-portable and
+    // hash-stable (the unquantized path documents why it is not); the
+    // ~1e-6 coordinate loss is far below any recall-relevant scale.
+    def quantize(m: Array[Double]): Array[Double] = roundDecimals match {
+      case Some(d) => m.map(x =>
+        BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      case None => m
+    }
     var cents = seedCentroids(corpus, idCol, vecCol, nlist)
     for (_ <- 1 to iterations) {
       val assigned = c.withColumn("cell",
@@ -220,8 +232,8 @@ object SimilarityOps {
           Array.tabulate(dim)(i => r.getDouble(i + 1))).toMap
       cents = cents.map { case (cid, v, n) =>
         means.get(cid) match {
-          case Some(m) => (cid, m, norm2(m))
-          case None    => (cid, v, n) // empty cell keeps its centroid
+          case Some(m0) => val m = quantize(m0); (cid, m, norm2(m))
+          case None     => (cid, v, n) // empty cell keeps its centroid
         }
       }
     }
