@@ -203,6 +203,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("soak: dedup state rows plateau at the watermark horizon under sustained load") {
+    implicit val sc = spark.sqlContext
+    // 200 micro-batches, event time advancing 10 min/batch, EVERY key new:
+    // 4000 distinct keys cross the operator while the 60-minute watermark
+    // horizon only ever covers ~6-7 batches (~130 keys). The "bounded
+    // state" claim is structural everywhere else — this measures it:
+    // numRowsTotal must plateau at the horizon and stay flat for the
+    // remaining ~25 horizons, not track the stream length.
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val dedup = StreamingOps.streamingDedup(
+      input.toDF().toDF("ts", "user_id", "payload"), "ts", Seq("user_id"),
+      watermark = "60 minutes")
+    val q = dedup.writeStream.format("noop").outputMode("append").start()
+    try {
+      val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var key = 0L
+      for (batch <- 0 until 200) {
+        val rows = (0 until 20).map { i =>
+          key += 1
+          (ts(60 + batch * 10 + (i % 10)), key, s"p$batch-$i")
+        }
+        input.addData(rows: _*)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators(0).numRowsTotal
+      }
+      assert(stateRows.length >= 150, "progress must report state metrics")
+      val horizon = stateRows.slice(20, 40).max // plateau established early
+      val tail = stateRows.takeRight(50)
+      assert(horizon > 0)
+      assert(tail.max <= horizon * 2,
+        s"state grew past the early plateau: tail max ${tail.max} vs $horizon")
+      assert(stateRows.last < 1000,
+        s"state (${stateRows.last}) must not track the 4000 keys fed")
+      assert(tail.max - tail.min <= horizon,
+        s"tail must be flat: ${tail.min}..${tail.max} (horizon $horizon)")
+    } finally q.stop()
+  }
+
   test("hourlyCountsStream definition also runs as a plain batch query") {
     val batch = Seq((ts(0), 1L), (ts(59), 2L), (ts(61), 3L)).toDF("ts", "user_id")
     val got = StreamingOps.hourlyCountsStream(batch, "ts")
