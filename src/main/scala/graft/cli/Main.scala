@@ -45,6 +45,7 @@ object Main {
       |       lookup-postings boolean-retrieval pagerank
       |       personalized-pagerank hourly-counts graph-stats
       |       split contamination dedup-clusters sample-exact
+      |       compact compact-manifest vacuum-manifest
       |                             (pipeline extensions over parquet)
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
@@ -204,6 +205,19 @@ object Main {
           opts.getOrElse("bands", "4").toInt,
           opts.getOrElse("threshold", "0.5").toDouble)
           .write.mode("overwrite").parquet(out)
+      // ---- table-maintenance tools (layout operators) ----
+      case "compact" =>
+        // posix/HDFS rename-swap compaction; refuses object-store schemes
+        val n = LayoutOps.compact(spark, in,
+          opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
+        println(s"compacted $in to $n files")
+      case "compact-manifest" =>
+        val n = LayoutOps.compactManifest(spark, in,
+          opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
+        println(s"committed compacted generation of $in with $n files")
+      case "vacuum-manifest" =>
+        val n = LayoutOps.vacuumManifested(spark, in)
+        println(s"vacuumed $n superseded data files from $in")
       case "sample-exact" =>
         // exact-k deterministic per-class sample
         PipelineOps.sampleExactPerClass(spark.read.parquet(in),

@@ -171,7 +171,7 @@ object LayoutOps {
       .sortBy(_._1).lastOption
   }
 
-  private def readManifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
     val in = fs.open(p)
     val content =
@@ -180,17 +180,30 @@ object LayoutOps {
     content.split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  /** Data files listed by a manifest (header/comment lines skipped). */
+  private def readManifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    readManifestLines(fs, p).filterNot(_.startsWith("#"))
+
+  /** The idempotence token a manifest was committed with, if any. */
+  private def manifestToken(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    readManifestLines(fs, p).collectFirst {
+      case l if l.startsWith("#token=") => l.stripPrefix("#token=") }
+
   /** Commit `files` (relative paths) as generation `gen`: write a temp
     * manifest object fully, then rename it to the final name. Fails if
     * the generation was committed concurrently. */
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String]): Unit = {
+      root: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String],
+      token: Option[String] = None): Unit = {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     fs.mkdirs(md)
     val tmp = new org.apache.hadoop.fs.Path(md,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val header = token.map(t => s"#token=$t\n").getOrElse("")
     val out = fs.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = new org.apache.hadoop.fs.Path(md, f"$gen%020d$manifestSuffix")
     if (fs.exists(target) || !fs.rename(tmp, target)) {
@@ -224,17 +237,59 @@ object LayoutOps {
     commitManifest(fs, root, gen, files)
   }
 
-  /** Read a manifest-committed table: resolve the newest manifest and
+  /** Append `df` to a manifest-committed table: new data dir + a new
+    * manifest listing the old live files PLUS the new ones. A repeated
+    * commit with the same `token` is a NO-OP — pass the micro-batch id
+    * from `foreachBatch` and a restarted streaming query cannot
+    * double-append its replayed batch (the manifest layout's equivalent
+    * of an idempotent sink). Creates the table when none exists. */
+  def appendManifested(df: DataFrame, path: String, numFiles: Int = 0,
+                       token: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = latestManifest(fs, root)
+    if (token.isDefined && latest.exists(m => manifestToken(fs, m._2) == token))
+      return // this batch already committed — replay is a no-op
+    val (gen, old) = latest match {
+      case Some((g, mp)) => (g + 1, readManifestFiles(fs, mp))
+      case None          => (0L, Seq.empty[String])
+    }
+    val dataDir = newDataDir(gen)
+    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    out.write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val added = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dataDir/$n").toSeq
+    commitManifest(fs, root, gen, old ++ added, token)
+  }
+
+  /** Read a manifest-committed table: resolve the newest manifest (or a
+    * pinned `generation` — time travel across un-vacuumed history) and
     * load exactly the files it lists — in-flight or superseded data
     * directories are invisible. */
   def readManifested(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame = {
+                     path: String, generation: Option[Long] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
-      s"$path has no committed manifest — not a manifested table"))
+    val mp = generation match {
+      case Some(g) =>
+        val p = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, manifestsDirName),
+          f"$g%020d$manifestSuffix")
+        if (!fs.exists(p)) throw new java.io.IOException(
+          s"$path has no manifest generation $g (vacuumed or never committed)")
+        p
+      case None => latestManifest(fs, root).map(_._2)
+        .getOrElse(throw new java.io.IOException(
+          s"$path has no committed manifest — not a manifested table"))
+    }
     val files = readManifestFiles(fs, mp)
       .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+    if (files.isEmpty)
+      // an empty generation (e.g. created from an empty batch) still has
+      // a schema-less nothing to read; surface it as an explicit error
+      throw new java.io.IOException(s"manifest $mp lists no data files")
     spark.read.parquet(files: _*)
   }
 

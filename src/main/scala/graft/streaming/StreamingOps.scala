@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -155,4 +155,17 @@ object StreamingOps {
                    joinType: String = "left_outer"): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim),
       Seq(keyCol), joinType)
+
+  /** `foreachBatch` sink appending each micro-batch to a
+    * manifest-committed table ([[graft.operators.LayoutOps]]), with the
+    * micro-batch id as the idempotence token: a restarted query replaying
+    * its last batch commits nothing the second time, so the table sees
+    * each batch exactly once — the object-store-safe incremental-ingest
+    * shape (plain `writeStream.format("parquet")` relies on a
+    * rename-based commit log on the table path itself).
+    * Usage: `stream.writeStream.foreachBatch(manifestedBatchSink(path))`.
+    */
+  def manifestedBatchSink(path: String): (Dataset[Row], Long) => Unit =
+    (batch, batchId) => graft.operators.LayoutOps.appendManifested(
+      batch.toDF(), path, token = Some(s"batch-$batchId"))
 }

@@ -39,6 +39,25 @@ class CliSpec extends SparkSpec {
       .toSeq.flatMap(f => scala.io.Source.fromFile(f).getLines())
   }
 
+  test("table-maintenance subcommands: compact, compact-manifest, vacuum-manifest") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cli-maint").toString
+    // plain-table compaction
+    spark.range(5000).toDF("id").repartition(10).write.parquet(s"$base/plain")
+    Main.run(spark, "compact", Map("input" -> s"$base/plain"))
+    assert(spark.read.parquet(s"$base/plain").count() === 5000)
+    assert(new java.io.File(s"$base/plain").listFiles()
+      .count(_.getName.endsWith(".parquet")) < 10)
+    // manifested-table compaction + vacuum
+    graft.operators.LayoutOps.writeManifested(
+      spark.range(3000).toDF("id"), s"$base/mt", numFiles = 8)
+    Main.run(spark, "compact-manifest", Map("input" -> s"$base/mt"))
+    Main.run(spark, "vacuum-manifest", Map("input" -> s"$base/mt"))
+    assert(graft.operators.LayoutOps.readManifested(spark, s"$base/mt")
+      .count() === 3000)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("wordcount / bigrams / cooc / pmi subcommands produce TSV output") {
     for (tool <- Seq("wordcount", "bigrams", "cooc-pairs", "cooc-stripes")) {
       val out = tmpOut()

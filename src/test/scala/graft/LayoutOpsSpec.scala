@@ -152,6 +152,39 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("manifested append: generations accumulate, tokens are idempotent, " +
+      "time travel reads pinned generations") {
+    val base = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.appendManifested(Seq(1L, 2L).toDF("id"), mt,
+        token = Some("batch-0"))
+      LayoutOps.appendManifested(Seq(3L).toDF("id"), mt, token = Some("batch-1"))
+      // replay of batch-1 (a restarted stream re-running its last batch)
+      // must commit NOTHING
+      LayoutOps.appendManifested(Seq(3L).toDF("id"), mt, token = Some("batch-1"))
+      LayoutOps.appendManifested(Seq(4L, 5L).toDF("id"), mt,
+        token = Some("batch-2"))
+      val ids = LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L),
+        "replayed batch must not double-append")
+      // time travel: generation 1 = batches 0+1
+      assert(LayoutOps.readManifested(spark, mt, generation = Some(1L))
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // compaction preserves append history semantics going forward
+      val n = LayoutOps.compactManifest(spark, mt)
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      assert(n >= 1)
+      LayoutOps.vacuumManifested(spark, mt)
+      intercept[java.io.IOException] {
+        LayoutOps.readManifested(spark, mt, generation = Some(1L))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))

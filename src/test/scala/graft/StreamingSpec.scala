@@ -243,6 +243,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("manifested foreachBatch sink ingests a stream append-only and exactly-once") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-manifest")
+    val mt = s"$base/t"
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch(StreamingOps.manifestedBatchSink(mt))
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 10L).map(i => (i, i * 0.5)): _*)
+      q.processAllAvailable()
+      input.addData((10L until 25L).map(i => (i, i * 0.5)): _*)
+      q.processAllAvailable()
+      val got = graft.operators.LayoutOps.readManifested(spark, mt)
+      assert(got.count() === 25)
+      assert(got.agg(sum("id")).head().getLong(0) === (0L until 25L).sum)
+      // the sink committed one generation per non-empty micro-batch, each
+      // tokenized by batch id — a crash/replay of the last batch would hit
+      // the token no-op path (proven directly in LayoutOpsSpec)
+      val gens = new java.io.File(s"$mt/_manifests").listFiles()
+        .map(_.getName).filter(_.endsWith(".manifest")).sorted
+      assert(gens.length >= 2)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("hourlyCountsStream definition also runs as a plain batch query") {
     val batch = Seq((ts(0), 1L), (ts(59), 2L), (ts(61), 3L)).toDF("ts", "user_id")
     val got = StreamingOps.hourlyCountsStream(batch, "ts")
