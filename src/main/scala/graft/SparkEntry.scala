@@ -468,6 +468,26 @@ object SparkEntry {
       events(s, dir).select(col("event_id"),
         LayoutOps.zValue(LayoutOps.boundedBucket(col("user_id")),
           LayoutOps.boundedBucket(floor(col("value")).cast("long"))).as("z"))),
+    // manifest-committed table with file-level column stats: orders is
+    // written range-clustered on o_orderkey (8 files, disjoint key slices),
+    // then a narrow key-range read plans from the MANIFEST — files whose
+    // [min,max] cannot match are skipped without opening them — and must
+    // still equal the plain filtered table the oracle computes
+    "q_manifest_skip" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mskip").toString + "/orders"
+      val ord = Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      LayoutOps.writeManifested(ord, tbl, statsCols = Seq("o_orderkey"))
+      LayoutOps.readManifestedWhere(s, tbl,
+        Seq(LayoutOps.ColBounds("o_orderkey", Some(1000L), Some(5000L))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
     // recency-weighted features: exponentially decayed per-type sums,
     // anchored at the corpus max timestamp (one driver scalar)
     "q_decayed" -> ((s, dir) => {
@@ -1081,6 +1101,12 @@ object SparkEntry {
         |      * (1::BIGINT << (2*i + 1))
         |    FOR i IN generate_series(0, 20)]) AS BIGINT) AS z
         |FROM events""".stripMargin,
+    "q_manifest_skip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_decayed" ->
       """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
         |SELECT event_type, count(*) AS n,

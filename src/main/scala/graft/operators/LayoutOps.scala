@@ -156,6 +156,13 @@ object LayoutOps {
   private val manifestsDirName = "_manifests"
   private val manifestSuffix = ".manifest"
 
+  /** File-skipping bound on one column: keep only files whose stats show
+    * they MAY contain a row with `lower <= column <= upper` (either end
+    * optional). Values: numbers, strings, java.sql.Date / LocalDate,
+    * java.sql.Timestamp / Instant. */
+  case class ColBounds(column: String, lower: Option[Any] = None,
+                       upper: Option[Any] = None)
+
   private def manifestGen(name: String): Option[Long] =
     if (name.endsWith(manifestSuffix))
       name.stripSuffix(manifestSuffix).toLongOption
@@ -180,10 +187,25 @@ object LayoutOps {
     content.split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** Data files listed by a manifest (header/comment lines skipped). */
-  private def readManifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+  /** Raw manifest entry lines (header/comment lines skipped). An entry is
+    * `relative/path` or `relative/path<TAB>{stats json}` — both forms are
+    * valid in one manifest, so tables written before stats existed (or
+    * appended without `statsCols`) keep working. */
+  private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] =
     readManifestLines(fs, p).filterNot(_.startsWith("#"))
+
+  private def entryPath(line: String): String = line.split('\t').head
+
+  private def entryStatsJson(line: String): Option[String] = {
+    val i = line.indexOf('\t')
+    if (i < 0) None else Some(line.substring(i + 1))
+  }
+
+  /** Data files listed by a manifest (stats suffixes stripped). */
+  private def readManifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    readManifestEntries(fs, p).map(entryPath)
 
   /** The idempotence token a manifest was committed with, if any. */
   private def manifestToken(fs: org.apache.hadoop.fs.FileSystem,
@@ -191,9 +213,10 @@ object LayoutOps {
     readManifestLines(fs, p).collectFirst {
       case l if l.startsWith("#token=") => l.stripPrefix("#token=") }
 
-  /** Commit `files` (relative paths) as generation `gen`: write a temp
-    * manifest object fully, then rename it to the final name. Fails if
-    * the generation was committed concurrently. */
+  /** Commit `files` (entry lines: a relative path, optionally followed by
+    * TAB + per-file stats JSON) as generation `gen`: write a temp manifest
+    * object fully, then rename it to the final name. Fails if the
+    * generation was committed concurrently. */
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String],
       token: Option[String] = None): Unit = {
@@ -217,16 +240,304 @@ object LayoutOps {
   private def newDataDir(gen: Long): String =
     s"data-g$gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  // ---- manifest column statistics (file-level data skipping) ------------
+  // Per data file, the manifest can carry `{"col":{"t":tag,"min":…,"max":…,
+  // "n":nullCount}}` for requested top-level columns. The values come from
+  // the parquet FOOTER at commit time (metadata only — the data is never
+  // re-read), merged across row groups. A range predicate then prunes
+  // whole FILES from the listing before Spark ever opens them — one
+  // manifest read replaces N footer reads, which is the difference between
+  // a point query planning in milliseconds and stat-ing 100k objects on an
+  // object store. Files without stats (older generations, unsupported
+  // column types, missing footer stats) are always KEPT — skipping is only
+  // ever an optimization, never a filter.
+  //
+  // Tags: "l" = integer-backed (int/long/timestamp-as-micros),
+  // "d" = floating, "s" = string (and dates as ISO strings, whose
+  // lexicographic order is chronological). min/max are rendered as strings
+  // so long values above 2^53 survive JSON round-trips exactly.
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Footer min/max/null-count for `cols` of one parquet file. A column
+    * appears in the result only if EVERY row group has usable stats for it
+    * (a single unknown block would make pruning unsound). min/max are both
+    * absent only when the column is PROVABLY all-null in the file
+    * (numNulls == row count — "no values recorded" alone also describes a
+    * type whose stats parquet simply doesn't write, e.g. Spark's legacy
+    * INT96 timestamps; those columns are dropped, never marked all-null).
+    * To get prunable timestamp stats, write with
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`. */
+  private[graft] def parquetFileStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path,
+      cols: Set[String]): Map[String, (String, Option[String], Option[String], Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      // col -> (tag, min, max, nulls); removed from the map (and blacklisted)
+      // the moment any block's stats are unusable. rowsSeen distinguishes a
+      // truly all-null column (nulls == rows) from one whose stats parquet
+      // never wrote (e.g. INT96: "0 nulls, no values")
+      val acc = scala.collection.mutable.Map
+        .empty[String, (String, Option[String], Option[String], Long)]
+      val rowsSeen = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      val broken = scala.collection.mutable.Set.empty[String]
+      reader.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { cc =>
+          val name = cc.getPath.toDotString
+          if (cols.contains(name) && !broken.contains(name)) {
+            rowsSeen(name) += block.getRowCount
+            val st = cc.getStatistics
+            val rendered: Option[(String, Option[String], Option[String], Long)] =
+              if (st == null || !st.isNumNullsSet) None
+              else if (!st.hasNonNullValue) {
+                // no values recorded: either an all-null block or a type
+                // with no stats — settled after all blocks via rowsSeen
+                Some(("", None, None, st.getNumNulls))
+              } else {
+                val pt = cc.getPrimitiveType
+                def render(v: AnyRef): Option[(String, String)] =
+                  (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+                    case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                      Some(("s", java.time.LocalDate
+                        .ofEpochDay(v.asInstanceOf[Integer].longValue).toString))
+                    case (INT32, _) => Some(("l", v.toString))
+                    case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                      val raw = v.asInstanceOf[java.lang.Long].longValue
+                      val us = ts.getUnit match {
+                        case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                        case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                        case LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
+                      }
+                      Some(("l", us.toString))
+                    case (INT64, _) => Some(("l", v.toString))
+                    case (FLOAT, _) =>
+                      val d = v.asInstanceOf[java.lang.Float].doubleValue
+                      if (d.isNaN) None else Some(("d", d.toString))
+                    case (DOUBLE, _) =>
+                      val d = v.asInstanceOf[java.lang.Double].doubleValue
+                      if (d.isNaN) None else Some(("d", d.toString))
+                    case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                      Some(("s", v.asInstanceOf[org.apache.parquet.io.api.Binary]
+                        .toStringUsingUTF8))
+                    case _ => None // INT96, decimals, raw binary: no pruning
+                  }
+                (render(st.genericGetMin.asInstanceOf[AnyRef]),
+                    render(st.genericGetMax.asInstanceOf[AnyRef])) match {
+                  case (Some((tag, mn)), Some((_, mx))) =>
+                    Some((tag, Some(mn), Some(mx), st.getNumNulls))
+                  case _ => None
+                }
+              }
+            rendered match {
+              case None =>
+                broken += name; acc.remove(name)
+              case Some((tag, mn, mx, nulls)) =>
+                acc.get(name) match {
+                  case None => acc(name) = (tag, mn, mx, nulls)
+                  case Some((tag0, mn0, mx0, n0)) =>
+                    val t = if (tag0.nonEmpty) tag0 else tag
+                    if (tag.nonEmpty && tag0.nonEmpty && tag != tag0) {
+                      broken += name; acc.remove(name) // schema drift across blocks
+                    } else acc(name) = (t,
+                      minOf(t, mn0, mn), maxOf(t, mx0, mx), n0 + nulls)
+                }
+            }
+          }
+        }
+      }
+      // min/max-less entries are kept ONLY when provably all-null
+      acc.filter { case (name, (_, mn, mx, nulls)) =>
+        (mn.nonEmpty && mx.nonEmpty) ||
+          (rowsSeen(name) > 0 && nulls == rowsSeen(name))
+      }.toMap
+    } finally reader.close()
+  }
+
+  private def cmp(tag: String, a: String, b: String): Int = tag match {
+    case "l" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "d" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _   => a.compareTo(b)
+  }
+  private def minOf(tag: String, a: Option[String], b: Option[String]): Option[String] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmp(tag, x, y) <= 0) x else y)
+      case _ => a.orElse(b)
+    }
+  private def maxOf(tag: String, a: Option[String], b: Option[String]): Option[String] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmp(tag, x, y) >= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  /** Render one file's stats map as the manifest JSON suffix. */
+  private def statsJson(
+      m: Map[String, (String, Option[String], Option[String], Long)]): String = {
+    val root = jsonMapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (col, (tag, mn, mx, nulls)) =>
+      val o = root.putObject(col)
+      o.put("t", tag)
+      mn.foreach(o.put("min", _))
+      mx.foreach(o.put("max", _))
+      o.put("n", nulls)
+    }
+    jsonMapper.writeValueAsString(root)
+  }
+
+  /** Manifest entry line for one data file: path, plus a stats suffix when
+    * requested and obtainable. */
+  private def entryLineFor(conf: org.apache.hadoop.conf.Configuration,
+      root: org.apache.hadoop.fs.Path, relPath: String,
+      statsCols: Seq[String]): String =
+    if (statsCols.isEmpty) relPath
+    else {
+      val m = parquetFileStats(conf,
+        new org.apache.hadoop.fs.Path(root, relPath), statsCols.toSet)
+      if (m.isEmpty) relPath else s"$relPath\t${statsJson(m)}"
+    }
+
+  /** Normalize a user-supplied bound to (tag, rendered) in the stats
+    * domain; None = type we cannot compare against footer stats. */
+  private def normalizeBound(v: Any): Option[(String, String)] = v match {
+    case n: java.lang.Double  => Some(("d", n.toString))
+    case n: java.lang.Float   => Some(("d", n.doubleValue.toString))
+    case n: Byte              => Some(("l", n.toString))
+    case n: Short             => Some(("l", n.toString))
+    case n: Int               => Some(("l", n.toString))
+    case n: Long              => Some(("l", n.toString))
+    case s: String            => Some(("s", s))
+    case d: java.sql.Date     => Some(("s", d.toLocalDate.toString))
+    case d: java.time.LocalDate => Some(("s", d.toString))
+    case t: java.sql.Timestamp =>
+      Some(("l", (java.time.temporal.ChronoUnit.MICROS
+        .between(java.time.Instant.EPOCH, t.toInstant)).toString))
+    case t: java.time.Instant =>
+      Some(("l", java.time.temporal.ChronoUnit.MICROS
+        .between(java.time.Instant.EPOCH, t).toString))
+    case _ => None
+  }
+
+  /** Compare a rendered stat value against a rendered bound; None when the
+    * two domains are not comparable (→ never prune). Mixed integer/float
+    * compares go through BigDecimal so a long above 2^53 is not bent
+    * through a double. */
+  private def cmpAcross(tagA: String, a: String, tagB: String, b: String): Option[Int] =
+    if (tagA == tagB) Some(cmp(tagA, a, b))
+    else if (Set("l", "d").contains(tagA) && Set("l", "d").contains(tagB))
+      Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+    else None
+
+  /** Can a file with these stats contain a row satisfying every bound?
+    * Missing stats for a bound column → yes (keep). Present stats with no
+    * min/max → the column is all-null in the file → a range predicate can
+    * never match → prune. */
+  private def mayMatch(statsLine: Option[String], bounds: Seq[ColBounds]): Boolean = {
+    if (bounds.isEmpty) return true
+    val node = statsLine.map(jsonMapper.readTree)
+    bounds.forall { b =>
+      val colNode = node.flatMap(n => Option(n.get(b.column)))
+      colNode match {
+        case _ if b.lower.isEmpty && b.upper.isEmpty => true // no predicate
+        case None => true // no stats for this column: must keep
+        case Some(cn) =>
+          val tag = Option(cn.get("t")).map(_.asText).getOrElse("")
+          val mn = Option(cn.get("min")).map(_.asText)
+          val mx = Option(cn.get("max")).map(_.asText)
+          if (mn.isEmpty || mx.isEmpty) false // all-null column: prune
+          else {
+            val lowerOk = b.lower.flatMap(normalizeBound) match {
+              case Some((bt, bv)) =>
+                // keep unless max < lower
+                cmpAcross(tag, mx.get, bt, bv).forall(_ >= 0)
+              case None => true
+            }
+            val upperOk = b.upper.flatMap(normalizeBound) match {
+              case Some((bt, bv)) =>
+                // keep unless min > upper
+                cmpAcross(tag, mn.get, bt, bv).forall(_ <= 0)
+              case None => true
+            }
+            lowerOk && upperOk
+          }
+      }
+    }
+  }
+
+  /** Resolve the manifest path for `generation` (default: newest). */
+  private def resolveManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, generation: Option[Long],
+      path: String): org.apache.hadoop.fs.Path = generation match {
+    case Some(g) =>
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, manifestsDirName),
+        f"$g%020d$manifestSuffix")
+      if (!fs.exists(p)) throw new java.io.IOException(
+        s"$path has no manifest generation $g (vacuumed or never committed)")
+      p
+    case None => latestManifest(fs, root).map(_._2)
+      .getOrElse(throw new java.io.IOException(
+        s"$path has no committed manifest — not a manifested table"))
+  }
+
+  /** The manifest-stats file pruning decision, exposed for inspection:
+    * (files kept after applying `bounds`, total files listed). */
+  def manifestSkipFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, bounds: Seq[ColBounds],
+      generation: Option[Long] = None): (Seq[String], Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = readManifestEntries(fs,
+      resolveManifest(fs, root, generation, path))
+    val kept = entries.filter(l => mayMatch(entryStatsJson(l), bounds))
+      .map(entryPath)
+    (kept, entries.size)
+  }
+
+  /** Filtered read of a manifest-committed table: files whose stats prove
+    * they cannot satisfy `bounds` are skipped WITHOUT being opened, then
+    * the exact inclusive-range predicates are applied to the survivors —
+    * the result is always exactly `readManifested(...).where(bounds)`,
+    * stats or no stats. */
+  def readManifestedWhere(spark: org.apache.spark.sql.SparkSession,
+      path: String, bounds: Seq[ColBounds],
+      generation: Option[Long] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = resolveManifest(fs, root, generation, path)
+    val entries = readManifestEntries(fs, mp)
+    if (entries.isEmpty)
+      throw new java.io.IOException(s"manifest $mp lists no data files")
+    val kept = entries.filter(l => mayMatch(entryStatsJson(l), bounds))
+      .map(entryPath)
+    val residual = bounds.flatMap { b =>
+      b.lower.map(v => col(b.column) >= lit(v)) ++
+        b.upper.map(v => col(b.column) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    if (kept.isEmpty) {
+      // every file pruned: empty result with the table's real schema (one
+      // file read under an always-false filter costs a footer, not a scan)
+      val any = new org.apache.hadoop.fs.Path(root, entryPath(entries.head))
+      spark.read.parquet(any.toString).where(lit(false))
+    } else
+      spark.read.parquet(kept.map(f =>
+        new org.apache.hadoop.fs.Path(root, f).toString): _*).where(residual)
+  }
+
   /** Create (or advance) a manifest-committed table at `path` with the
     * contents of `df`. Data lands in a fresh immutable directory; the
     * table flips to it atomically via the manifest commit. Previous
     * generations stay on disk (time travel / concurrent readers) until
     * [[vacuumManifested]]. */
   def writeManifested(df: DataFrame, path: String,
-                      numFiles: Int = 0): Unit = {
+                      numFiles: Int = 0, statsCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(conf)
     val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
     val dataDir = newDataDir(gen)
     val out = if (numFiles > 0) df.repartition(numFiles) else df
@@ -234,7 +545,8 @@ object LayoutOps {
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
-    commitManifest(fs, root, gen, files)
+    commitManifest(fs, root, gen,
+      files.map(entryLineFor(conf, root, _, statsCols)))
   }
 
   /** Append `df` to a manifest-committed table: new data dir + a new
@@ -244,15 +556,18 @@ object LayoutOps {
     * double-append its replayed batch (the manifest layout's equivalent
     * of an idempotent sink). Creates the table when none exists. */
   def appendManifested(df: DataFrame, path: String, numFiles: Int = 0,
-                       token: Option[String] = None): Unit = {
+                       token: Option[String] = None,
+                       statsCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(conf)
     val latest = latestManifest(fs, root)
     if (token.isDefined && latest.exists(m => manifestToken(fs, m._2) == token))
       return // this batch already committed — replay is a no-op
+    // old entries are carried over VERBATIM (their stats suffixes included)
     val (gen, old) = latest match {
-      case Some((g, mp)) => (g + 1, readManifestFiles(fs, mp))
+      case Some((g, mp)) => (g + 1, readManifestEntries(fs, mp))
       case None          => (0L, Seq.empty[String])
     }
     val dataDir = newDataDir(gen)
@@ -261,7 +576,8 @@ object LayoutOps {
     val added = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
-    commitManifest(fs, root, gen, old ++ added, token)
+    commitManifest(fs, root, gen,
+      old ++ added.map(entryLineFor(conf, root, _, statsCols)), token)
   }
 
   /** Read a manifest-committed table: resolve the newest manifest (or a
@@ -272,18 +588,7 @@ object LayoutOps {
                      path: String, generation: Option[Long] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mp = generation match {
-      case Some(g) =>
-        val p = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(root, manifestsDirName),
-          f"$g%020d$manifestSuffix")
-        if (!fs.exists(p)) throw new java.io.IOException(
-          s"$path has no manifest generation $g (vacuumed or never committed)")
-        p
-      case None => latestManifest(fs, root).map(_._2)
-        .getOrElse(throw new java.io.IOException(
-          s"$path has no committed manifest — not a manifested table"))
-    }
+    val mp = resolveManifest(fs, root, generation, path)
     val files = readManifestFiles(fs, mp)
       .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
     if (files.isEmpty)
@@ -303,13 +608,24 @@ object LayoutOps {
     * @return number of data files in the new generation
     */
   def compactManifest(spark: org.apache.spark.sql.SparkSession, path: String,
-                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+                      targetFileBytes: Long = 128L * 1024 * 1024,
+                      statsCols: Option[Seq[String]] = None): Int = {
     require(targetFileBytes > 0)
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(conf)
     val (gen, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
       s"$path has no committed manifest — writeManifested() it first"))
-    val live = readManifestFiles(fs, mp)
+    val entries = readManifestEntries(fs, mp)
+    val live = entries.map(entryPath)
+    // stats survive compaction: default to every column any live entry
+    // carries stats for (recollected from the NEW files' footers)
+    val keepStats = statsCols.getOrElse {
+      import scala.jdk.CollectionConverters._
+      entries.flatMap(entryStatsJson)
+        .flatMap(j => jsonMapper.readTree(j).fieldNames.asScala.toSeq)
+        .distinct
+    }
     val totalBytes = live.map(f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -321,7 +637,8 @@ object LayoutOps {
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
-    commitManifest(fs, root, gen + 1, files)
+    commitManifest(fs, root, gen + 1,
+      files.map(entryLineFor(conf, root, _, keepStats)))
     files.size
   }
 

@@ -185,6 +185,130 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("manifest stats skip files a range predicate cannot match, " +
+      "and the pruned read is exactly the filtered read") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    val mt = s"$base/t"
+    try {
+      // range-sorted by id so each of the 8 files covers a disjoint slice
+      val df = spark.range(8000)
+        .select(col("id"), (col("id") % 97).cast("double").as("v"),
+          concat(lit("u"), lpad(col("id").cast("string"), 6, "0")).as("name"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      LayoutOps.writeManifested(df, mt, statsCols = Seq("id", "name"))
+
+      // a narrow id range must keep ~1 of 8 files
+      val bounds = Seq(ColBounds("id", Some(2100L), Some(2200L)))
+      val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt, bounds)
+      assert(total === 8)
+      assert(kept.size <= 2, s"kept ${kept.size} of $total: $kept")
+
+      val pruned = LayoutOps.readManifestedWhere(spark, mt, bounds)
+      val full = LayoutOps.readManifested(spark, mt)
+        .where(col("id") >= 2100L && col("id") <= 2200L)
+      assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ===
+        full.collect().map(_.getLong(0)).sorted.toSeq)
+      assert(pruned.count() === 101)
+
+      // string stats prune too (lexicographic order == id order by padding)
+      val (keptS, _) = LayoutOps.manifestSkipFiles(spark, mt,
+        Seq(ColBounds("name", Some("u002100"), Some("u002200"))))
+      assert(keptS.size <= 2, s"string bounds kept $keptS")
+
+      // a range beyond the data prunes EVERYTHING yet keeps the schema
+      val none = LayoutOps.readManifestedWhere(spark, mt,
+        Seq(ColBounds("id", Some(999999L), None)))
+      assert(none.count() === 0)
+      assert(none.columns.toSeq === Seq("id", "v", "name"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("manifest stats: appends without stats stay readable and un-pruned; " +
+      "compaction re-collects stats automatically") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-skip2").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.appendManifested(
+        Seq(1L, 2L, 3L).toDF("id"), mt, statsCols = Seq("id"))
+      // no statsCols: this file must never be pruned, whatever the bounds
+      LayoutOps.appendManifested(Seq(100L).toDF("id"), mt)
+      LayoutOps.appendManifested(
+        Seq(200L, 201L).toDF("id"), mt, statsCols = Seq("id"))
+
+      val bounds = Seq(ColBounds("id", Some(150L), Some(250L)))
+      val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt, bounds)
+      assert(kept.size < total, "the [1,3] file must be pruned")
+      val got = LayoutOps.readManifestedWhere(spark, mt, bounds)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(200L, 201L),
+        "stats-less file read but filtered; stats files pruned or filtered")
+
+      // compaction derives the stats columns from the live manifest
+      LayoutOps.compactManifest(spark, mt, targetFileBytes = 1L)
+      val (kept2, total2) = LayoutOps.manifestSkipFiles(spark, mt, bounds)
+      assert(kept2.size < total2,
+        s"stats must survive compaction (kept ${kept2.size}/$total2)")
+      assert(LayoutOps.readManifestedWhere(spark, mt, bounds)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(200L, 201L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("manifest stats: all-null files prune under a range, nulls in mixed " +
+      "files are filtered not lost, timestamp and date bounds compare") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-skip3").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      val allNull = Seq((1L, None: Option[Double]), (2L, None))
+        .toDF("id", "v")
+      val mixed = Seq((3L, Some(5.0): Option[Double]), (4L, None))
+        .toDF("id", "v")
+      LayoutOps.appendManifested(allNull, mt, numFiles = 1, statsCols = Seq("v"))
+      LayoutOps.appendManifested(mixed, mt, numFiles = 1, statsCols = Seq("v"))
+      val bounds = Seq(ColBounds("v", Some(0.0), Some(10.0)))
+      val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt, bounds)
+      assert(total === 2 && kept.size === 1, s"all-null file prunes: $kept")
+      assert(LayoutOps.readManifestedWhere(spark, mt, bounds)
+        .collect().map(_.getLong(0)).toSeq === Seq(3L))
+
+      // timestamps: bounds given as java.sql.Timestamp against parquet
+      // int64 timestamp stats. Spark's LEGACY default writes INT96, which
+      // has NO footer stats — pruning must then keep every file (the r5
+      // near-miss: "no min/max" must read as unknown, not all-null)
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("event_id"), col("ts"))
+        .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      val lohi = ev.agg(min("ts"), max("ts")).head()
+      val lo = lohi.getTimestamp(0); val hi = lohi.getTimestamp(1)
+      val mid = new java.sql.Timestamp(lo.getTime + (hi.getTime - lo.getTime) / 8)
+      val tb = Seq(ColBounds("ts", None, Some(mid)))
+      val expected = ev.where(col("ts") <= lit(mid)).count()
+
+      val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.get(tsTypeKey)
+      val legacy = s"$base/ts96"
+      try {
+        spark.conf.set(tsTypeKey, "INT96")
+        LayoutOps.writeManifested(ev, legacy, statsCols = Seq("ts"))
+        val (kept96, total96) = LayoutOps.manifestSkipFiles(spark, legacy, tb)
+        assert(kept96.size === total96, "INT96 has no stats: nothing prunes")
+        assert(LayoutOps.readManifestedWhere(spark, legacy, tb).count() === expected)
+
+        // written as TIMESTAMP_MICROS, the same table prunes
+        spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+        val ts = s"$base/ts64"
+        LayoutOps.writeManifested(ev, ts, statsCols = Seq("ts"))
+        val (keptT, totalT) = LayoutOps.manifestSkipFiles(spark, ts, tb)
+        assert(keptT.size < totalT, s"timestamp prune: $keptT of $totalT")
+        assert(LayoutOps.readManifestedWhere(spark, ts, tb).count() === expected)
+      } finally spark.conf.set(tsTypeKey, prev)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
