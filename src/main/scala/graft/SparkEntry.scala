@@ -476,10 +476,8 @@ object SparkEntry {
     "q_manifest_skip" -> ((s, dir) => {
       val tbl = java.nio.file.Files
         .createTempDirectory("graft-mskip").toString + "/orders"
-      val ord = Tables.orders(s, dir)
-        .repartitionByRange(8, col("o_orderkey"))
-        .sortWithinPartitions("o_orderkey")
-      LayoutOps.writeManifested(ord, tbl, statsCols = Seq("o_orderkey"))
+      LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
       LayoutOps.readManifestedWhere(s, tbl,
         Seq(LayoutOps.ColBounds("o_orderkey", Some(1000L), Some(5000L))))
         .groupBy("o_orderstatus")
@@ -487,6 +485,45 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("total"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
+    }),
+    // co-located join: both sides bucketed on the join key at WRITE time,
+    // so the repeated join needs no exchange at read (BucketingSpec proves
+    // the shuffle-free plan; this gate hash-verifies the result). The
+    // pre-paid shuffle is the 100 TB answer to a dimension too big to
+    // broadcast that is joined on every query.
+    "q_bucketed_join" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bk").toString
+      s.sql("DROP TABLE IF EXISTS graft_bk_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bk_customer")
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders").saveAsTable("graft_bk_orders")
+      Tables.customer(s, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer").saveAsTable("graft_bk_customer")
+      s.table("graft_bk_orders")
+        .join(s.table("graft_bk_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+    // PII scrub: redactable strings are synthesized DETERMINISTICALLY from
+    // table columns (the corpus text itself is word soup), then the
+    // regexp_replace chain + pre-scrub exposure counts must match RE2's
+    // reading of the same patterns in DuckDB
+    "q_redact" -> ((s, dir) => {
+      val synth = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 via https://"), col("source"), lit(".example/item/"),
+        col("doc_id").cast("string"),
+        lit(" ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-45-6789"))
+      TextAnalysisOps.redact(
+        docs(s, dir).select(col("doc_id"), synth.as("text")),
+        "doc_id", "text")
     }),
     // recency-weighted features: exponentially decayed per-type sums,
     // anchored at the corpus max timestamp (one driver scalar)
@@ -1107,6 +1144,35 @@ object SparkEntry {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_redact" -> {
+      val url = """https?://[^\s]+"""
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipv4 = """\b(?:\d{1,3}\.){3}\d{1,3}\b"""
+      val ssn = """\b\d{3}-\d{2}-\d{4}\b"""
+      s"""WITH synth AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com from 10.0.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.7 via https://' || source
+         |    || '.example/item/' || CAST(doc_id AS VARCHAR) || ' ssn '
+         |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-45-6789' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$url', '<URL>', 'g'),
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ipv4', '<IPV4>', 'g'),
+         |    '$ssn', '<SSN>', 'g') AS redacted,
+         |  len(regexp_extract_all(t, '$url')) AS n_url,
+         |  len(regexp_extract_all(t, '$email')) AS n_email,
+         |  len(regexp_extract_all(t, '$ipv4')) AS n_ipv4,
+         |  len(regexp_extract_all(t, '$ssn')) AS n_ssn
+         |FROM synth""".stripMargin
+    },
     "q_decayed" ->
       """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
         |SELECT event_type, count(*) AS n,

@@ -527,20 +527,36 @@ object LayoutOps {
         new org.apache.hadoop.fs.Path(root, f).toString): _*).where(residual)
   }
 
+  /** Range-cluster `df` for writing: each output file covers a disjoint
+    * slice of `clusterBy`, which is what makes per-file min/max stats
+    * selective (an unclustered write gives every file the full value
+    * range and stats prune nothing). */
+  private def clustered(df: DataFrame, numFiles: Int,
+                        clusterBy: Seq[String]): DataFrame =
+    if (clusterBy.nonEmpty) {
+      val cs = clusterBy.map(col)
+      val p = if (numFiles > 0) df.repartitionByRange(numFiles, cs: _*)
+              else df.repartitionByRange(cs: _*)
+      p.sortWithinPartitions(cs: _*)
+    } else if (numFiles > 0) df.repartition(numFiles)
+    else df
+
   /** Create (or advance) a manifest-committed table at `path` with the
     * contents of `df`. Data lands in a fresh immutable directory; the
     * table flips to it atomically via the manifest commit. Previous
     * generations stay on disk (time travel / concurrent readers) until
-    * [[vacuumManifested]]. */
+    * [[vacuumManifested]]. `clusterBy` range-clusters the files so the
+    * `statsCols` min/max ranges are disjoint (maximum skipping). */
   def writeManifested(df: DataFrame, path: String,
-                      numFiles: Int = 0, statsCols: Seq[String] = Nil): Unit = {
+                      numFiles: Int = 0, statsCols: Seq[String] = Nil,
+                      clusterBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
     val dataDir = newDataDir(gen)
-    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    val out = clustered(df, numFiles, clusterBy)
     out.write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
@@ -609,7 +625,8 @@ object LayoutOps {
     */
   def compactManifest(spark: org.apache.spark.sql.SparkSession, path: String,
                       targetFileBytes: Long = 128L * 1024 * 1024,
-                      statsCols: Option[Seq[String]] = None): Int = {
+                      statsCols: Option[Seq[String]] = None,
+                      clusterBy: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -630,9 +647,11 @@ object LayoutOps {
       fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val dataDir = newDataDir(gen + 1)
-    spark.read
-      .parquet(live.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
-      .repartition(nFiles)
+    // clusterBy restores file-range disjointness that interleaved appends
+    // erode — without it a compaction keeps rows where they land
+    clustered(spark.read
+        .parquet(live.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*),
+        nFiles, clusterBy)
       .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted

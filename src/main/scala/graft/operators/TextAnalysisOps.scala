@@ -104,6 +104,37 @@ object TextAnalysisOps {
         .as("regex_tokens"),
       ceil(length(col(textCol)).cast("double") / 4).cast("long").as("approx_subwords"))
 
+  /** Built-in PII/redaction patterns (name -> regex), applied in order.
+    * Each regex is chosen to parse identically under Java's regex engine
+    * (Spark, codegen'd) and RE2 (the DuckDB verification oracle): plain
+    * character classes, non-capturing groups, counted repetition, `\b`
+    * and `\d` only — no backreferences or lookaround. URL runs first so
+    * an address embedded in a URL collapses to one placeholder. */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "url"   -> "https?://[^\\s]+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4"  -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** Replace every match of each pattern with a `<NAME>` placeholder — a
+    * chain of codegen'd regexp_replace, one streaming pass per pattern,
+    * no UDF, no shuffle. */
+  def redactText(text: Column,
+                 patterns: Seq[(String, String)] = redactionPatterns): Column =
+    patterns.foldLeft(text) { case (c, (name, re)) =>
+      regexp_replace(c, re, s"<${name.toUpperCase}>")
+    }
+
+  /** Per-doc redaction plus per-pattern match counts. Counts are taken on
+    * the ORIGINAL text (an email inside a URL counts under both), so they
+    * measure exposure before scrubbing — the number a pipeline reports. */
+  def redact(docs: DataFrame, idCol: String, textCol: String,
+             patterns: Seq[(String, String)] = redactionPatterns): DataFrame =
+    docs.select(
+      Seq(col(idCol), redactText(col(textCol), patterns).as("redacted")) ++
+        patterns.map { case (name, re) =>
+          regexp_count(col(textCol), lit(re)).as(s"n_$name") }: _*)
+
   /** n-gram repetition ratio — the Gopher-style repetitiveness signal
     * (Rae et al. 2021 §A1.1): fraction of a doc's sequential `n`-gram
     * shingles that are repeats of an earlier shingle. Boilerplate, spam

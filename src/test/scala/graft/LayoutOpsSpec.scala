@@ -221,6 +221,16 @@ class LayoutOpsSpec extends SparkSpec {
         Seq(ColBounds("id", Some(999999L), None)))
       assert(none.count() === 0)
       assert(none.columns.toSeq === Seq("id", "v", "name"))
+
+      // clusterBy does the range-sort for the caller: an UNSORTED df
+      // written with clusterBy prunes just as hard
+      val mt2 = s"$base/t2"
+      LayoutOps.writeManifested(
+        spark.range(8000).select((col("id") * 2654435761L % 8000).as("id")),
+        mt2, numFiles = 8, statsCols = Seq("id"), clusterBy = Seq("id"))
+      val (keptC, totalC) = LayoutOps.manifestSkipFiles(spark, mt2,
+        Seq(ColBounds("id", Some(100L), Some(200L))))
+      assert(totalC === 8 && keptC.size <= 2, s"clusterBy prunes: $keptC")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 

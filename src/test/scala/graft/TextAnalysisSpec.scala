@@ -89,6 +89,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert((sets(1L) & sets(3L)).nonEmpty, "shared prefix shares fingerprints")
   }
 
+  test("redact scrubs urls, emails, ips and ssn-shaped ids with counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a@b.co or visit https://x.example/u?q=a@b.co from 10.1.2.3"),
+      (2L, "ssn 123-45-6789 twice 987-65-4321, phone-free"),
+      (3L, "nothing sensitive here 1.2 or a@b (not an email domain)"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.redact(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // the URL swallows its embedded email; the standalone one redacts
+    assert(r(1L).getString(1) === "mail <EMAIL> or visit <URL> from <IPV4>")
+    assert((r(1L).getInt(2), r(1L).getInt(3), r(1L).getInt(4), r(1L).getInt(5))
+      === (1, 2, 1, 0), "counts on ORIGINAL text: url=1 email=2 ip=1 ssn=0")
+    assert(r(2L).getString(1) === "ssn <SSN> twice <SSN>, phone-free")
+    assert(r(2L).getInt(5) === 2)
+    assert(r(3L).getString(1) === d.where($"doc_id" === 3).head().getString(1),
+      "text without matches passes through byte-identical")
+  }
+
   test("multimodal: meta is deterministic, frame features batch-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val assets = MultimodalOps.asAssets(docs, "doc_id", "text", "text/plain")
