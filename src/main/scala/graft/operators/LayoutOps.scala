@@ -213,18 +213,29 @@ object LayoutOps {
     readManifestLines(fs, p).collectFirst {
       case l if l.startsWith("#token=") => l.stripPrefix("#token=") }
 
+  /** The table schema (DDL) a manifest records, if any. Recorded at every
+    * commit so reads plan with `spark.read.schema(...)` — zero footer
+    * inference (a real cost when a generation lists 100k files) — and so
+    * appends can evolve the schema additively. */
+  private def manifestSchemaDdl(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    readManifestLines(fs, p).collectFirst {
+      case l if l.startsWith("#schema=") => l.stripPrefix("#schema=") }
+
   /** Commit `files` (entry lines: a relative path, optionally followed by
     * TAB + per-file stats JSON) as generation `gen`: write a temp manifest
     * object fully, then rename it to the final name. Fails if the
     * generation was committed concurrently. */
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String],
-      token: Option[String] = None): Unit = {
+      token: Option[String] = None,
+      schemaDdl: Option[String] = None): Unit = {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     fs.mkdirs(md)
     val tmp = new org.apache.hadoop.fs.Path(md,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val header = token.map(t => s"#token=$t\n").getOrElse("")
+    val header = token.map(t => s"#token=$t\n").getOrElse("") +
+      schemaDdl.map(s => s"#schema=$s\n").getOrElse("")
     val out = fs.create(tmp, false)
     try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -513,6 +524,11 @@ object LayoutOps {
       throw new java.io.IOException(s"manifest $mp lists no data files")
     val kept = entries.filter(l => mayMatch(entryStatsJson(l), bounds))
       .map(entryPath)
+    val reader = manifestSchemaDdl(fs, mp) match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None => spark.read
+    }
     val residual = bounds.flatMap { b =>
       b.lower.map(v => col(b.column) >= lit(v)) ++
         b.upper.map(v => col(b.column) <= lit(v))
@@ -521,11 +537,35 @@ object LayoutOps {
       // every file pruned: empty result with the table's real schema (one
       // file read under an always-false filter costs a footer, not a scan)
       val any = new org.apache.hadoop.fs.Path(root, entryPath(entries.head))
-      spark.read.parquet(any.toString).where(lit(false))
+      reader.parquet(any.toString).where(lit(false))
     } else
-      spark.read.parquet(kept.map(f =>
+      reader.parquet(kept.map(f =>
         new org.apache.hadoop.fs.Path(root, f).toString): _*).where(residual)
   }
+
+  /** Additive schema evolution: the appended batch may ADD columns (old
+    * files read them back as null via the explicit read schema) but can
+    * never change an existing column's type; shared columns are matched
+    * by name. Returns the evolved table schema as DDL. */
+  private def evolveSchemaDdl(oldDdl: Option[String], df: DataFrame): String =
+    oldDdl match {
+      case None => df.schema.toDDL
+      case Some(ddl) =>
+        val old = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val byName = old.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach { f =>
+          byName.get(f.name).foreach { g =>
+            // .sql renders the type without nullability, which is exactly
+            // the equality evolution needs (nullable drift is fine)
+            require(g.dataType.sql == f.dataType.sql,
+              s"append cannot change column '${f.name}' from " +
+                s"${g.dataType.sql} to ${f.dataType.sql} — write a new " +
+                "generation with writeManifested() for breaking changes")
+          }
+        }
+        val added = df.schema.fields.filterNot(f => byName.contains(f.name))
+        org.apache.spark.sql.types.StructType(old.fields ++ added).toDDL
+    }
 
   /** Range-cluster `df` for writing: each output file covers a disjoint
     * slice of `clusterBy`, which is what makes per-file min/max stats
@@ -561,8 +601,10 @@ object LayoutOps {
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
+    // a full write REPLACES the table: the new schema is df's, verbatim
     commitManifest(fs, root, gen,
-      files.map(entryLineFor(conf, root, _, statsCols)))
+      files.map(entryLineFor(conf, root, _, statsCols)),
+      schemaDdl = Some(df.schema.toDDL))
   }
 
   /** Append `df` to a manifest-committed table: new data dir + a new
@@ -582,10 +624,12 @@ object LayoutOps {
     if (token.isDefined && latest.exists(m => manifestToken(fs, m._2) == token))
       return // this batch already committed — replay is a no-op
     // old entries are carried over VERBATIM (their stats suffixes included)
-    val (gen, old) = latest match {
-      case Some((g, mp)) => (g + 1, readManifestEntries(fs, mp))
-      case None          => (0L, Seq.empty[String])
+    val (gen, old, oldDdl) = latest match {
+      case Some((g, mp)) =>
+        (g + 1, readManifestEntries(fs, mp), manifestSchemaDdl(fs, mp))
+      case None => (0L, Seq.empty[String], None)
     }
+    val evolved = evolveSchemaDdl(oldDdl, df) // fails fast, BEFORE writing
     val dataDir = newDataDir(gen)
     val out = if (numFiles > 0) df.repartition(numFiles) else df
     out.write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
@@ -593,7 +637,8 @@ object LayoutOps {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
     commitManifest(fs, root, gen,
-      old ++ added.map(entryLineFor(conf, root, _, statsCols)), token)
+      old ++ added.map(entryLineFor(conf, root, _, statsCols)), token,
+      schemaDdl = Some(evolved))
   }
 
   /** Read a manifest-committed table: resolve the newest manifest (or a
@@ -611,7 +656,15 @@ object LayoutOps {
       // an empty generation (e.g. created from an empty batch) still has
       // a schema-less nothing to read; surface it as an explicit error
       throw new java.io.IOException(s"manifest $mp lists no data files")
-    spark.read.parquet(files: _*)
+    // the recorded schema plans the read with ZERO footer inference and
+    // null-fills columns added after a file was written (older manifests
+    // without one fall back to inference)
+    manifestSchemaDdl(fs, mp) match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Compact a manifest-committed table to ~`targetFileBytes` files —
@@ -647,9 +700,18 @@ object LayoutOps {
       fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val dataDir = newDataDir(gen + 1)
+    // read through the recorded schema: an evolved table's older files
+    // lack the added columns, and footer inference off one of THOSE would
+    // silently drop data from the compacted generation
+    val ddl = manifestSchemaDdl(fs, mp)
+    val reader = ddl match {
+      case Some(d) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None => spark.read
+    }
     // clusterBy restores file-range disjointness that interleaved appends
     // erode — without it a compaction keeps rows where they land
-    clustered(spark.read
+    clustered(reader
         .parquet(live.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*),
         nFiles, clusterBy)
       .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
@@ -657,7 +719,7 @@ object LayoutOps {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
     commitManifest(fs, root, gen + 1,
-      files.map(entryLineFor(conf, root, _, keepStats)))
+      files.map(entryLineFor(conf, root, _, keepStats)), schemaDdl = ddl)
     files.size
   }
 

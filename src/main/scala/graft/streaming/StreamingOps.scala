@@ -164,8 +164,19 @@ object StreamingOps {
     * shape (plain `writeStream.format("parquet")` relies on a
     * rename-based commit log on the table path itself).
     * Usage: `stream.writeStream.foreachBatch(manifestedBatchSink(path))`.
+    * `statsCols`/`clusterBy` flow through to the manifest commit so the
+    * ingested table is skippable from the first batch.
     */
-  def manifestedBatchSink(path: String): (Dataset[Row], Long) => Unit =
-    (batch, batchId) => graft.operators.LayoutOps.appendManifested(
-      batch.toDF(), path, token = Some(s"batch-$batchId"))
+  def manifestedBatchSink(path: String, statsCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): (Dataset[Row], Long) => Unit =
+    (batch, batchId) => {
+      val df = if (clusterBy.nonEmpty)
+        batch.toDF().repartitionByRange(clusterBy.map(
+          org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(clusterBy.map(
+            org.apache.spark.sql.functions.col): _*)
+      else batch.toDF()
+      graft.operators.LayoutOps.appendManifested(
+        df, path, token = Some(s"batch-$batchId"), statsCols = statsCols)
+    }
 }

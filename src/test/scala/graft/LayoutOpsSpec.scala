@@ -319,6 +319,46 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("manifested schema evolution: additive append null-fills old files, " +
+      "type changes refuse, reads plan from the recorded schema") {
+    val base = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.appendManifested(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), mt)
+      // additive: a new column appears; old files read it back as null
+      LayoutOps.appendManifested(
+        Seq((3L, "c", 0.5)).toDF("id", "s", "score"), mt)
+      val t = LayoutOps.readManifested(spark, mt)
+      assert(t.columns.toSeq === Seq("id", "s", "score"))
+      val rows = t.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", None),
+        (3L, "c", Some(0.5))))
+      // a batch MISSING a column also null-fills (columns matched by name)
+      LayoutOps.appendManifested(Seq(Tuple1(4L)).toDF("id"), mt)
+      assert(LayoutOps.readManifested(spark, mt).where(col("id") === 4L)
+        .head().isNullAt(1))
+      // breaking: same name, different type → refused BEFORE any write
+      val dirsBefore = new java.io.File(mt).listFiles()
+        .count(_.getName.startsWith("data-g"))
+      val e = intercept[IllegalArgumentException] {
+        LayoutOps.appendManifested(Seq((5L, 9L)).toDF("id", "s"), mt)
+      }
+      assert(e.getMessage.contains("cannot change column 's'"), e.getMessage)
+      assert(new java.io.File(mt).listFiles()
+        .count(_.getName.startsWith("data-g")) === dirsBefore,
+        "failed evolution must not leave a data directory behind")
+      // compaction reads through the union schema and preserves it
+      LayoutOps.compactManifest(spark, mt, targetFileBytes = 1L)
+      val c = LayoutOps.readManifested(spark, mt)
+      assert(c.columns.toSeq === Seq("id", "s", "score"))
+      assert(c.count() === 4)
+      assert(c.where(col("score").isNotNull).count() === 1)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
