@@ -45,7 +45,7 @@ object Main {
       |       lookup-postings boolean-retrieval pagerank
       |       personalized-pagerank hourly-counts graph-stats
       |       split contamination dedup-clusters sample-exact
-      |       compact compact-manifest vacuum-manifest
+      |       compact compact-manifest vacuum-manifest show-manifest
       |                             (pipeline extensions over parquet)
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
@@ -57,7 +57,8 @@ object Main {
       |         --benchmark PATH --id COL --text COL --shingle-n N
       |         --bloom-bits N (contamination; bloom path when set)
       |         --threshold F --minhash-k N --bands N  (dedup-clusters)
-      |         --class COL --key COL --k N            (sample-exact)""".stripMargin
+      |         --class COL --key COL --k N            (sample-exact)
+      |         --stats-cols a,b --cluster-by a,b      (compact-manifest)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val (cmd, opts) = parseArgs(args)
@@ -212,12 +213,23 @@ object Main {
           opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
         println(s"compacted $in to $n files")
       case "compact-manifest" =>
+        // --stats-cols overrides the (otherwise inherited) stats columns;
+        // --cluster-by re-sorts so file ranges are disjoint again
         val n = LayoutOps.compactManifest(spark, in,
-          opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
+          opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong,
+          statsCols = opts.get("stats-cols").map(_.split(",").toSeq),
+          clusterBy = opts.get("cluster-by")
+            .map(_.split(",").toSeq).getOrElse(Nil))
         println(s"committed compacted generation of $in with $n files")
       case "vacuum-manifest" =>
         val n = LayoutOps.vacuumManifested(spark, in)
         println(s"vacuumed $n superseded data files from $in")
+      case "show-manifest" =>
+        // inspection: generation, schema, and each file's skip stats
+        val (kept, total) = LayoutOps.manifestSkipFiles(spark, in, Nil)
+        println(s"$in: $total data files in the current generation")
+        LayoutOps.describeManifest(spark, in).foreach(println)
+        require(kept.size == total) // no bounds → nothing pruned
       case "sample-exact" =>
         // exact-k deterministic per-class sample
         PipelineOps.sampleExactPerClass(spark.read.parquet(in),

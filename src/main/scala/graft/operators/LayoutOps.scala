@@ -508,6 +508,22 @@ object LayoutOps {
     (kept, entries.size)
   }
 
+  /** Human-readable description of a manifest: generation, token, schema,
+    * and each data file with its skip stats — the `show-manifest` CLI. */
+  def describeManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, generation: Option[Long] = None): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = resolveManifest(fs, root, generation, path)
+    Seq(s"generation: ${manifestGen(mp.getName).getOrElse(-1L)}") ++
+      manifestToken(fs, mp).map(t => s"token: $t") ++
+      manifestSchemaDdl(fs, mp).map(s => s"schema: $s") ++
+      readManifestEntries(fs, mp).map { l =>
+        entryStatsJson(l).map(j => s"  ${entryPath(l)}  $j")
+          .getOrElse(s"  ${entryPath(l)}")
+      }
+  }
+
   /** Filtered read of a manifest-committed table: files whose stats prove
     * they cannot satisfy `bounds` are skipped WITHOUT being opened, then
     * the exact inclusive-range predicates are applied to the survivors —

@@ -48,13 +48,20 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/plain").count() === 5000)
     assert(new java.io.File(s"$base/plain").listFiles()
       .count(_.getName.endsWith(".parquet")) < 10)
-    // manifested-table compaction + vacuum
+    // manifested-table compaction + vacuum, with stats/clustering flags
     graft.operators.LayoutOps.writeManifested(
       spark.range(3000).toDF("id"), s"$base/mt", numFiles = 8)
-    Main.run(spark, "compact-manifest", Map("input" -> s"$base/mt"))
+    Main.run(spark, "compact-manifest", Map("input" -> s"$base/mt",
+      "stats-cols" -> "id", "cluster-by" -> "id"))
     Main.run(spark, "vacuum-manifest", Map("input" -> s"$base/mt"))
     assert(graft.operators.LayoutOps.readManifested(spark, s"$base/mt")
       .count() === 3000)
+    Main.run(spark, "show-manifest", Map("input" -> s"$base/mt"))
+    val desc = graft.operators.LayoutOps.describeManifest(spark, s"$base/mt")
+    assert(desc.head.startsWith("generation: 1"), desc.head)
+    assert(desc.exists(_.startsWith("schema: id BIGINT")), desc)
+    assert(desc.count(_.contains("\"id\":{\"t\":\"l\"")) >= 1,
+      s"per-file stats listed: $desc")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
