@@ -58,7 +58,8 @@ object Main {
       |         --bloom-bits N (contamination; bloom path when set)
       |         --threshold F --minhash-k N --bands N  (dedup-clusters)
       |         --class COL --key COL --k N            (sample-exact)
-      |         --stats-cols a,b --cluster-by a,b      (compact-manifest)""".stripMargin
+      |         --stats-cols a,b --cluster-by a,b      (compact-manifest)
+      |         --only-smaller-than BYTES   (compact-manifest: incremental)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val (cmd, opts) = parseArgs(args)
@@ -219,7 +220,9 @@ object Main {
           opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong,
           statsCols = opts.get("stats-cols").map(_.split(",").toSeq),
           clusterBy = opts.get("cluster-by")
-            .map(_.split(",").toSeq).getOrElse(Nil))
+            .map(_.split(",").toSeq).getOrElse(Nil),
+          onlyFilesSmallerThan = opts.get("only-smaller-than")
+            .map(_.toLong).getOrElse(Long.MaxValue))
         println(s"committed compacted generation of $in with $n files")
       case "vacuum-manifest" =>
         val n = LayoutOps.vacuumManifested(spark, in)

@@ -623,38 +623,71 @@ object LayoutOps {
       schemaDdl = Some(df.schema.toDDL))
   }
 
+  /** Test seam: invoked immediately before every manifest-commit attempt
+    * in [[appendManifested]], so a spec can interleave a competing commit
+    * into the exact race window. No-op in production. */
+  @volatile private[graft] var beforeAppendCommitHook: () => Unit = () => ()
+
   /** Append `df` to a manifest-committed table: new data dir + a new
     * manifest listing the old live files PLUS the new ones. A repeated
     * commit with the same `token` is a NO-OP — pass the micro-batch id
     * from `foreachBatch` and a restarted streaming query cannot
     * double-append its replayed batch (the manifest layout's equivalent
-    * of an idempotent sink). Creates the table when none exists. */
+    * of an idempotent sink). Creates the table when none exists.
+    *
+    * Concurrent appenders: losing a generation race costs nothing but the
+    * commit itself — the data directory is already written and stays
+    * valid — so the loser re-reads the new latest manifest, re-validates
+    * schema evolution against it, and re-commits the SAME files at the
+    * next generation, up to `maxCommitRetries` times. (On stores whose
+    * single-file rename cannot fail-on-exists, racing writers additionally
+    * need a conditional PUT or lock service — the standard manifest-format
+    * caveat.) A retries-exhausted append leaves an orphaned data dir that
+    * the next [[vacuumManifested]] removes. */
   def appendManifested(df: DataFrame, path: String, numFiles: Int = 0,
                        token: Option[String] = None,
-                       statsCols: Seq[String] = Nil): Unit = {
+                       statsCols: Seq[String] = Nil,
+                       maxCommitRetries: Int = 5): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val latest = latestManifest(fs, root)
-    if (token.isDefined && latest.exists(m => manifestToken(fs, m._2) == token))
-      return // this batch already committed — replay is a no-op
     // old entries are carried over VERBATIM (their stats suffixes included)
-    val (gen, old, oldDdl) = latest match {
-      case Some((g, mp)) =>
-        (g + 1, readManifestEntries(fs, mp), manifestSchemaDdl(fs, mp))
-      case None => (0L, Seq.empty[String], None)
+    def state(): Option[(Long, Seq[String], Option[String])] = {
+      val latest = latestManifest(fs, root)
+      if (token.isDefined && latest.exists(m => manifestToken(fs, m._2) == token))
+        None // this batch already committed — replay is a no-op
+      else Some(latest match {
+        case Some((g, mp)) =>
+          (g + 1, readManifestEntries(fs, mp), manifestSchemaDdl(fs, mp))
+        case None => (0L, Seq.empty[String], None)
+      })
     }
-    val evolved = evolveSchemaDdl(oldDdl, df) // fails fast, BEFORE writing
-    val dataDir = newDataDir(gen)
+    var st = state().getOrElse(return)
+    evolveSchemaDdl(st._3, df) // fails fast, BEFORE writing
+    val dataDir = newDataDir(st._1)
     val out = if (numFiles > 0) df.repartition(numFiles) else df
     out.write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
     val added = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
-    commitManifest(fs, root, gen,
-      old ++ added.map(entryLineFor(conf, root, _, statsCols)), token,
-      schemaDdl = Some(evolved))
+    var attempt = 0
+    while (true) {
+      val (gen, old, oldDdl) = st
+      beforeAppendCommitHook()
+      try {
+        commitManifest(fs, root, gen,
+          old ++ added.map(entryLineFor(conf, root, _, statsCols)), token,
+          schemaDdl = Some(evolveSchemaDdl(oldDdl, df)))
+        return
+      } catch {
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("committed concurrently"))
+              && attempt < maxCommitRetries =>
+          attempt += 1
+          st = state().getOrElse(return)
+      }
+    }
   }
 
   /** Read a manifest-committed table: resolve the newest manifest (or a
@@ -692,10 +725,19 @@ object LayoutOps {
     * [[vacuumManifested]].
     * @return number of data files in the new generation
     */
+  /** `onlyFilesSmallerThan` makes the compaction INCREMENTAL: only files
+    * below the threshold are rewritten; bigger files' manifest entries
+    * (stats included) are carried into the new generation verbatim. That
+    * is the steady-state maintenance shape for a streamed-into table —
+    * the small-files tail of recent batches gets folded without
+    * rewriting the petabytes that are already well-sized. Fewer than two
+    * qualifying files commits nothing.
+    * @return number of data files in the new (or unchanged) generation */
   def compactManifest(spark: org.apache.spark.sql.SparkSession, path: String,
                       targetFileBytes: Long = 128L * 1024 * 1024,
                       statsCols: Option[Seq[String]] = None,
-                      clusterBy: Seq[String] = Nil): Int = {
+                      clusterBy: Seq[String] = Nil,
+                      onlyFilesSmallerThan: Long = Long.MaxValue): Int = {
     require(targetFileBytes > 0)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -703,7 +745,10 @@ object LayoutOps {
     val (gen, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
       s"$path has no committed manifest — writeManifested() it first"))
     val entries = readManifestEntries(fs, mp)
-    val live = entries.map(entryPath)
+    val (smallE, largeE) = entries.map(l => (l,
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(root, entryPath(l))).getLen))
+      .partition(_._2 < onlyFilesSmallerThan)
+    if (smallE.size < 2) return entries.size // nothing worth folding
     // stats survive compaction: default to every column any live entry
     // carries stats for (recollected from the NEW files' footers)
     val keepStats = statsCols.getOrElse {
@@ -712,9 +757,8 @@ object LayoutOps {
         .flatMap(j => jsonMapper.readTree(j).fieldNames.asScala.toSeq)
         .distinct
     }
-    val totalBytes = live.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val nFiles = math.max(1,
+      math.ceil(smallE.map(_._2).sum.toDouble / targetFileBytes).toInt)
     val dataDir = newDataDir(gen + 1)
     // read through the recorded schema: an evolved table's older files
     // lack the added columns, and footer inference off one of THOSE would
@@ -728,15 +772,17 @@ object LayoutOps {
     // clusterBy restores file-range disjointness that interleaved appends
     // erode — without it a compaction keeps rows where they land
     clustered(reader
-        .parquet(live.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*),
+        .parquet(smallE.map(e =>
+          new org.apache.hadoop.fs.Path(root, entryPath(e._1)).toString): _*),
         nFiles, clusterBy)
       .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
     commitManifest(fs, root, gen + 1,
-      files.map(entryLineFor(conf, root, _, keepStats)), schemaDdl = ddl)
-    files.size
+      largeE.map(_._1) ++ files.map(entryLineFor(conf, root, _, keepStats)),
+      schemaDdl = ddl)
+    largeE.size + files.size
   }
 
   /** Delete data files no longer referenced by the NEWEST manifest, plus

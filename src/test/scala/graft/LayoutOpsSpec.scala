@@ -359,6 +359,90 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("concurrent append: the commit-race loser re-reads and re-commits " +
+      "its already-written files at the next generation") {
+    val base = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.appendManifested(Seq(1L).toDF("id"), mt)
+      // a competing writer lands EXACTLY in the race window: after our
+      // appender computed its target generation, before its commit
+      var fired = false
+      LayoutOps.beforeAppendCommitHook = () => {
+        if (!fired) {
+          fired = true
+          LayoutOps.appendManifested(Seq(100L).toDF("id"), mt)
+        }
+      }
+      LayoutOps.appendManifested(Seq(2L).toDF("id"), mt)
+      assert(fired)
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 100L),
+        "both racing batches must be visible, none duplicated")
+      // with retries disabled the same race surfaces as the documented error
+      var fired2 = false
+      LayoutOps.beforeAppendCommitHook = () => {
+        if (!fired2) {
+          fired2 = true
+          LayoutOps.appendManifested(Seq(200L).toDF("id"), mt) // wins the race
+        }
+      }
+      val e = intercept[java.io.IOException] {
+        LayoutOps.appendManifested(Seq(3L).toDF("id"), mt, maxCommitRetries = 0)
+      }
+      assert(e.getMessage.contains("committed concurrently"))
+      LayoutOps.beforeAppendCommitHook = () => ()
+      // the losing append's data dir is orphaned; vacuum removes it
+      val removed = LayoutOps.vacuumManifested(spark, mt)
+      assert(removed >= 1, s"vacuum must clear the orphaned loser dir ($removed)")
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 100L, 200L))
+    } finally {
+      LayoutOps.beforeAppendCommitHook = () => ()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("incremental compaction folds only the small-files tail and carries " +
+      "big files' entries (stats included) verbatim") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      // one well-sized file, then a tail of tiny appended batches
+      LayoutOps.writeManifested(
+        spark.range(200000).toDF("id"), mt, numFiles = 1,
+        statsCols = Seq("id"), clusterBy = Seq("id"))
+      for (i <- 0 until 4)
+        LayoutOps.appendManifested(
+          Seq(1000000L + i).toDF("id"), mt, statsCols = Seq("id"))
+      val bigLine = LayoutOps.describeManifest(spark, mt)
+        .find(l => l.contains("data-g0-")).get
+      val bigLen = new java.io.File(
+        s"$mt/${bigLine.trim.split("\\s+").head}").length
+      val n = LayoutOps.compactManifest(spark, mt,
+        targetFileBytes = 64L * 1024 * 1024, onlyFilesSmallerThan = bigLen)
+      assert(n === 2, s"big file + one folded tail file, got $n")
+      val desc = LayoutOps.describeManifest(spark, mt)
+      assert(desc.exists(_ == bigLine),
+        s"big entry carried verbatim with its stats:\n${desc.mkString("\n")}")
+      assert(LayoutOps.readManifested(spark, mt).count() === 200004)
+      // the carried stats still prune: a range inside the tail's ids
+      // skips the big file
+      val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt,
+        Seq(ColBounds("id", Some(1000000L), None)))
+      assert(total === 2 && kept.size === 1, s"$kept of $total")
+      // fewer than two qualifying files: nothing commits
+      val before = LayoutOps.describeManifest(spark, mt).head
+      assert(LayoutOps.compactManifest(spark, mt,
+        onlyFilesSmallerThan = 1L) === 2)
+      assert(LayoutOps.describeManifest(spark, mt).head === before,
+        "no-op incremental compaction must not advance the generation")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
