@@ -486,6 +486,38 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
     }),
+    // copy-on-write delete targeted by the manifest stats: only the files
+    // whose [min,max] overlap the key range are rewritten; the remaining
+    // table must equal the oracle's NOT BETWEEN
+    "q_manifest_delete" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mdel").toString + "/orders"
+      LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
+      LayoutOps.deleteManifestedWhere(s, tbl,
+        Seq(LayoutOps.ColBounds("o_orderkey", Some(1000L), Some(5000L))))
+      LayoutOps.readManifested(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+    // copy-on-write upsert: a key-clustered batch replaces its rows in
+    // place (only overlapping files rewritten); result must equal the
+    // oracle's CASE rewrite of the same rows
+    "q_manifest_upsert" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mups").toString + "/orders"
+      LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
+      val updates = Tables.orders(s, dir)
+        .where(col("o_orderkey").between(1000, 2000))
+        .withColumn("o_totalprice", lit(1.0))
+      LayoutOps.upsertManifested(updates, tbl, "o_orderkey")
+      LayoutOps.readManifested(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
     // co-located join: both sides bucketed on the join key at WRITE time,
     // so the repeated join needs no exchange at read (BucketingSpec proves
     // the shuffle-free plan; this gate hash-verifies the result). The
@@ -1143,6 +1175,19 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_upsert" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT o_orderstatus,
+        |        CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+        |             THEN 1.0 ELSE o_totalprice END AS o_totalprice
+        |      FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

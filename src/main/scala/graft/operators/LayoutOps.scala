@@ -785,6 +785,121 @@ object LayoutOps {
     largeE.size + files.size
   }
 
+  /** Copy-on-write DELETE: remove every row satisfying all `bounds` (the
+    * same inclusive-range predicate [[readManifestedWhere]] reads; rows
+    * with NULL in a bound column never match and are kept). Files whose
+    * stats prove they cannot contain a match are carried into the new
+    * generation VERBATIM — a narrow delete on a clustered column rewrites
+    * a handful of files, not the table; that is the
+    * delete-one-user-from-100TB shape. Rewritten files re-collect the
+    * table's stats columns; the old generation survives for time travel
+    * until [[vacuumManifested]].
+    * @return (files rewritten, files carried untouched) */
+  def deleteManifestedWhere(spark: org.apache.spark.sql.SparkSession,
+      path: String, bounds: Seq[ColBounds]): (Int, Int) = {
+    require(bounds.nonEmpty && bounds.exists(b =>
+      b.lower.nonEmpty || b.upper.nonEmpty),
+      "refusing an unbounded delete — use a new writeManifested() to replace a table")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val (gen, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
+      s"$path has no committed manifest — nothing to delete from"))
+    val entries = readManifestEntries(fs, mp)
+    val (touched, carried) = entries.partition(l =>
+      mayMatch(entryStatsJson(l), bounds))
+    if (touched.isEmpty) return (0, carried.size)
+    val keepStats = {
+      import scala.jdk.CollectionConverters._
+      entries.flatMap(entryStatsJson)
+        .flatMap(j => jsonMapper.readTree(j).fieldNames.asScala.toSeq)
+        .distinct
+    }
+    val ddl = manifestSchemaDdl(fs, mp)
+    val reader = ddl match {
+      case Some(d) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None => spark.read
+    }
+    val matches = bounds.flatMap { b =>
+      b.lower.map(v => col(b.column) >= lit(v)) ++
+        b.upper.map(v => col(b.column) <= lit(v))
+    }.reduce(_ && _)
+    val dataDir = newDataDir(gen + 1)
+    reader.parquet(touched.map(e =>
+        new org.apache.hadoop.fs.Path(root, entryPath(e)).toString): _*)
+      // NULL in a bound column -> predicate NULL -> not a match -> keep
+      .where(!coalesce(matches, lit(false)))
+      .repartition(touched.size)
+      .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dataDir/$n").toSeq
+    commitManifest(fs, root, gen + 1,
+      carried ++ files.map(entryLineFor(conf, root, _, keepStats)),
+      schemaDdl = ddl)
+    (files.size, carried.size)
+  }
+
+  /** Copy-on-write UPSERT: rows of `updates` replace existing rows with
+    * the same `keyCol` value; new keys append. Only files whose key-range
+    * stats overlap the updates' [min, max] key span are rewritten (plus
+    * stats-less files, which might contain anything); the rest carry
+    * verbatim. Batch far-apart keys into separate upserts — one distant
+    * key in a batch widens the span to cover everything between.
+    * `updates` is expected to be small relative to the table —
+    * its key span is taken as two driver scalars, its distinct keys are
+    * broadcast for the anti-join, and its rows are
+    * unioned into one rewritten data directory. Schema evolves additively
+    * exactly as in [[appendManifested]].
+    * @return (files rewritten, files carried untouched) */
+  def upsertManifested(updates: DataFrame, path: String,
+                       keyCol: String): (Int, Int) = {
+    val spark = updates.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val (gen, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
+      s"$path has no committed manifest — writeManifested() it first"))
+    val entries = readManifestEntries(fs, mp)
+    val ddl = manifestSchemaDdl(fs, mp)
+    val evolved = evolveSchemaDdl(ddl, updates) // fail fast, BEFORE writing
+    val span = updates.agg(min(col(keyCol)), max(col(keyCol))).head()
+    if (span.isNullAt(0)) return (0, entries.size) // no non-null update keys
+    val bounds = Seq(ColBounds(keyCol, Some(span.get(0)), Some(span.get(1))))
+    val (touched, carried) = entries.partition(l =>
+      mayMatch(entryStatsJson(l), bounds))
+    val keepStats = {
+      import scala.jdk.CollectionConverters._
+      entries.flatMap(entryStatsJson)
+        .flatMap(j => jsonMapper.readTree(j).fieldNames.asScala.toSeq)
+        .distinct
+    }
+    val reader = ddl match {
+      case Some(d) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None => spark.read
+    }
+    // survivors of the touched files (keys NOT being updated) + the updates
+    val kept =
+      if (touched.isEmpty) updates
+      else reader.parquet(touched.map(e =>
+          new org.apache.hadoop.fs.Path(root, entryPath(e)).toString): _*)
+        .join(broadcast(updates.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_anti")
+        .unionByName(updates, allowMissingColumns = true)
+    val dataDir = newDataDir(gen + 1)
+    kept.repartition(math.max(1, touched.size))
+      .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dataDir/$n").toSeq
+    commitManifest(fs, root, gen + 1,
+      carried ++ files.map(entryLineFor(conf, root, _, keepStats)),
+      schemaDdl = Some(evolved))
+    (files.size, carried.size)
+  }
+
   /** Delete data files no longer referenced by the NEWEST manifest, plus
     * superseded manifest files. Destroys time travel and breaks readers
     * still resolving an old generation — production systems gate this on

@@ -443,6 +443,77 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("copy-on-write delete rewrites only the stats-overlapping files; " +
+      "the old generation still time-travels") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val mt = s"$base/t"
+    try {
+      LayoutOps.writeManifested(
+        spark.range(8000).select(col("id"), (col("id") * 2).as("v")),
+        mt, numFiles = 8, statsCols = Seq("id"), clusterBy = Seq("id"))
+      val (rw, carried) = LayoutOps.deleteManifestedWhere(spark, mt,
+        Seq(ColBounds("id", Some(2100L), Some(2200L))))
+      assert(rw <= 2 && carried >= 6, s"rewrote $rw, carried $carried")
+      val t = LayoutOps.readManifested(spark, mt)
+      assert(t.count() === 8000 - 101)
+      assert(t.where(col("id").between(2100, 2200)).count() === 0)
+      assert(t.where(col("id") === 2099L).head().getLong(1) === 4198L,
+        "neighboring rows survive with their values")
+      // the pre-delete generation is still readable until vacuum
+      assert(LayoutOps.readManifested(spark, mt, generation = Some(0L))
+        .count() === 8000)
+      // carried entries kept their stats: a later bounded read still prunes
+      val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt,
+        Seq(ColBounds("id", Some(7000L), Some(7100L))))
+      assert(kept.size < total)
+      // an effectively unbounded delete is refused
+      intercept[IllegalArgumentException] {
+        LayoutOps.deleteManifestedWhere(spark, mt, Seq(ColBounds("id")))
+      }
+      // a delete whose range no file can contain commits NOTHING
+      val genBefore = LayoutOps.describeManifest(spark, mt).head
+      assert(LayoutOps.deleteManifestedWhere(spark, mt,
+        Seq(ColBounds("id", Some(999999L), Some(999999L))))._1 === 0)
+      assert(LayoutOps.describeManifest(spark, mt).head === genBefore)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("copy-on-write upsert replaces matching keys, appends new ones, " +
+      "and touches only key-overlapping files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ups").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.writeManifested(
+        spark.range(8000).select(col("id"), (col("id") * 2).as("v")),
+        mt, numFiles = 8, statsCols = Seq("id"), clusterBy = Seq("id"))
+      // a tight key cluster touches only its files (a far-out key in the
+      // same batch would widen the span — batch distant keys separately)
+      val updates = (2100L to 2105L).map(i => (i, -1L)).toDF("id", "v")
+      val (rw, carried) = LayoutOps.upsertManifested(updates, mt, "id")
+      assert(carried >= 6, s"rewrote $rw, carried $carried")
+      // a brand-new key beyond every file's range: zero rewrites, pure append
+      val (rwNew, carriedNew) =
+        LayoutOps.upsertManifested(Seq((99999L, 7L)).toDF("id", "v"), mt, "id")
+      assert(rwNew === 1 && carriedNew >= 7, s"($rwNew, $carriedNew)")
+      val t = LayoutOps.readManifested(spark, mt)
+      assert(t.count() === 8001, "6 replaced in place, 1 appended")
+      assert(t.where(col("id").between(2100L, 2105L))
+        .collect().map(_.getLong(1)).toSet === Set(-1L))
+      assert(t.where(col("id") === 2106L).head().getLong(1) === 4212L)
+      assert(t.where(col("id") === 99999L).head().getLong(1) === 7L)
+      // upsert with an added column evolves the schema additively
+      val upd2 = Seq((2100L, -2L, "patched")).toDF("id", "v", "note")
+      LayoutOps.upsertManifested(upd2, mt, "id")
+      val t2 = LayoutOps.readManifested(spark, mt)
+      assert(t2.columns.toSeq === Seq("id", "v", "note"))
+      assert(t2.where(col("note").isNotNull).count() === 1)
+      assert(t2.where(col("id") === 2100L).head().getLong(1) === -2L)
+      assert(t2.count() === 8001)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
