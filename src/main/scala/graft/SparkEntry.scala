@@ -296,6 +296,10 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysisOps.fingerprintSketch(docs(s, dir), "doc_id", "text",
         shingleN = 4, window = 4)),
+    // unigram token entropy (bits): distribution-shape quality signal —
+    // near 0 for one-token spam, log2(n) for all-distinct docs
+    "q_entropy" -> ((s, dir) =>
+      TextAnalysisOps.tokenEntropy(docs(s, dir), "doc_id", "text")),
     // Gopher-style repetitiveness signal: repeated-shingle fraction
     "q_repetition" -> ((s, dir) =>
       TextAnalysisOps.repetitionRatio(docs(s, dir), "doc_id", "text",
@@ -908,6 +912,12 @@ object SparkEntry {
          |    AS regex_tokens,
          |  CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS approx_subwords
          |FROM documents""".stripMargin,
+    "q_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+         |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+         |FROM c GROUP BY doc_id""".stripMargin,
     // distinct counted over the 60-bit HASHES (as the engine does), so a
     // hash collision — however unlikely — cannot split the two engines
     "q_repetition" ->

@@ -785,6 +785,54 @@ object LayoutOps {
     largeE.size + files.size
   }
 
+  /** Append-only change feed: the rows added after `sinceGeneration`, as
+    * one DataFrame, plus the generation to checkpoint for the next poll.
+    * Works because data files are immutable — an append generation's
+    * delta is exactly the files it newly lists. A generation that REMOVED
+    * files the base listed (compaction / delete / upsert rewrote history)
+    * makes per-file deltas meaningless: that raises, and the consumer
+    * must re-read the full table and re-checkpoint. Drive it from a poll
+    * loop or a `foreachBatch`-style scheduler; the generation number is
+    * the only consumer state. */
+  def readManifestedChanges(spark: org.apache.spark.sql.SparkSession,
+      path: String, sinceGeneration: Long): (DataFrame, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (latestGen, latestMp) = latestManifest(fs, root).getOrElse(
+      throw new java.io.IOException(
+        s"$path has no committed manifest — not a manifested table"))
+    val ddl = manifestSchemaDdl(fs, latestMp)
+    def withSchema(r: org.apache.spark.sql.DataFrameReader) = ddl match {
+      case Some(d) => r.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None    => r
+    }
+    if (latestGen <= sinceGeneration) {
+      val any = readManifestFiles(fs, latestMp).headOption.getOrElse(
+        throw new java.io.IOException(s"manifest $latestMp lists no data files"))
+      return (withSchema(spark.read)
+        .parquet(new org.apache.hadoop.fs.Path(root, any).toString)
+        .where(lit(false)), latestGen)
+    }
+    val baseMp = resolveManifest(fs, root, Some(sinceGeneration), path)
+    val base = readManifestFiles(fs, baseMp).toSet
+    val latest = readManifestFiles(fs, latestMp)
+    val removed = base -- latest.toSet
+    if (removed.nonEmpty) throw new java.io.IOException(
+      s"generations ${sinceGeneration + 1}..$latestGen rewrote history " +
+        s"(compaction/delete/upsert removed ${removed.size} files) — " +
+        "re-read the full table and checkpoint the new generation")
+    val delta = latest.filterNot(base)
+    if (delta.isEmpty) { // e.g. an empty appended batch still advances gen
+      val any = latest.headOption.getOrElse(throw new java.io.IOException(
+        s"manifest $latestMp lists no data files"))
+      return (withSchema(spark.read)
+        .parquet(new org.apache.hadoop.fs.Path(root, any).toString)
+        .where(lit(false)), latestGen)
+    }
+    (withSchema(spark.read).parquet(delta.map(f =>
+      new org.apache.hadoop.fs.Path(root, f).toString): _*), latestGen)
+  }
+
   /** Copy-on-write DELETE: remove every row satisfying all `bounds` (the
     * same inclusive-range predicate [[readManifestedWhere]] reads; rows
     * with NULL in a bound column never match and are kept). Files whose

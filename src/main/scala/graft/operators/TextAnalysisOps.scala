@@ -135,6 +135,24 @@ object TextAnalysisOps {
         patterns.map { case (name, re) =>
           regexp_count(col(textCol), lit(re)).as(s"n_$name") }: _*)
 
+  /** Unigram token entropy per doc, in bits — the distribution-shape
+    * quality signal that length/ratio features miss: near zero for a
+    * degenerate doc repeating one token, log2(n) when every token is
+    * distinct. Computed as H = log2(n) - sum(c*log2 c)/n over per-doc
+    * token counts (no per-token probability column), two grouped
+    * aggregations: (doc, token) then (doc) — both with map-side partial
+    * aggregation, so the shuffle carries one row per distinct (doc,
+    * token), not per token occurrence. Docs with zero tokens emit no row
+    * (entropy of an empty distribution is undefined, not 0). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        round(log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"), 6)
+          .as("entropy_bits"))
+
   /** n-gram repetition ratio — the Gopher-style repetitiveness signal
     * (Rae et al. 2021 §A1.1): fraction of a doc's sequential `n`-gram
     * shingles that are repeats of an earlier shingle. Boilerplate, spam

@@ -514,6 +514,39 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("append-only change feed: per-generation deltas, empty when caught " +
+      "up, raises when history was rewritten") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.appendManifested(Seq(1L, 2L).toDF("id"), mt)
+      LayoutOps.appendManifested(Seq(3L).toDF("id"), mt)
+      LayoutOps.appendManifested(Seq(4L, 5L).toDF("id"), mt)
+      val (d01, g1) = LayoutOps.readManifestedChanges(spark, mt, 0L)
+      assert(g1 === 2L)
+      assert(d01.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L, 5L),
+        "delta excludes the base generation's rows")
+      val (d2, g2) = LayoutOps.readManifestedChanges(spark, mt, g1)
+      assert(g2 === g1 && d2.count() === 0, "caught up: empty delta")
+      assert(d2.columns.toSeq === Seq("id"), "empty delta keeps the schema")
+      // more appends resume from the checkpointed generation
+      LayoutOps.appendManifested(Seq(6L).toDF("id"), mt)
+      val (d3, g3) = LayoutOps.readManifestedChanges(spark, mt, g2)
+      assert(g3 === 3L &&
+        d3.collect().map(_.getLong(0)).toSeq === Seq(6L))
+      // compaction rewrites history: the feed must refuse, not mis-read
+      LayoutOps.compactManifest(spark, mt, targetFileBytes = 1L)
+      val e = intercept[java.io.IOException] {
+        LayoutOps.readManifestedChanges(spark, mt, g3)
+      }
+      assert(e.getMessage.contains("rewrote history"), e.getMessage)
+      // re-sync: read full table, checkpoint latest, resume cleanly
+      val (_, g4) = LayoutOps.readManifestedChanges(spark, mt, 4L)
+      assert(g4 === 4L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))

@@ -108,6 +108,19 @@ class TextAnalysisSpec extends SparkSpec {
       "text without matches passes through byte-identical")
   }
 
+  test("tokenEntropy: 0 bits for one repeated token, log2(n) for all-distinct") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.tokenEntropy(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(3) === 0.0)
+    assert(r(2L).getDouble(3) === 2.0)
+    assert(r(3L).getDouble(3) === 1.0)
+    assert((r(2L).getLong(1), r(2L).getLong(2)) === (4L, 4L))
+    assert(!r.contains(4L), "zero-token doc emits no row, not entropy 0")
+  }
+
   test("multimodal: meta is deterministic, frame features batch-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val assets = MultimodalOps.asAssets(docs, "doc_id", "text", "text/plain")
