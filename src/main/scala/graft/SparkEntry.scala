@@ -490,6 +490,21 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
     }),
+    // per-file bloom skipping: orders is clustered by o_orderkey, so
+    // every file's o_custkey RANGE covers the whole domain — only the
+    // manifest blooms can prune this point lookup; result must equal the
+    // oracle's plain equality filter
+    "q_manifest_point" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mpt").toString + "/orders"
+      LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+        bloomCols = Seq("o_custkey"))
+      LayoutOps.readManifestedWhere(s, tbl,
+        Seq(LayoutOps.ColBounds("o_custkey", Some(101L), Some(101L))))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
     // copy-on-write delete targeted by the manifest stats: only the files
     // whose [min,max] overlap the key range are rewritten; the remaining
     // table must equal the oracle's NOT BETWEEN
@@ -1186,6 +1201,9 @@ object SparkEntry {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_point" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_custkey = 101""".stripMargin,
     "q_manifest_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

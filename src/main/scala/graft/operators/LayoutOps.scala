@@ -385,16 +385,138 @@ object LayoutOps {
       case _ => a.orElse(b)
     }
 
-  /** Render one file's stats map as the manifest JSON suffix. */
+  // ---- per-file bloom filters (equality skipping, unclustered columns) --
+  // min/max ranges prune RANGE predicates on clustered columns; for an
+  // EQUALITY probe on a column the layout was not clustered by, every
+  // file's range covers the value and stats prune nothing. A small
+  // per-file bloom (bloomBits/8 bytes, default 1 KiB) over the column's
+  // 60-bit value hashes closes that: a point lookup opens only the files
+  // whose bloom admits the value — false positives cost a wasted read,
+  // false negatives cannot happen. Collection is ONE distributed pass
+  // over the just-written files (groupBy input_file_name), not a
+  // driver-side loop. Hashing: md5-prefix hash60 of the value's string
+  // rendering + the engine's odd-multiplier permutations, so the bits
+  // are engine-portable like every other graft sketch. Integer and
+  // string columns only (their string renderings are unambiguous).
+
+  private val bloomHashes = 3
+
+  private def hash60Host(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
+  /** (h * c) mod 2^60 — the host twin of DedupOps.permuteHash (whose
+    * 30-bit split exists only for ANSI-safe COLUMN arithmetic; a wrapping
+    * 64-bit multiply keeps the same low 60 bits). */
+  private def permuteHost(h: Long, c: Long): Long = (h * c) & DedupOps.mask60
+
+  private def bloomBitsSet(words: Array[Long], rendered: String,
+                           numHashes: Int): Boolean = {
+    val numBits = words.length.toLong * 64
+    val h = hash60Host(rendered)
+    DedupOps.minhashMultipliers(numHashes).forall { c =>
+      val pos = permuteHost(h, c) & (numBits - 1)
+      (words((pos >> 6).toInt) & (1L << (pos & 63))) != 0
+    }
+  }
+
+  /** String rendering that matches Spark's cast-to-string for the types
+    * blooms support (integers and strings); None = not bloom-probeable. */
+  private def renderForHash(v: Any): Option[String] = v match {
+    case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** Per-value bloom Aggregator: input is the value's 60-bit hash (null =
+    * skip), state is the fixed word array, merge is OR — bounded state
+    * with map-side partial aggregation, same contract as
+    * [[graft.functions.BloomSketch]] but folding the k probe positions
+    * inside reduce so one aggregate per column suffices. */
+  private class BloomValueAgg(numBits: Int, numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Array[Long], Array[Long]] {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"bloomBits must be a power of two, got $numBits")
+    private val mults = DedupOps.minhashMultipliers(numHashes).toArray
+    override def zero: Array[Long] = new Array[Long](numBits >> 6)
+    override def reduce(b: Array[Long], h: java.lang.Long): Array[Long] = {
+      if (h != null) {
+        var i = 0
+        while (i < mults.length) {
+          val pos = ((h.longValue * mults(i)) & DedupOps.mask60) & (numBits - 1L)
+          b((pos >> 6).toInt) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(st: Array[Long]): Array[Long] = st
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** One Spark job over a freshly written data directory: per file, per
+    * bloom column, the OR of its value-hash bloom bits. Keyed by file
+    * NAME (unique within the directory). */
+  private def collectBlooms(spark: org.apache.spark.sql.SparkSession,
+      dataDirAbs: String, bloomCols: Seq[String],
+      numBits: Int): Map[String, Map[String, Array[Long]]] = {
+    if (bloomCols.isEmpty) return Map.empty
+    val aggs = bloomCols.map { c =>
+      udaf(new BloomValueAgg(numBits, bloomHashes))
+        .apply(PipelineOps.hash60(col(c))).as(s"__bloom_$c")
+    }
+    spark.read.parquet(dataDirAbs)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName ->
+          bloomCols.zipWithIndex.map { case (c, i) =>
+            c -> r.getSeq[Long](i + 1).toArray }.toMap
+      }.toMap
+  }
+
+  private def longsToBase64(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def base64ToLongs(s: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+    Array.fill(bb.remaining() / 8)(bb.getLong)
+  }
+
+  /** Render one file's stats (+ optional blooms) as the manifest JSON
+    * suffix. Footer-backed columns carry t/min/max/n; bloom columns add
+    * bloom/bk (and may be bloom-only, with no range fields). */
   private def statsJson(
-      m: Map[String, (String, Option[String], Option[String], Long)]): String = {
+      m: Map[String, (String, Option[String], Option[String], Long)],
+      blooms: Map[String, Array[Long]] = Map.empty): String = {
     val root = jsonMapper.createObjectNode()
-    m.toSeq.sortBy(_._1).foreach { case (col, (tag, mn, mx, nulls)) =>
+    (m.keySet ++ blooms.keySet).toSeq.sorted.foreach { col =>
       val o = root.putObject(col)
-      o.put("t", tag)
-      mn.foreach(o.put("min", _))
-      mx.foreach(o.put("max", _))
-      o.put("n", nulls)
+      m.get(col).foreach { case (tag, mn, mx, nulls) =>
+        o.put("t", tag)
+        mn.foreach(o.put("min", _))
+        mx.foreach(o.put("max", _))
+        o.put("n", nulls)
+      }
+      blooms.get(col).foreach { words =>
+        o.put("bloom", longsToBase64(words))
+        o.put("bk", bloomHashes)
+      }
     }
     jsonMapper.writeValueAsString(root)
   }
@@ -403,13 +525,36 @@ object LayoutOps {
     * requested and obtainable. */
   private def entryLineFor(conf: org.apache.hadoop.conf.Configuration,
       root: org.apache.hadoop.fs.Path, relPath: String,
-      statsCols: Seq[String]): String =
-    if (statsCols.isEmpty) relPath
-    else {
-      val m = parquetFileStats(conf,
-        new org.apache.hadoop.fs.Path(root, relPath), statsCols.toSet)
-      if (m.isEmpty) relPath else s"$relPath\t${statsJson(m)}"
+      statsCols: Seq[String],
+      blooms: Map[String, Map[String, Array[Long]]] = Map.empty): String = {
+    val m = if (statsCols.isEmpty)
+      Map.empty[String, (String, Option[String], Option[String], Long)]
+    else parquetFileStats(conf,
+      new org.apache.hadoop.fs.Path(root, relPath), statsCols.toSet)
+    val b = blooms.getOrElse(
+      new org.apache.hadoop.fs.Path(relPath).getName, Map.empty)
+    if (m.isEmpty && b.isEmpty) relPath else s"$relPath\t${statsJson(m, b)}"
+  }
+
+  /** Bloom columns (and the largest bit width seen) recorded by any live
+    * entry — what a rewrite (compaction/delete/upsert) must re-collect so
+    * equality skipping survives maintenance. */
+  private def inheritedBloomCols(entries: Seq[String]): (Seq[String], Int) = {
+    import scala.jdk.CollectionConverters._
+    val cols = scala.collection.mutable.LinkedHashSet.empty[String]
+    var bits = 0
+    entries.flatMap(entryStatsJson).map(jsonMapper.readTree).foreach { n =>
+      n.fieldNames.asScala.foreach { f =>
+        val cn = n.get(f)
+        if (cn.has("bloom")) {
+          cols += f
+          bits = math.max(bits,
+            java.util.Base64.getDecoder.decode(cn.get("bloom").asText).length * 8)
+        }
+      }
     }
+    (cols.toSeq, bits)
+  }
 
   /** Normalize a user-supplied bound to (tag, rendered) in the stats
     * domain; None = type we cannot compare against footer stats. */
@@ -455,25 +600,41 @@ object LayoutOps {
         case _ if b.lower.isEmpty && b.upper.isEmpty => true // no predicate
         case None => true // no stats for this column: must keep
         case Some(cn) =>
+          // equality probe (lower == upper) against a recorded bloom: a
+          // definite miss prunes regardless of ranges; a hit (or a value
+          // type blooms don't cover) falls through to the range logic
+          val bloomOk = (b.lower, b.upper) match {
+            case (Some(x), Some(y)) if x == y && cn.has("bloom") =>
+              renderForHash(x).forall(s => bloomBitsSet(
+                base64ToLongs(cn.get("bloom").asText), s,
+                Option(cn.get("bk")).map(_.asInt).getOrElse(bloomHashes)))
+            case _ => true
+          }
           val tag = Option(cn.get("t")).map(_.asText).getOrElse("")
           val mn = Option(cn.get("min")).map(_.asText)
           val mx = Option(cn.get("max")).map(_.asText)
-          if (mn.isEmpty || mx.isEmpty) false // all-null column: prune
-          else {
-            val lowerOk = b.lower.flatMap(normalizeBound) match {
-              case Some((bt, bv)) =>
-                // keep unless max < lower
-                cmpAcross(tag, mx.get, bt, bv).forall(_ >= 0)
-              case None => true
+          val rangeOk =
+            if (mn.isEmpty || mx.isEmpty)
+              // footer-backed entries ("n" present) with no min/max are
+              // PROVABLY all-null -> prune; bloom-only entries carry no
+              // range information -> keep
+              !cn.has("n")
+            else {
+              val lowerOk = b.lower.flatMap(normalizeBound) match {
+                case Some((bt, bv)) =>
+                  // keep unless max < lower
+                  cmpAcross(tag, mx.get, bt, bv).forall(_ >= 0)
+                case None => true
+              }
+              val upperOk = b.upper.flatMap(normalizeBound) match {
+                case Some((bt, bv)) =>
+                  // keep unless min > upper
+                  cmpAcross(tag, mn.get, bt, bv).forall(_ <= 0)
+                case None => true
+              }
+              lowerOk && upperOk
             }
-            val upperOk = b.upper.flatMap(normalizeBound) match {
-              case Some((bt, bv)) =>
-                // keep unless min > upper
-                cmpAcross(tag, mn.get, bt, bv).forall(_ <= 0)
-              case None => true
-            }
-            lowerOk && upperOk
-          }
+          bloomOk && rangeOk
       }
     }
   }
@@ -605,7 +766,9 @@ object LayoutOps {
     * `statsCols` min/max ranges are disjoint (maximum skipping). */
   def writeManifested(df: DataFrame, path: String,
                       numFiles: Int = 0, statsCols: Seq[String] = Nil,
-                      clusterBy: Seq[String] = Nil): Unit = {
+                      clusterBy: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil,
+                      bloomBits: Int = 1 << 13): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -613,13 +776,15 @@ object LayoutOps {
     val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
     val dataDir = newDataDir(gen)
     val out = clustered(df, numFiles, clusterBy)
-    out.write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
+    out.write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
+    val blooms = collectBlooms(spark, dataDirAbs, bloomCols, bloomBits)
     // a full write REPLACES the table: the new schema is df's, verbatim
     commitManifest(fs, root, gen,
-      files.map(entryLineFor(conf, root, _, statsCols)),
+      files.map(entryLineFor(conf, root, _, statsCols, blooms)),
       schemaDdl = Some(df.schema.toDDL))
   }
 
@@ -647,7 +812,9 @@ object LayoutOps {
   def appendManifested(df: DataFrame, path: String, numFiles: Int = 0,
                        token: Option[String] = None,
                        statsCols: Seq[String] = Nil,
-                       maxCommitRetries: Int = 5): Unit = {
+                       maxCommitRetries: Int = 5,
+                       bloomCols: Seq[String] = Nil,
+                       bloomBits: Int = 1 << 13): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -667,18 +834,20 @@ object LayoutOps {
     evolveSchemaDdl(st._3, df) // fails fast, BEFORE writing
     val dataDir = newDataDir(st._1)
     val out = if (numFiles > 0) df.repartition(numFiles) else df
-    out.write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
+    out.write.parquet(dataDirAbs)
     val added = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
+    val blooms = collectBlooms(spark, dataDirAbs, bloomCols, bloomBits)
     var attempt = 0
     while (true) {
       val (gen, old, oldDdl) = st
       beforeAppendCommitHook()
       try {
         commitManifest(fs, root, gen,
-          old ++ added.map(entryLineFor(conf, root, _, statsCols)), token,
-          schemaDdl = Some(evolveSchemaDdl(oldDdl, df)))
+          old ++ added.map(entryLineFor(conf, root, _, statsCols, blooms)),
+          token, schemaDdl = Some(evolveSchemaDdl(oldDdl, df)))
         return
       } catch {
         case e: java.io.IOException
@@ -771,16 +940,20 @@ object LayoutOps {
     }
     // clusterBy restores file-range disjointness that interleaved appends
     // erode — without it a compaction keeps rows where they land
+    val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     clustered(reader
         .parquet(smallE.map(e =>
           new org.apache.hadoop.fs.Path(root, entryPath(e._1)).toString): _*),
         nFiles, clusterBy)
-      .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+      .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
+    val (bCols, bBits) = inheritedBloomCols(entries)
+    val blooms = collectBlooms(spark, dataDirAbs, bCols, math.max(bBits, 64))
     commitManifest(fs, root, gen + 1,
-      largeE.map(_._1) ++ files.map(entryLineFor(conf, root, _, keepStats)),
+      largeE.map(_._1) ++
+        files.map(entryLineFor(conf, root, _, keepStats, blooms)),
       schemaDdl = ddl)
     largeE.size + files.size
   }
@@ -874,17 +1047,20 @@ object LayoutOps {
         b.upper.map(v => col(b.column) <= lit(v))
     }.reduce(_ && _)
     val dataDir = newDataDir(gen + 1)
+    val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     reader.parquet(touched.map(e =>
         new org.apache.hadoop.fs.Path(root, entryPath(e)).toString): _*)
       // NULL in a bound column -> predicate NULL -> not a match -> keep
       .where(!coalesce(matches, lit(false)))
       .repartition(touched.size)
-      .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+      .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
+    val (bCols, bBits) = inheritedBloomCols(entries)
+    val blooms = collectBlooms(spark, dataDirAbs, bCols, math.max(bBits, 64))
     commitManifest(fs, root, gen + 1,
-      carried ++ files.map(entryLineFor(conf, root, _, keepStats)),
+      carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
       schemaDdl = ddl)
     (files.size, carried.size)
   }
@@ -937,13 +1113,16 @@ object LayoutOps {
           Seq(keyCol), "left_anti")
         .unionByName(updates, allowMissingColumns = true)
     val dataDir = newDataDir(gen + 1)
+    val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     kept.repartition(math.max(1, touched.size))
-      .write.parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+      .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
+    val (bCols, bBits) = inheritedBloomCols(entries)
+    val blooms = collectBlooms(spark, dataDirAbs, bCols, math.max(bBits, 64))
     commitManifest(fs, root, gen + 1,
-      carried ++ files.map(entryLineFor(conf, root, _, keepStats)),
+      carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
       schemaDdl = Some(evolved))
     (files.size, carried.size)
   }

@@ -547,6 +547,103 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("skipping soundness: 60 random bound sets over nullable mixed-type " +
+      "data — pruned read always equals the full filtered read") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-sound").toString
+    val mt = s"$base/t"
+    try {
+      // nullable double + string columns, long key, written UNclustered so
+      // file ranges overlap (the adversarial case for pruning logic)
+      val df = spark.range(4000).select(col("id"),
+        when(col("id") % 7 =!= 0, (col("id") % 251).cast("double")).as("v"),
+        when(col("id") % 11 =!= 0,
+          concat(lit("k"), lpad((col("id") % 997).cast("string"), 4, "0")))
+          .as("s"))
+      LayoutOps.writeManifested(df, mt, numFiles = 6,
+        statsCols = Seq("id", "v", "s"))
+      val full = LayoutOps.readManifested(spark, mt)
+      val rnd = new scala.util.Random(42)
+      for (i <- 0 until 60) {
+        val bounds = rnd.nextInt(3) match {
+          case 0 =>
+            val a = rnd.nextInt(5000).toLong - 500
+            Seq(ColBounds("id", Some(a), Some(a + rnd.nextInt(800).toLong)))
+          case 1 =>
+            val a = rnd.nextInt(300).toDouble - 20
+            Seq(ColBounds("v", Some(a), Some(a + rnd.nextInt(60))),
+              ColBounds("id", None, Some(rnd.nextInt(5000).toLong)))
+          case 2 =>
+            val a = f"k${rnd.nextInt(1100)}%04d"
+            val b = f"k${rnd.nextInt(1100)}%04d"
+            Seq(ColBounds("s", Some(Seq(a, b).min), Some(Seq(a, b).max)))
+        }
+        val expect = bounds.flatMap { b =>
+          b.lower.map(v => col(b.column) >= lit(v)) ++
+            b.upper.map(v => col(b.column) <= lit(v))
+        }.reduce(_ && _)
+        val got = LayoutOps.readManifestedWhere(spark, mt, bounds).count()
+        val want = full.where(expect).count()
+        assert(got === want, s"case $i bounds=$bounds")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("bloom skipping: equality probes on an UNCLUSTERED column prune " +
+      "files with zero false negatives; range bounds ignore bloom-only stats") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val mt = s"$base/t"
+    try {
+      // k and s scatter across id order, so after clustering by id every
+      // file's [min,max] on them covers ~the whole domain — min/max stats
+      // are structurally useless here; only the bloom can prune
+      val df = spark.range(6000).select(col("id"),
+        ((col("id") * 2654435761L) % 997).as("k"),
+        concat(lit("u"), ((col("id") * 48271L) % 499).cast("string")).as("s"))
+      LayoutOps.writeManifested(df, mt, numFiles = 6,
+        statsCols = Seq("id", "k"), clusterBy = Seq("id"),
+        bloomCols = Seq("k", "s"))
+      val full = LayoutOps.readManifested(spark, mt)
+
+      var anyPruned = false
+      for (v <- 0L until 30L) {
+        val bounds = Seq(ColBounds("k", Some(v), Some(v)))
+        val got = LayoutOps.readManifestedWhere(spark, mt, bounds).count()
+        assert(got === full.where(col("k") === v).count(),
+          s"no false negatives for k=$v")
+        val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt, bounds)
+        if (kept.size < total) anyPruned = true
+      }
+      assert(anyPruned, "bloom must prune for at least some present values")
+
+      // absent value: bloom prunes (essentially) everything, result empty
+      val absent = Seq(ColBounds("k", Some(999999L), Some(999999L)))
+      assert(LayoutOps.readManifestedWhere(spark, mt, absent).count() === 0)
+      assert(LayoutOps.manifestSkipFiles(spark, mt, absent)._1.size < 6,
+        "an absent key must not open every file")
+
+      // string bloom probes
+      val sb = Seq(ColBounds("s", Some("u7"), Some("u7")))
+      assert(LayoutOps.readManifestedWhere(spark, mt, sb).count() ===
+        full.where(col("s") === "u7").count())
+
+      // s is bloom-ONLY (no footer stats): a RANGE bound on it must not
+      // prune (no range info != all-null) and must return the exact rows
+      val sr = Seq(ColBounds("s", Some("u10"), Some("u11")))
+      val (keptR, totalR) = LayoutOps.manifestSkipFiles(spark, mt, sr)
+      assert(keptR.size === totalR, "bloom-only stats carry no range info")
+      assert(LayoutOps.readManifestedWhere(spark, mt, sr).count() ===
+        full.where(col("s") >= "u10" && col("s") <= "u11").count())
+
+      // blooms survive compaction
+      LayoutOps.compactManifest(spark, mt, targetFileBytes = 8L * 1024)
+      val (keptC, totalC) = LayoutOps.manifestSkipFiles(spark, mt, absent)
+      assert(totalC > 1 && keptC.size < totalC,
+        s"recollected blooms still prune: $keptC of $totalC")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
