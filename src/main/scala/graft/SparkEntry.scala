@@ -490,6 +490,21 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
     }),
+    // metadata-only COUNT: files fully inside the range are counted from
+    // the manifest's recorded row counts; only boundary files are scanned
+    "q_manifest_count" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mcnt").toString + "/orders"
+      LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
+      val (inRange, _) = LayoutOps.countManifestedWhere(s, tbl,
+        Seq(LayoutOps.ColBounds("o_orderkey", Some(1000L), Some(5000L))))
+      // unbounded count over a fully stats'd table: zero files scanned
+      val (total, scanned) = LayoutOps.countManifestedWhere(s, tbl)
+      require(scanned == 0, s"count(*) must be metadata-only, scanned $scanned")
+      import s.implicits._
+      Seq((inRange, total)).toDF("in_range", "total")
+    }),
     // per-file bloom skipping: orders is clustered by o_orderkey, so
     // every file's o_custkey RANGE covers the whole domain — only the
     // manifest blooms can prune this point lookup; result must equal the
@@ -1204,6 +1219,10 @@ object SparkEntry {
     "q_manifest_point" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_custkey = 101""".stripMargin,
+    "q_manifest_count" ->
+      """SELECT (SELECT count(*) FROM orders
+        |        WHERE o_orderkey BETWEEN 1000 AND 5000) AS in_range,
+        |       (SELECT count(*) FROM orders) AS total""".stripMargin,
     "q_manifest_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

@@ -225,7 +225,9 @@ object Main {
             .map(_.toLong).getOrElse(Long.MaxValue))
         println(s"committed compacted generation of $in with $n files")
       case "vacuum-manifest" =>
-        val n = LayoutOps.vacuumManifested(spark, in)
+        // --keep-history K retains the newest K+1 generations readable
+        val n = LayoutOps.vacuumManifested(spark, in,
+          opts.getOrElse("keep-history", "0").toInt)
         println(s"vacuumed $n superseded data files from $in")
       case "show-manifest" =>
         // inspection: generation, schema, and each file's skip stats

@@ -498,13 +498,20 @@ object LayoutOps {
     Array.fill(bb.remaining() / 8)(bb.getLong)
   }
 
+  /** Reserved top-level stats key: the file's total ROW COUNT (from the
+    * footer). Cannot collide with a column node — columns map to JSON
+    * objects, this maps to a number. */
+  private val rowsKey = "__rows"
+
   /** Render one file's stats (+ optional blooms) as the manifest JSON
     * suffix. Footer-backed columns carry t/min/max/n; bloom columns add
     * bloom/bk (and may be bloom-only, with no range fields). */
   private def statsJson(
       m: Map[String, (String, Option[String], Option[String], Long)],
-      blooms: Map[String, Array[Long]] = Map.empty): String = {
+      blooms: Map[String, Array[Long]] = Map.empty,
+      rows: Option[Long] = None): String = {
     val root = jsonMapper.createObjectNode()
+    rows.foreach(root.put(rowsKey, _))
     (m.keySet ++ blooms.keySet).toSeq.sorted.foreach { col =>
       val o = root.putObject(col)
       m.get(col).foreach { case (tag, mn, mx, nulls) =>
@@ -521,19 +528,29 @@ object LayoutOps {
     jsonMapper.writeValueAsString(root)
   }
 
+  /** Total row count from a parquet footer (block row counts summed) —
+    * metadata only, like [[parquetFileStats]]. */
+  private def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
   /** Manifest entry line for one data file: path, plus a stats suffix when
-    * requested and obtainable. */
+    * requested and obtainable. Any suffix also records the file's row
+    * count, which makes fully-covered COUNTs metadata-only. */
   private def entryLineFor(conf: org.apache.hadoop.conf.Configuration,
       root: org.apache.hadoop.fs.Path, relPath: String,
       statsCols: Seq[String],
       blooms: Map[String, Map[String, Array[Long]]] = Map.empty): String = {
+    val abs = new org.apache.hadoop.fs.Path(root, relPath)
     val m = if (statsCols.isEmpty)
       Map.empty[String, (String, Option[String], Option[String], Long)]
-    else parquetFileStats(conf,
-      new org.apache.hadoop.fs.Path(root, relPath), statsCols.toSet)
-    val b = blooms.getOrElse(
-      new org.apache.hadoop.fs.Path(relPath).getName, Map.empty)
-    if (m.isEmpty && b.isEmpty) relPath else s"$relPath\t${statsJson(m, b)}"
+    else parquetFileStats(conf, abs, statsCols.toSet)
+    val b = blooms.getOrElse(abs.getName, Map.empty)
+    if (m.isEmpty && b.isEmpty) relPath
+    else s"$relPath\t${statsJson(m, b, Some(parquetRowCount(conf, abs)))}"
   }
 
   /** Bloom columns (and the largest bit width seen) recorded by any live
@@ -958,6 +975,74 @@ object LayoutOps {
     largeE.size + files.size
   }
 
+  /** Can the bound be satisfied by EVERY row of a file with these stats?
+    * Requires footer-backed range stats with zero nulls and the file's
+    * [min,max] inside the bound range; incomparable or missing info is
+    * never "fully covered". */
+  private def fullyCovers(cn: com.fasterxml.jackson.databind.JsonNode,
+                          b: ColBounds): Boolean = {
+    if (b.lower.isEmpty && b.upper.isEmpty) return true
+    val tag = Option(cn.get("t")).map(_.asText).getOrElse(return false)
+    val mn = Option(cn.get("min")).map(_.asText).getOrElse(return false)
+    val mx = Option(cn.get("max")).map(_.asText).getOrElse(return false)
+    if (!Option(cn.get("n")).exists(_.asLong == 0L)) return false
+    val loOk = b.lower.flatMap(normalizeBound) match {
+      case Some((bt, bv)) => cmpAcross(tag, mn, bt, bv).exists(_ >= 0)
+      case None           => b.lower.isEmpty
+    }
+    val hiOk = b.upper.flatMap(normalizeBound) match {
+      case Some((bt, bv)) => cmpAcross(tag, mx, bt, bv).exists(_ <= 0)
+      case None           => b.upper.isEmpty
+    }
+    loOk && hiOk
+  }
+
+  /** Metadata-only COUNT: how many rows satisfy `bounds`, scanning only
+    * the files the manifest cannot decide. Per file: stats-disjoint
+    * contributes 0; FULLY covered (every bound column's [min,max] inside
+    * the range, zero nulls) contributes its recorded row count with no
+    * I/O; anything else is scanned with the exact predicate. An
+    * unbounded count over a fully stats'd table reads zero data files —
+    * `select count(*)` from one small manifest read.
+    * @return (count, files actually scanned) */
+  def countManifestedWhere(spark: org.apache.spark.sql.SparkSession,
+      path: String, bounds: Seq[ColBounds] = Nil,
+      generation: Option[Long] = None): (Long, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = resolveManifest(fs, root, generation, path)
+    val entries = readManifestEntries(fs, mp)
+    var metaRows = 0L
+    val scan = scala.collection.mutable.ArrayBuffer.empty[String]
+    entries.foreach { l =>
+      val js = entryStatsJson(l)
+      if (mayMatch(js, bounds)) {
+        val node = js.map(jsonMapper.readTree)
+        val rows = node.flatMap(n => Option(n.get(rowsKey))).map(_.asLong)
+        val covered = rows.isDefined && bounds.forall { b =>
+          (b.lower.isEmpty && b.upper.isEmpty) ||
+            node.flatMap(n => Option(n.get(b.column)))
+              .exists(cn => fullyCovers(cn, b))
+        }
+        if (covered) metaRows += rows.get else scan += entryPath(l)
+      } // else: provably zero matching rows
+    }
+    if (scan.isEmpty) return (metaRows, 0)
+    val reader = manifestSchemaDdl(fs, mp) match {
+      case Some(d) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None => spark.read
+    }
+    val residual = bounds.flatMap { b =>
+      b.lower.map(v => col(b.column) >= lit(v)) ++
+        b.upper.map(v => col(b.column) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val scanned = reader.parquet(scan.map(f =>
+      new org.apache.hadoop.fs.Path(root, f).toString).toSeq: _*)
+      .where(residual).count()
+    (metaRows + scanned, scan.size)
+  }
+
   /** Append-only change feed: the rows added after `sinceGeneration`, as
     * one DataFrame, plus the generation to checkpoint for the next poll.
     * Works because data files are immutable — an append generation's
@@ -1127,19 +1212,26 @@ object LayoutOps {
     (files.size, carried.size)
   }
 
-  /** Delete data files no longer referenced by the NEWEST manifest, plus
-    * superseded manifest files. Destroys time travel and breaks readers
-    * still resolving an old generation — production systems gate this on
-    * a retention window; here it is the explicit cleanup step.
+  /** Delete data files no longer referenced by any RETAINED manifest,
+    * plus the manifests older than the retention window. `keepHistory`
+    * is the retention knob: 0 keeps only the newest generation (breaks
+    * all time travel), K keeps the newest K+1 generations readable —
+    * size it to the longest-running reader/change-feed consumer.
     * @return number of data files deleted
     */
   def vacuumManifested(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Int = {
+                       path: String, keepHistory: Int = 0): Int = {
+    require(keepHistory >= 0)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (gen, mp) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
+    val (gen, _) = latestManifest(fs, root).getOrElse(throw new java.io.IOException(
       s"$path has no committed manifest — nothing to vacuum"))
-    val live = readManifestFiles(fs, mp).toSet
+    val cutoff = gen - keepHistory
+    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
+    val live = fs.listStatus(md).toSeq
+      .flatMap(s => manifestGen(s.getPath.getName).map(_ -> s.getPath))
+      .filter(_._1 >= cutoff)
+      .flatMap(m => readManifestFiles(fs, m._2)).toSet
     var removed = 0
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("data-g")).foreach { d =>
@@ -1151,9 +1243,8 @@ object LayoutOps {
       drop.foreach { e => fs.delete(e.getPath, false); removed += 1 }
       if (keep.isEmpty) fs.delete(d.getPath, true) // whole superseded generation
     }
-    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     fs.listStatus(md).foreach { m =>
-      if (manifestGen(m.getPath.getName).exists(_ < gen))
+      if (manifestGen(m.getPath.getName).exists(_ < cutoff))
         fs.delete(m.getPath, false)
     }
     removed

@@ -644,6 +644,59 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("metadata-only count: covered files never scanned, boundary files " +
+      "scanned exactly, null and stats-less files handled") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-cnt").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      val df = spark.range(8000).select(col("id"),
+        when(col("id") % 13 =!= 0, col("id")).as("nid")) // nid has nulls
+      LayoutOps.writeManifested(df, mt, numFiles = 8,
+        statsCols = Seq("id", "nid"), clusterBy = Seq("id"))
+      val full = LayoutOps.readManifested(spark, mt)
+
+      // unbounded count: pure metadata
+      val (total, s0) = LayoutOps.countManifestedWhere(spark, mt)
+      assert(total === 8000 && s0 === 0)
+      // interior range: ends scanned, middle files counted from metadata
+      val b = Seq(ColBounds("id", Some(1500L), Some(6500L)))
+      val (n1, s1) = LayoutOps.countManifestedWhere(spark, mt, b)
+      assert(n1 === 5001)
+      assert(s1 <= 2, s"only boundary files scanned, got $s1")
+      // a column WITH nulls is never 'fully covered' (count must exclude
+      // null rows), so those files scan — but the answer stays exact
+      val bn = Seq(ColBounds("nid", Some(1500L), Some(6500L)))
+      val (n2, _) = LayoutOps.countManifestedWhere(spark, mt, bn)
+      assert(n2 === full.where(col("nid").between(1500L, 6500L)).count())
+      // stats-less files always scan, still exact
+      LayoutOps.appendManifested(Seq(9000L).toDF("id"), mt)
+      val (n3, s3) = LayoutOps.countManifestedWhere(spark, mt)
+      assert(n3 === 8001 && s3 === 1)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("vacuum retention: keepHistory generations stay readable") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.appendManifested(Seq(1L).toDF("id"), mt)  // gen 0
+      LayoutOps.appendManifested(Seq(2L).toDF("id"), mt)  // gen 1
+      LayoutOps.appendManifested(Seq(3L).toDF("id"), mt)  // gen 2
+      LayoutOps.vacuumManifested(spark, mt, keepHistory = 1)
+      // gen 1 retained (readable), gen 0 vacuumed
+      assert(LayoutOps.readManifested(spark, mt, generation = Some(1L))
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+      intercept[java.io.IOException] {
+        LayoutOps.readManifested(spark, mt, generation = Some(0L))
+      }
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))

@@ -36,13 +36,13 @@ os.makedirs(dst)
 con = duckdb.connect()
 
 con.execute(f"""COPY (
-  SELECT doc_id + i*{ID_SHIFT} AS doc_id, text
-  FROM read_parquet('{src}/documents.parquet'),
+  SELECT d.* REPLACE (d.doc_id + i*{ID_SHIFT} AS doc_id)
+  FROM read_parquet('{src}/documents.parquet') d,
        generate_series(0, {factor - 1}) t(i)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 con.execute(f"""COPY (
-  SELECT vec_id + i*{ID_SHIFT} AS vec_id, embedding
-  FROM read_parquet('{src}/embeddings.parquet'),
+  SELECT e.* REPLACE (e.vec_id + i*{ID_SHIFT} AS vec_id)
+  FROM read_parquet('{src}/embeddings.parquet') e,
        generate_series(0, {factor - 1}) t(i)
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 
