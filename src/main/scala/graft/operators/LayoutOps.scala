@@ -1246,6 +1246,11 @@ object LayoutOps {
     fs.listStatus(md).foreach { m =>
       if (manifestGen(m.getPath.getName).exists(_ < cutoff))
         fs.delete(m.getPath, false)
+      // a committer that died between tmp-write and rename leaks a .tmp-*
+      // object; deleting it under a LIVE commit just fails that rename,
+      // which the appender's retry loop already absorbs
+      else if (m.getPath.getName.startsWith(".tmp-"))
+        fs.delete(m.getPath, false)
     }
     removed
   }

@@ -697,6 +697,37 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("z-order + manifest stats compose: one clustered write prunes on " +
+      "BOTH dimensions") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-z2").toString
+    val mt = s"$base/t"
+    try {
+      // a 64x64 grid in random-ish order; z-order it, then record stats on
+      // both coordinates — each file covers a compact (x, y) RECTANGLE, so
+      // narrow bounds on EITHER column skip most files from the manifest
+      val grid = spark.range(4096).select(
+        (col("id") % 64).as("x"), floor(col("id") / 64).as("y"))
+      val z = LayoutOps.zOrderBy(grid, col("x"), col("y"), 16)
+      LayoutOps.writeManifested(z, mt, statsCols = Seq("x", "y"))
+      val full = LayoutOps.readManifested(spark, mt)
+      for (c <- Seq("x", "y")) {
+        val bounds = Seq(ColBounds(c, Some(10L), Some(13L)))
+        val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt, bounds)
+        assert(total === 16 && kept.size <= 8,
+          s"z-order clusters $c: kept ${kept.size}/$total")
+        assert(LayoutOps.readManifestedWhere(spark, mt, bounds).count() ===
+          full.where(col(c).between(10L, 13L)).count())
+      }
+      // and a 2-D box touches only the files whose rectangle intersects it
+      val box = Seq(ColBounds("x", Some(0L), Some(15L)),
+        ColBounds("y", Some(0L), Some(15L)))
+      val (keptB, _) = LayoutOps.manifestSkipFiles(spark, mt, box)
+      assert(keptB.size <= 4, s"2-D box kept ${keptB.size} of 16")
+      assert(LayoutOps.readManifestedWhere(spark, mt, box).count() === 256)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
