@@ -656,6 +656,19 @@ object LayoutOps {
     }
   }
 
+  /** Empty DataFrame with the manifest's recorded schema — what an empty
+    * table/generation reads as. Only a schema-less empty manifest (a
+    * pre-schema layout artifact) is an error. */
+  private def emptyManifested(spark: org.apache.spark.sql.SparkSession,
+      ddl: Option[String], mp: org.apache.hadoop.fs.Path): DataFrame =
+    ddl match {
+      case Some(d) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None => throw new java.io.IOException(
+        s"manifest $mp lists no data files and records no schema")
+    }
+
   /** Resolve the manifest path for `generation` (default: newest). */
   private def resolveManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, generation: Option[Long],
@@ -714,13 +727,13 @@ object LayoutOps {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mp = resolveManifest(fs, root, generation, path)
     val entries = readManifestEntries(fs, mp)
-    if (entries.isEmpty)
-      throw new java.io.IOException(s"manifest $mp lists no data files")
+    val ddl = manifestSchemaDdl(fs, mp)
+    if (entries.isEmpty) return emptyManifested(spark, ddl, mp)
     val kept = entries.filter(l => mayMatch(entryStatsJson(l), bounds))
       .map(entryPath)
-    val reader = manifestSchemaDdl(fs, mp) match {
-      case Some(ddl) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val reader = ddl match {
+      case Some(d) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
       case None => spark.read
     }
     val residual = bounds.flatMap { b =>
@@ -887,16 +900,16 @@ object LayoutOps {
     val mp = resolveManifest(fs, root, generation, path)
     val files = readManifestFiles(fs, mp)
       .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
-    if (files.isEmpty)
-      // an empty generation (e.g. created from an empty batch) still has
-      // a schema-less nothing to read; surface it as an explicit error
-      throw new java.io.IOException(s"manifest $mp lists no data files")
+    val ddl = manifestSchemaDdl(fs, mp)
+    // an empty generation (e.g. a table created from an empty batch)
+    // reads as an empty table with the recorded schema
+    if (files.isEmpty) return emptyManifested(spark, ddl, mp)
     // the recorded schema plans the read with ZERO footer inference and
     // null-fills columns added after a file was written (older manifests
     // without one fall back to inference)
-    manifestSchemaDdl(fs, mp) match {
-      case Some(ddl) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    ddl match {
+      case Some(d) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
         .parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
@@ -1065,11 +1078,12 @@ object LayoutOps {
       case None    => r
     }
     if (latestGen <= sinceGeneration) {
-      val any = readManifestFiles(fs, latestMp).headOption.getOrElse(
-        throw new java.io.IOException(s"manifest $latestMp lists no data files"))
-      return (withSchema(spark.read)
-        .parquet(new org.apache.hadoop.fs.Path(root, any).toString)
-        .where(lit(false)), latestGen)
+      return (readManifestFiles(fs, latestMp).headOption match {
+        case Some(any) => withSchema(spark.read)
+          .parquet(new org.apache.hadoop.fs.Path(root, any).toString)
+          .where(lit(false))
+        case None => emptyManifested(spark, ddl, latestMp)
+      }, latestGen)
     }
     val baseMp = resolveManifest(fs, root, Some(sinceGeneration), path)
     val base = readManifestFiles(fs, baseMp).toSet
@@ -1081,11 +1095,12 @@ object LayoutOps {
         "re-read the full table and checkpoint the new generation")
     val delta = latest.filterNot(base)
     if (delta.isEmpty) { // e.g. an empty appended batch still advances gen
-      val any = latest.headOption.getOrElse(throw new java.io.IOException(
-        s"manifest $latestMp lists no data files"))
-      return (withSchema(spark.read)
-        .parquet(new org.apache.hadoop.fs.Path(root, any).toString)
-        .where(lit(false)), latestGen)
+      return (latest.headOption match {
+        case Some(any) => withSchema(spark.read)
+          .parquet(new org.apache.hadoop.fs.Path(root, any).toString)
+          .where(lit(false))
+        case None => emptyManifested(spark, ddl, latestMp)
+      }, latestGen)
     }
     (withSchema(spark.read).parquet(delta.map(f =>
       new org.apache.hadoop.fs.Path(root, f).toString): _*), latestGen)

@@ -728,6 +728,27 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("an empty manifested table reads as empty with its schema, " +
+      "not as an error") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.writeManifested(Seq.empty[(Long, String)].toDF("id", "s"), mt)
+      val t = LayoutOps.readManifested(spark, mt)
+      assert(t.count() === 0 && t.columns.toSeq === Seq("id", "s"))
+      assert(LayoutOps.readManifestedWhere(spark, mt,
+        Seq(ColBounds("id", Some(1L), None))).count() === 0)
+      assert(LayoutOps.countManifestedWhere(spark, mt)._1 === 0L)
+      val (d, g) = LayoutOps.readManifestedChanges(spark, mt, 0L)
+      assert(g === 0L && d.count() === 0 && d.columns.toSeq === Seq("id", "s"))
+      // the table transitions out of empty like any other append
+      LayoutOps.appendManifested(Seq((1L, "a")).toDF("id", "s"), mt)
+      assert(LayoutOps.readManifested(spark, mt).count() === 1)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zOrderBy preserves rows and orders partitions by z") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("value"))
