@@ -586,6 +586,28 @@ class LayoutOpsSpec extends SparkSpec {
         val want = full.where(expect).count()
         assert(got === want, s"case $i bounds=$bounds")
       }
+
+      // the same soundness must survive table MAINTENANCE: delete a range,
+      // upsert a batch, fold the small-files tail — then re-probe
+      import spark.implicits._
+      LayoutOps.deleteManifestedWhere(spark, mt,
+        Seq(ColBounds("id", Some(700L), Some(900L))))
+      LayoutOps.upsertManifested(
+        (100L to 120L).map(i => (i, Some(9999.0): Option[Double],
+          Some("zz"): Option[String])).toDF("id", "v", "s"), mt, "id")
+      LayoutOps.compactManifest(spark, mt, targetFileBytes = 32L * 1024,
+        onlyFilesSmallerThan = 64L * 1024)
+      val mutated = LayoutOps.readManifested(spark, mt)
+      for (i <- 0 until 30) {
+        val a = rnd.nextInt(4500).toLong
+        val bounds = Seq(ColBounds("id", Some(a), Some(a + rnd.nextInt(900))))
+        val expect = col("id") >= bounds.head.lower.get &&
+          col("id") <= bounds.head.upper.get
+        assert(LayoutOps.readManifestedWhere(spark, mt, bounds).count() ===
+          mutated.where(expect).count(), s"post-maintenance case $i $bounds")
+      }
+      assert(mutated.where(col("id").between(700L, 900L)).count() === 0)
+      assert(mutated.where(col("v") === 9999.0).count() === 21)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
