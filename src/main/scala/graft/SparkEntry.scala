@@ -490,6 +490,39 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
     }),
+    // append-only change feed: the delta between generation 0 and the
+    // latest must be exactly the appended rows — verified against the
+    // oracle recomputing the same split from the raw table
+    "q_manifest_changes" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mchg").toString + "/orders"
+      val ord = Tables.orders(s, dir)
+      LayoutOps.writeManifested(
+        ord.where(col("o_orderkey") <= 3000), tbl, numFiles = 2)
+      LayoutOps.appendManifested(
+        ord.where(col("o_orderkey") > 3000), tbl, numFiles = 4)
+      val (delta, gen) = LayoutOps.readManifestedChanges(s, tbl, 0L)
+      require(gen == 1L, s"expected generation 1, got $gen")
+      delta.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+    // additive schema evolution: the appended batch carries a column the
+    // original table lacked; old files read it back as NULL through the
+    // recorded union schema — the oracle reproduces that with a CASE
+    "q_manifest_evolve" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mevo").toString + "/orders"
+      val ord = Tables.orders(s, dir)
+      LayoutOps.writeManifested(ord.where(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"), col("o_orderstatus")), tbl, numFiles = 2)
+      LayoutOps.appendManifested(ord.where(col("o_orderkey") > 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")), tbl, numFiles = 2)
+      LayoutOps.readManifested(s, tbl)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
     // metadata-only COUNT: files fully inside the range are counted from
     // the manifest's recorded row counts; only boundary files are scanned
     "q_manifest_count" -> ((s, dir) => {
@@ -1223,6 +1256,16 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM orders
         |        WHERE o_orderkey BETWEEN 1000 AND 5000) AS in_range,
         |       (SELECT count(*) FROM orders) AS total""".stripMargin,
+    "q_manifest_changes" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey > 3000
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_evolve" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey <= 3000 THEN NULL
+        |       ELSE round(o_totalprice, 2) END AS price
+        |FROM orders""".stripMargin,
     "q_manifest_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
