@@ -46,6 +46,7 @@ object Main {
       |       personalized-pagerank hourly-counts graph-stats
       |       split contamination dedup-clusters sample-exact
       |       compact compact-manifest vacuum-manifest show-manifest
+      |       count-manifest delete-manifest
       |                             (pipeline extensions over parquet)
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
@@ -229,6 +230,18 @@ object Main {
         val n = LayoutOps.vacuumManifested(spark, in,
           opts.getOrElse("keep-history", "0").toInt)
         println(s"vacuumed $n superseded data files from $in")
+      case "count-manifest" =>
+        // metadata-only count; --col/--lower/--upper add an inclusive range
+        val bounds = opts.get("col").toSeq.map(c => LayoutOps.ColBounds(c,
+          opts.get("lower").map(_.toLong), opts.get("upper").map(_.toLong)))
+        val (n, scanned) = LayoutOps.countManifestedWhere(spark, in, bounds)
+        println(s"$n rows ($scanned of the listed files scanned)")
+      case "delete-manifest" =>
+        // copy-on-write range delete on --col between --lower and --upper
+        val (rw, carried) = LayoutOps.deleteManifestedWhere(spark, in,
+          Seq(LayoutOps.ColBounds(opts("col"),
+            opts.get("lower").map(_.toLong), opts.get("upper").map(_.toLong))))
+        println(s"rewrote $rw files, carried $carried untouched")
       case "show-manifest" =>
         // inspection: generation, schema, and each file's skip stats
         val (kept, total) = LayoutOps.manifestSkipFiles(spark, in, Nil)

@@ -57,8 +57,14 @@ class CliSpec extends SparkSpec {
     assert(graft.operators.LayoutOps.readManifested(spark, s"$base/mt")
       .count() === 3000)
     Main.run(spark, "show-manifest", Map("input" -> s"$base/mt"))
+    Main.run(spark, "count-manifest", Map("input" -> s"$base/mt",
+      "col" -> "id", "lower" -> "100", "upper" -> "199"))
+    Main.run(spark, "delete-manifest", Map("input" -> s"$base/mt",
+      "col" -> "id", "lower" -> "0", "upper" -> "999"))
+    assert(graft.operators.LayoutOps.readManifested(spark, s"$base/mt")
+      .count() === 2000, "CLI range delete removed ids 0-999")
     val desc = graft.operators.LayoutOps.describeManifest(spark, s"$base/mt")
-    assert(desc.head.startsWith("generation: 1"), desc.head)
+    assert(desc.head.startsWith("generation: 2"), desc.head)
     assert(desc.exists(_.startsWith("schema: id BIGINT")), desc)
     assert(desc.count(_.contains("\"id\":{\"t\":\"l\"")) >= 1,
       s"per-file stats listed: $desc")
