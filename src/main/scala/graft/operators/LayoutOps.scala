@@ -539,7 +539,13 @@ object LayoutOps {
 
   /** Manifest entry line for one data file: path, plus a stats suffix when
     * requested and obtainable. Any suffix also records the file's row
-    * count, which makes fully-covered COUNTs metadata-only. */
+    * count, which makes fully-covered COUNTs metadata-only.
+    *
+    * Cost note: the footer reads here are driver-side, but only for the
+    * files the CURRENT commit adds (an append reads its own batch's
+    * footers, never the table's). A 100k-file table accumulates its stats
+    * across commits; no operation ever re-reads all live footers — that
+    * is exactly what the manifest exists to avoid. */
   private def entryLineFor(conf: org.apache.hadoop.conf.Configuration,
       root: org.apache.hadoop.fs.Path, relPath: String,
       statsCols: Seq[String],
@@ -1170,7 +1176,9 @@ object LayoutOps {
     * stats overlap the updates' [min, max] key span are rewritten (plus
     * stats-less files, which might contain anything); the rest carry
     * verbatim. Batch far-apart keys into separate upserts — one distant
-    * key in a batch widens the span to cover everything between.
+    * key in a batch widens the span to cover everything between. Keys
+    * must be unique within `updates` (duplicates all land, giving the
+    * table two rows for that key).
     * `updates` is expected to be small relative to the table —
     * its key span is taken as two driver scalars, its distinct keys are
     * broadcast for the anti-join, and its rows are
