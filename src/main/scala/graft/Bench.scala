@@ -33,9 +33,12 @@ object Bench {
     // the multi-second PageRank family is where this box's 2x run-to-run
     // swing turns into judge-visible round-over-round "regressions"
     // (q_pagerank_log 2.2s->4.1s in r4 was exactly this); give those
-    // queries 5 runs so their medians have a real noise floor
+    // queries 5 runs so their medians have a real noise floor. The
+    // personalized variants are in the same multi-second class and were
+    // the r5 unguarded-noise watch items — covered now too.
     val noisyGraphQueries = Set("q_pagerank", "q_pagerank_log",
-      "q_pagerank_hub", "q_pagerank_range", "q_pagerank_conv")
+      "q_pagerank_hub", "q_pagerank_range", "q_pagerank_conv",
+      "q_ppr_hub", "q_ppr_topk")
     def runsFor(name: String): Int =
       if (noisyGraphQueries(name)) math.max(runs, 5) else runs
     def median(xs: Seq[Double]): Double = {

@@ -585,6 +585,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
+    // streaming manifested ingest: a MemoryStream feeds a known split of
+    // orders through the foreachBatch manifest sink — one token-committed
+    // generation per micro-batch (exactly-once under replay, proven in
+    // LayoutOpsSpec) — and the settled table must equal the oracle's plain
+    // filter over the raw table. The driver-side collect is the bounded
+    // gate FIXTURE (MemoryStream is fed from the driver by design), not
+    // an operator shape: production ingest reads a real source.
+    "q_manifest_stream" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-mstr").toString
+      val tbl = base + "/orders"
+      val rows = Tables.orders(s, dir).where(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .as[(Long, String, Double)].collect()
+      implicit val sqlCtx = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val q = input.toDF().toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        .writeStream
+        .option("checkpointLocation", base + "/_ckpt")
+        .foreachBatch(graft.streaming.StreamingOps.manifestedBatchSink(tbl,
+          statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey")))
+        .outputMode("append").start()
+      try {
+        // three micro-batches, each settled before the next is fed
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      LayoutOps.readManifested(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
     // co-located join: both sides bucketed on the join key at WRITE time,
     // so the repeated join needs no exchange at read (BucketingSpec proves
     // the shuffle-free plan; this gate hash-verifies the result). The
@@ -1278,6 +1313,11 @@ object SparkEntry {
         |        CASE WHEN o_orderkey BETWEEN 1000 AND 2000
         |             THEN 1.0 ELSE o_totalprice END AS o_totalprice
         |      FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_stream" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey <= 6000
         |GROUP BY o_orderstatus""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -60,7 +60,10 @@ object Main {
       |         --threshold F --minhash-k N --bands N  (dedup-clusters)
       |         --class COL --key COL --k N            (sample-exact)
       |         --stats-cols a,b --cluster-by a,b      (compact-manifest)
-      |         --only-smaller-than BYTES   (compact-manifest: incremental)""".stripMargin
+      |         --only-smaller-than BYTES   (compact-manifest: incremental)
+      |         --bound-type long|double|string|date|timestamp
+      |                  (count-manifest/delete-manifest --lower/--upper;
+      |                   default: the manifest's recorded stats tag)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val (cmd, opts) = parseArgs(args)
@@ -74,6 +77,41 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, cmd, opts)
     finally spark.stop()
+  }
+
+  /** Type a CLI `--lower`/`--upper` value for a manifest bound. Priority:
+    * an explicit `--bound-type` (long|double|string|date|timestamp), else
+    * the stats tag the table's manifest recorded for the column ("l"/"d"/
+    * "s" — dates travel as ISO strings, so "s" just passes the text
+    * through), else long → double → string inference. A value that fails
+    * its declared type is a friendly error, not a NumberFormatException
+    * stack trace. */
+  private[graft] def parseBound(spark: SparkSession, table: String,
+      colName: String, raw: String, boundType: Option[String]): Any = {
+    def fail(t: String): Nothing = throw new IllegalArgumentException(
+      s"--lower/--upper value '$raw' is not a valid $t for column " +
+        s"'$colName' (override with --bound-type long|double|string|date|timestamp)")
+    boundType.orElse(LayoutOps.manifestStatsTag(spark, table, colName).map {
+      case "l" => "long"
+      case "d" => "double"
+      case _   => "string"
+    }) match {
+      case Some("long")   => raw.toLongOption.getOrElse(fail("long"))
+      case Some("double") => raw.toDoubleOption.getOrElse(fail("double"))
+      case Some("string") => raw
+      case Some("date") =>
+        try java.sql.Date.valueOf(raw)
+        catch { case _: IllegalArgumentException => fail("date (yyyy-mm-dd)") }
+      case Some("timestamp") =>
+        try java.sql.Timestamp.valueOf(raw)
+        catch { case _: IllegalArgumentException =>
+          fail("timestamp (yyyy-mm-dd hh:mm:ss)") }
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown --bound-type '$other' (long|double|string|date|timestamp)")
+      case None =>
+        raw.toLongOption.map(identity[Any])
+          .orElse(raw.toDoubleOption).getOrElse(raw)
+    }
   }
 
   private[graft] def run(spark: SparkSession, cmd: String,
@@ -232,15 +270,20 @@ object Main {
         println(s"vacuumed $n superseded data files from $in")
       case "count-manifest" =>
         // metadata-only count; --col/--lower/--upper add an inclusive range
+        // (bound values typed from --bound-type, else the manifest's
+        // recorded stats tag, else long -> double -> string inference)
         val bounds = opts.get("col").toSeq.map(c => LayoutOps.ColBounds(c,
-          opts.get("lower").map(_.toLong), opts.get("upper").map(_.toLong)))
+          opts.get("lower").map(parseBound(spark, in, c, _, opts.get("bound-type"))),
+          opts.get("upper").map(parseBound(spark, in, c, _, opts.get("bound-type")))))
         val (n, scanned) = LayoutOps.countManifestedWhere(spark, in, bounds)
         println(s"$n rows ($scanned of the listed files scanned)")
       case "delete-manifest" =>
         // copy-on-write range delete on --col between --lower and --upper
+        val c = opts("col")
         val (rw, carried) = LayoutOps.deleteManifestedWhere(spark, in,
-          Seq(LayoutOps.ColBounds(opts("col"),
-            opts.get("lower").map(_.toLong), opts.get("upper").map(_.toLong))))
+          Seq(LayoutOps.ColBounds(c,
+            opts.get("lower").map(parseBound(spark, in, c, _, opts.get("bound-type"))),
+            opts.get("upper").map(parseBound(spark, in, c, _, opts.get("bound-type"))))))
         println(s"rewrote $rw files, carried $carried untouched")
       case "show-manifest" =>
         // inspection: generation, schema, and each file's skip stats

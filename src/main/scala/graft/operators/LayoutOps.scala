@@ -147,14 +147,77 @@ object LayoutOps {
   //          paths relative to <root>)
   //          <root>/data-g<gen>-<uuid>/part-*.parquet
   //
-  // Single-writer assumption: two concurrent committers race to create
-  // the same generation number; the loser's rename fails (destination
-  // exists) and it must retry on the new latest. (S3-class stores that
-  // cannot fail-on-exists need a conditional-PUT or a lock service for
-  // multi-writer — same caveat as every manifest-based format.)
+  // Concurrent committers race to create the same generation number; the
+  // loser's tryCommit returns false and it must retry on the new latest.
+  // HOW one committer wins is the pluggable [[CommitArbiter]]: the
+  // default uses fail-on-exists rename (posix, HDFS); stores without it
+  // plug in conditional PUT ([[ConditionalPutCommitArbiter]]) or a
+  // lock-service/CAS arbiter — the table logic never changes.
 
   private val manifestsDirName = "_manifests"
   private val manifestSuffix = ".manifest"
+
+  /** Commit-protocol seam: how one new manifest object becomes visible
+    * atomically. The contract: `tryCommit` makes `payload` readable at
+    * `target` all-or-nothing, returns true iff THIS caller won the
+    * generation (false = a competing committer owns it, and `target` now
+    * holds that committer's complete payload), and never leaves a partial
+    * object visible at `target`. Every manifest committer (write, append,
+    * compact, delete, upsert) routes through [[commitArbiter]], so a store
+    * without atomic fail-on-exists rename plugs in its own primitive —
+    * conditional PUT, a lock service, a CAS table — without touching the
+    * table logic. */
+  trait CommitArbiter {
+    def tryCommit(fs: org.apache.hadoop.fs.FileSystem,
+                  target: org.apache.hadoop.fs.Path,
+                  payload: Array[Byte]): Boolean
+  }
+
+  /** Default arbiter: write a temp object beside the target, then a
+    * single-FILE rename — atomic wherever rename fails on an existing
+    * destination (posix, HDFS). A crashed committer leaks only a `.tmp-*`
+    * object that [[vacuumManifested]] age-gates away. */
+  object RenameCommitArbiter extends CommitArbiter {
+    override def tryCommit(fs: org.apache.hadoop.fs.FileSystem,
+        target: org.apache.hadoop.fs.Path, payload: Array[Byte]): Boolean = {
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(payload) finally out.close()
+      if (fs.exists(target) || !fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        false
+      } else true
+    }
+  }
+
+  /** Arbiter for stores whose create-if-absent is an atomic conditional
+    * PUT (S3 `If-None-Match`, GCS/Azure preconditions): write the object
+    * directly with overwrite=false; the store accepts exactly one writer
+    * per generation and the object appears complete or not at all. NOT
+    * correct on plain filesystems, where an in-progress create is a
+    * visible partial file — those keep [[RenameCommitArbiter]]. */
+  object ConditionalPutCommitArbiter extends CommitArbiter {
+    override def tryCommit(fs: org.apache.hadoop.fs.FileSystem,
+        target: org.apache.hadoop.fs.Path, payload: Array[Byte]): Boolean = {
+      val out =
+        try fs.create(target, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+            return false
+        }
+      try out.write(payload) finally out.close()
+      true
+    }
+  }
+
+  /** The active commit protocol (process-wide). Swap it for
+    * [[ConditionalPutCommitArbiter]] (or a custom lock-service/CAS
+    * implementation) when the table lives on a store without atomic
+    * fail-on-exists rename. */
+  @volatile var commitArbiter: CommitArbiter = RenameCommitArbiter
 
   /** File-skipping bound on one column: keep only files whose stats show
     * they MAY contain a row with `lower <= column <= upper` (either end
@@ -207,10 +270,31 @@ object LayoutOps {
       p: org.apache.hadoop.fs.Path): Seq[String] =
     readManifestEntries(fs, p).map(entryPath)
 
+  /** Header lines only (the leading `#`-prefixed block): stops at the
+    * first entry line, so probing a manifest's token/schema/cluster costs
+    * O(header bytes) even when the entry body lists 100k files — that is
+    * what makes the cross-generation token scan in [[appendManifested]]
+    * affordable. */
+  private def readHeaderLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var line = br.readLine()
+      while (line != null && line.startsWith("#")) {
+        out += line
+        line = br.readLine()
+      }
+      out.toSeq
+    } finally in.close()
+  }
+
   /** The idempotence token a manifest was committed with, if any. */
   private def manifestToken(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
-    readManifestLines(fs, p).collectFirst {
+    readHeaderLines(fs, p).collectFirst {
       case l if l.startsWith("#token=") => l.stripPrefix("#token=") }
 
   /** The table schema (DDL) a manifest records, if any. Recorded at every
@@ -219,33 +303,56 @@ object LayoutOps {
     * appends can evolve the schema additively. */
   private def manifestSchemaDdl(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
-    readManifestLines(fs, p).collectFirst {
+    readHeaderLines(fs, p).collectFirst {
       case l if l.startsWith("#schema=") => l.stripPrefix("#schema=") }
 
+  /** The cluster columns a manifest records (`#cluster=a,b`), if any —
+    * the table's declared sort layout, which every rewrite (compaction,
+    * CoW delete/upsert, appended batches) re-applies so per-file min/max
+    * ranges stay disjoint across maintenance instead of degrading to the
+    * full key span after the first rewrite. */
+  private def manifestClusterCols(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    readHeaderLines(fs, p).collectFirst {
+      case l if l.startsWith("#cluster=") =>
+        l.stripPrefix("#cluster=").split(",").toSeq.filter(_.nonEmpty)
+    }.getOrElse(Nil)
+
+  /** True iff any RETAINED manifest generation was committed with `token`
+    * — header-only reads, O(generations), bounded by vacuum retention.
+    * Scanning every generation (not just the newest) is what keeps token
+    * idempotence sound under interleaved writers: a replay arriving after
+    * OTHER appenders advanced the table still finds its token. */
+  private def tokenCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, token: String): Boolean = {
+    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
+    fs.exists(md) && fs.listStatus(md).exists { s =>
+      manifestGen(s.getPath.getName).isDefined &&
+        manifestToken(fs, s.getPath).contains(token)
+    }
+  }
+
   /** Commit `files` (entry lines: a relative path, optionally followed by
-    * TAB + per-file stats JSON) as generation `gen`: write a temp manifest
-    * object fully, then rename it to the final name. Fails if the
-    * generation was committed concurrently. */
+    * TAB + per-file stats JSON) as generation `gen`, through the active
+    * [[commitArbiter]]. Fails if the generation was committed
+    * concurrently (the caller's retry loop re-reads and re-commits). */
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String],
       token: Option[String] = None,
-      schemaDdl: Option[String] = None): Unit = {
+      schemaDdl: Option[String] = None,
+      clusterCols: Seq[String] = Nil): Unit = {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     fs.mkdirs(md)
-    val tmp = new org.apache.hadoop.fs.Path(md,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val header = token.map(t => s"#token=$t\n").getOrElse("") +
-      schemaDdl.map(s => s"#schema=$s\n").getOrElse("")
-    val out = fs.create(tmp, false)
-    try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+      schemaDdl.map(s => s"#schema=$s\n").getOrElse("") +
+      (if (clusterCols.nonEmpty) s"#cluster=${clusterCols.mkString(",")}\n"
+       else "")
+    val payload = (header + files.mkString("\n") + "\n").getBytes("UTF-8")
     val target = new org.apache.hadoop.fs.Path(md, f"$gen%020d$manifestSuffix")
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
+    if (!commitArbiter.tryCommit(fs, target, payload))
       throw new java.io.IOException(
         s"manifest generation $gen was committed concurrently at $target — " +
           "re-read the table and retry")
-    }
   }
 
   private def newDataDir(gen: Long): String =
@@ -579,6 +686,36 @@ object LayoutOps {
     (cols.toSeq, bits)
   }
 
+  /** Range-stats columns to re-collect when a rewrite (compaction / CoW
+    * delete / upsert) inherits the table's stats config: every column any
+    * live entry carries a "t"-tagged range node for. The reserved
+    * [[rowsKey]] and bloom-ONLY columns are not footer range stats and
+    * must not be requested from [[parquetFileStats]] (it ignores unknown
+    * names today, but silently depending on that is fragile). */
+  private[graft] def inheritedStatsCols(entries: Seq[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    entries.flatMap(entryStatsJson).flatMap { j =>
+      val n = jsonMapper.readTree(j)
+      n.fieldNames.asScala.filter(f =>
+        f != rowsKey && n.get(f).has("t")).toSeq
+    }.distinct
+  }
+
+  /** The range-stats tag ("l" integer-backed, "d" floating, "s" string /
+    * ISO date) recorded for `column` by any live entry of the newest
+    * manifest — how a CLI bound knows what type to parse its value as. */
+  def manifestStatsTag(spark: org.apache.spark.sql.SparkSession,
+      path: String, column: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, root).flatMap { case (_, mp) =>
+      readManifestEntries(fs, mp).flatMap(entryStatsJson).flatMap { j =>
+        Option(jsonMapper.readTree(j).get(column))
+          .flatMap(cn => Option(cn.get("t")).map(_.asText).filter(_.nonEmpty))
+      }.headOption
+    }
+  }
+
   /** Normalize a user-supplied bound to (tag, rendered) in the stats
     * domain; None = type we cannot compare against footer stats. */
   private def normalizeBound(v: Any): Option[(String, String)] = v match {
@@ -691,6 +828,34 @@ object LayoutOps {
         s"$path has no committed manifest — not a manifested table"))
   }
 
+  /** Entry-count threshold above which pruning decisions are evaluated
+    * DISTRIBUTED (the entry lines become a Dataset and [[mayMatch]] runs
+    * as a filter on executors) instead of in a driver loop. Driver-side
+    * planning is O(files) and fine to ~10^5 entries (a 100 TB table at
+    * 1 GB/file); past that — or under small-file ingest before compaction
+    * — the Iceberg-style move is to prune the metadata with the engine
+    * itself. Both paths apply the identical predicate (spec-asserted), so
+    * the threshold is purely a planning-cost knob. */
+  @volatile var distributedPruneThreshold: Int = 100000
+
+  /** Entry lines surviving `bounds`, original order preserved. Below the
+    * threshold (or with no effective bounds) this is a driver loop; above
+    * it the same [[mayMatch]] runs distributed and only survivors come
+    * back to the driver (the scan needs their paths anyway). */
+  private def pruneEntries(spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[String], bounds: Seq[ColBounds]): Seq[String] = {
+    val effective = bounds.filter(b => b.lower.nonEmpty || b.upper.nonEmpty)
+    if (effective.isEmpty) entries
+    else if (entries.size < distributedPruneThreshold)
+      entries.filter(l => mayMatch(entryStatsJson(l), effective))
+    else {
+      import spark.implicits._
+      spark.createDataset(entries.zipWithIndex)
+        .filter(p => mayMatch(entryStatsJson(p._1), effective))
+        .collect().sortBy(_._2).map(_._1).toSeq
+    }
+  }
+
   /** The manifest-stats file pruning decision, exposed for inspection:
     * (files kept after applying `bounds`, total files listed). */
   def manifestSkipFiles(spark: org.apache.spark.sql.SparkSession,
@@ -700,9 +865,7 @@ object LayoutOps {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = readManifestEntries(fs,
       resolveManifest(fs, root, generation, path))
-    val kept = entries.filter(l => mayMatch(entryStatsJson(l), bounds))
-      .map(entryPath)
-    (kept, entries.size)
+    (pruneEntries(spark, entries, bounds).map(entryPath), entries.size)
   }
 
   /** Human-readable description of a manifest: generation, token, schema,
@@ -715,6 +878,10 @@ object LayoutOps {
     Seq(s"generation: ${manifestGen(mp.getName).getOrElse(-1L)}") ++
       manifestToken(fs, mp).map(t => s"token: $t") ++
       manifestSchemaDdl(fs, mp).map(s => s"schema: $s") ++
+      (manifestClusterCols(fs, mp) match {
+        case Nil => Nil
+        case cs  => Seq(s"cluster: ${cs.mkString(",")}")
+      }) ++
       readManifestEntries(fs, mp).map { l =>
         entryStatsJson(l).map(j => s"  ${entryPath(l)}  $j")
           .getOrElse(s"  ${entryPath(l)}")
@@ -735,8 +902,7 @@ object LayoutOps {
     val entries = readManifestEntries(fs, mp)
     val ddl = manifestSchemaDdl(fs, mp)
     if (entries.isEmpty) return emptyManifested(spark, ddl, mp)
-    val kept = entries.filter(l => mayMatch(entryStatsJson(l), bounds))
-      .map(entryPath)
+    val kept = pruneEntries(spark, entries, bounds).map(entryPath)
     val reader = ddl match {
       case Some(d) => spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
@@ -818,10 +984,12 @@ object LayoutOps {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
     val blooms = collectBlooms(spark, dataDirAbs, bloomCols, bloomBits)
-    // a full write REPLACES the table: the new schema is df's, verbatim
+    // a full write REPLACES the table: the new schema is df's, verbatim;
+    // clusterBy is recorded in the header so every later rewrite
+    // (compaction, CoW delete/upsert) restores the same layout
     commitManifest(fs, root, gen,
       files.map(entryLineFor(conf, root, _, statsCols, blooms)),
-      schemaDdl = Some(df.schema.toDDL))
+      schemaDdl = Some(df.schema.toDDL), clusterCols = clusterBy)
   }
 
   /** Test seam: invoked immediately before every manifest-commit attempt
@@ -834,7 +1002,16 @@ object LayoutOps {
     * commit with the same `token` is a NO-OP — pass the micro-batch id
     * from `foreachBatch` and a restarted streaming query cannot
     * double-append its replayed batch (the manifest layout's equivalent
-    * of an idempotent sink). Creates the table when none exists.
+    * of an idempotent sink). Tokens are scanned across ALL retained
+    * generations (header-only reads), so the no-op holds even when other
+    * writers committed between the original append and its replay; the
+    * one remaining caveat is vacuum retention — [[vacuumManifested]] with
+    * `keepHistory` shorter than the replay horizon forgets old tokens,
+    * so size retention to the longest possible replay. Creates the table
+    * when none exists. If the table records `#cluster=` columns and the
+    * batch carries them all, the appended files are range-clustered the
+    * same way, keeping their min/max stats selective from the first
+    * commit.
     *
     * Concurrent appenders: losing a generation race costs nothing but the
     * commit itself — the data directory is already written and stays
@@ -856,20 +1033,26 @@ object LayoutOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     // old entries are carried over VERBATIM (their stats suffixes included)
-    def state(): Option[(Long, Seq[String], Option[String])] = {
-      val latest = latestManifest(fs, root)
-      if (token.isDefined && latest.exists(m => manifestToken(fs, m._2) == token))
+    def state(): Option[(Long, Seq[String], Option[String], Seq[String])] = {
+      // token scan covers every retained generation, not just the newest:
+      // an interleaved appender advancing the table must not make a
+      // replayed batch look uncommitted (that would double-append it)
+      if (token.exists(t => tokenCommitted(fs, root, t)))
         None // this batch already committed — replay is a no-op
-      else Some(latest match {
+      else Some(latestManifest(fs, root) match {
         case Some((g, mp)) =>
-          (g + 1, readManifestEntries(fs, mp), manifestSchemaDdl(fs, mp))
-        case None => (0L, Seq.empty[String], None)
+          (g + 1, readManifestEntries(fs, mp), manifestSchemaDdl(fs, mp),
+            manifestClusterCols(fs, mp))
+        case None => (0L, Seq.empty[String], None, Nil)
       })
     }
     var st = state().getOrElse(return)
     evolveSchemaDdl(st._3, df) // fails fast, BEFORE writing
     val dataDir = newDataDir(st._1)
-    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    // a batch carrying all of the table's cluster columns lands clustered
+    // (disjoint per-file ranges within the batch); otherwise plain
+    val clusterCols = st._4.filter(_ => st._4.forall(df.columns.contains))
+    val out = clustered(df, numFiles, clusterCols)
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     out.write.parquet(dataDirAbs)
     val added = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
@@ -878,12 +1061,13 @@ object LayoutOps {
     val blooms = collectBlooms(spark, dataDirAbs, bloomCols, bloomBits)
     var attempt = 0
     while (true) {
-      val (gen, old, oldDdl) = st
+      val (gen, old, oldDdl, oldCluster) = st
       beforeAppendCommitHook()
       try {
         commitManifest(fs, root, gen,
           old ++ added.map(entryLineFor(conf, root, _, statsCols, blooms)),
-          token, schemaDdl = Some(evolveSchemaDdl(oldDdl, df)))
+          token, schemaDdl = Some(evolveSchemaDdl(oldDdl, df)),
+          clusterCols = oldCluster)
         return
       } catch {
         case e: java.io.IOException
@@ -955,13 +1139,14 @@ object LayoutOps {
       .partition(_._2 < onlyFilesSmallerThan)
     if (smallE.size < 2) return entries.size // nothing worth folding
     // stats survive compaction: default to every column any live entry
-    // carries stats for (recollected from the NEW files' footers)
-    val keepStats = statsCols.getOrElse {
-      import scala.jdk.CollectionConverters._
-      entries.flatMap(entryStatsJson)
-        .flatMap(j => jsonMapper.readTree(j).fieldNames.asScala.toSeq)
-        .distinct
-    }
+    // carries RANGE stats for (recollected from the NEW files' footers)
+    val keepStats = statsCols.getOrElse(inheritedStatsCols(entries))
+    // the cluster layout survives too: an explicit clusterBy overrides
+    // (and re-declares) the table's recorded columns; the default is
+    // whatever the manifest header declares, so callers no longer have
+    // to remember the write-time clustering at every maintenance pass
+    val effCluster =
+      if (clusterBy.nonEmpty) clusterBy else manifestClusterCols(fs, mp)
     val nFiles = math.max(1,
       math.ceil(smallE.map(_._2).sum.toDouble / targetFileBytes).toInt)
     val dataDir = newDataDir(gen + 1)
@@ -974,13 +1159,13 @@ object LayoutOps {
         .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
       case None => spark.read
     }
-    // clusterBy restores file-range disjointness that interleaved appends
+    // clustering restores file-range disjointness that interleaved appends
     // erode — without it a compaction keeps rows where they land
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     clustered(reader
         .parquet(smallE.map(e =>
           new org.apache.hadoop.fs.Path(root, entryPath(e._1)).toString): _*),
-        nFiles, clusterBy)
+        nFiles, effCluster)
       .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
@@ -990,7 +1175,7 @@ object LayoutOps {
     commitManifest(fs, root, gen + 1,
       largeE.map(_._1) ++
         files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = ddl)
+      schemaDdl = ddl, clusterCols = effCluster)
     largeE.size + files.size
   }
 
@@ -1136,12 +1321,8 @@ object LayoutOps {
     val (touched, carried) = entries.partition(l =>
       mayMatch(entryStatsJson(l), bounds))
     if (touched.isEmpty) return (0, carried.size)
-    val keepStats = {
-      import scala.jdk.CollectionConverters._
-      entries.flatMap(entryStatsJson)
-        .flatMap(j => jsonMapper.readTree(j).fieldNames.asScala.toSeq)
-        .distinct
-    }
+    val keepStats = inheritedStatsCols(entries)
+    val clusterCols = manifestClusterCols(fs, mp)
     val ddl = manifestSchemaDdl(fs, mp)
     val reader = ddl match {
       case Some(d) => spark.read
@@ -1154,11 +1335,16 @@ object LayoutOps {
     }.reduce(_ && _)
     val dataDir = newDataDir(gen + 1)
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
-    reader.parquet(touched.map(e =>
+    // survivors are rewritten through the table's recorded cluster layout
+    // (range-repartition + sort, not a hash scatter): each rewritten file
+    // keeps a narrow key slice, so the stats that targeted THIS delete
+    // still prune the next one — without it a clustered table degrades to
+    // unclustered after the first maintenance pass
+    clustered(reader.parquet(touched.map(e =>
         new org.apache.hadoop.fs.Path(root, entryPath(e)).toString): _*)
       // NULL in a bound column -> predicate NULL -> not a match -> keep
-      .where(!coalesce(matches, lit(false)))
-      .repartition(touched.size)
+      .where(!coalesce(matches, lit(false))),
+        touched.size, clusterCols)
       .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
@@ -1167,7 +1353,7 @@ object LayoutOps {
     val blooms = collectBlooms(spark, dataDirAbs, bCols, math.max(bBits, 64))
     commitManifest(fs, root, gen + 1,
       carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = ddl)
+      schemaDdl = ddl, clusterCols = clusterCols)
     (files.size, carried.size)
   }
 
@@ -1201,12 +1387,8 @@ object LayoutOps {
     val bounds = Seq(ColBounds(keyCol, Some(span.get(0)), Some(span.get(1))))
     val (touched, carried) = entries.partition(l =>
       mayMatch(entryStatsJson(l), bounds))
-    val keepStats = {
-      import scala.jdk.CollectionConverters._
-      entries.flatMap(entryStatsJson)
-        .flatMap(j => jsonMapper.readTree(j).fieldNames.asScala.toSeq)
-        .distinct
-    }
+    val keepStats = inheritedStatsCols(entries)
+    val clusterCols = manifestClusterCols(fs, mp)
     val reader = ddl match {
       case Some(d) => spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
@@ -1222,7 +1404,10 @@ object LayoutOps {
         .unionByName(updates, allowMissingColumns = true)
     val dataDir = newDataDir(gen + 1)
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
-    kept.repartition(math.max(1, touched.size))
+    // rewrite through the recorded cluster layout (see the delete path):
+    // upserted key ranges stay disjoint across files, so repeated upserts
+    // do not erode the skipping that targets them
+    clustered(kept, math.max(1, touched.size), clusterCols)
       .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
@@ -1231,7 +1416,7 @@ object LayoutOps {
     val blooms = collectBlooms(spark, dataDirAbs, bCols, math.max(bBits, 64))
     commitManifest(fs, root, gen + 1,
       carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = Some(evolved))
+      schemaDdl = Some(evolved), clusterCols = clusterCols)
     (files.size, carried.size)
   }
 
@@ -1239,11 +1424,18 @@ object LayoutOps {
     * plus the manifests older than the retention window. `keepHistory`
     * is the retention knob: 0 keeps only the newest generation (breaks
     * all time travel), K keeps the newest K+1 generations readable —
-    * size it to the longest-running reader/change-feed consumer.
+    * size it to the longest-running reader/change-feed consumer. Note
+    * that retention also bounds the append-token memory: a streaming
+    * replay older than the retained window can no longer be detected as
+    * a duplicate. `tmpGraceMs` age-gates leaked `.tmp-*` commit objects:
+    * only those older than the grace window are removed, so a vacuum
+    * racing an IN-FLIGHT commit (whose tmp object is seconds old) cannot
+    * kill it between tmp-write and rename.
     * @return number of data files deleted
     */
   def vacuumManifested(spark: org.apache.spark.sql.SparkSession,
-                       path: String, keepHistory: Int = 0): Int = {
+                       path: String, keepHistory: Int = 0,
+                       tmpGraceMs: Long = 3600000L): Int = {
     require(keepHistory >= 0)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1266,13 +1458,17 @@ object LayoutOps {
       drop.foreach { e => fs.delete(e.getPath, false); removed += 1 }
       if (keep.isEmpty) fs.delete(d.getPath, true) // whole superseded generation
     }
+    val tmpCutoff = System.currentTimeMillis() - math.max(0L, tmpGraceMs)
     fs.listStatus(md).foreach { m =>
       if (manifestGen(m.getPath.getName).exists(_ < cutoff))
         fs.delete(m.getPath, false)
       // a committer that died between tmp-write and rename leaks a .tmp-*
-      // object; deleting it under a LIVE commit just fails that rename,
-      // which the appender's retry loop already absorbs
-      else if (m.getPath.getName.startsWith(".tmp-"))
+      // object; only STALE ones are cleaned (older than the grace window)
+      // — an in-flight commit's seconds-old tmp object is left alone, so
+      // vacuum can never kill a live writeManifested/compact/delete/upsert
+      // commit that has no retry loop
+      else if (m.getPath.getName.startsWith(".tmp-") &&
+               m.getModificationTime < tmpCutoff)
         fs.delete(m.getPath, false)
     }
     removed

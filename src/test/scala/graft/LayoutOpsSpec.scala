@@ -778,4 +778,210 @@ class LayoutOpsSpec extends SparkSpec {
     assert(z.count() === df.count())
     assert(z.columns.toSeq === df.columns.toSeq, "layout op must not change schema")
   }
+
+  /** Per-file [min,max] of `column` parsed out of describeManifest's stats
+    * lines — how the specs inspect the on-disk layout without private API. */
+  private def fileRanges(path: String, column: String): Seq[(Long, Long)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    LayoutOps.describeManifest(spark, path)
+      .filter(l => l.startsWith("  ") && l.contains("{"))
+      .flatMap { l =>
+        val n = mapper.readTree(l.substring(l.indexOf("{")))
+        Option(n.get(column)).flatMap { cn =>
+          (Option(cn.get("min")), Option(cn.get("max"))) match {
+            case (Some(mn), Some(mx)) => Some((mn.asText.toLong, mx.asText.toLong))
+            case _ => None
+          }
+        }
+      }
+  }
+
+  test("CoW delete/upsert/compact rewrites preserve the recorded cluster " +
+      "layout: file ranges stay pairwise disjoint and skipping keeps pruning") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-clus").toString
+    val mt = s"$base/t"
+    try {
+      val df = spark.range(40000)
+        .select(col("id"), (col("id") % 97).as("v"))
+      LayoutOps.writeManifested(df, mt, numFiles = 8,
+        statsCols = Seq("id"), clusterBy = Seq("id"))
+      assert(LayoutOps.describeManifest(spark, mt).contains("cluster: id"))
+      // a delete spanning TWO files: a hash-scatter rewrite would give
+      // both replacement files the full touched span (overlapping); the
+      // clustered rewrite keeps them disjoint
+      LayoutOps.deleteManifestedWhere(spark, mt,
+        Seq(ColBounds("id", Some(4000L), Some(5999L))))
+      // an upsert spanning two more files
+      LayoutOps.upsertManifested(
+        spark.range(12000, 18000).select(col("id"), lit(-1L).as("v")),
+        mt, "id")
+      def assertDisjoint(tag: String): Unit = {
+        val sorted = fileRanges(mt, "id").sortBy(_._1)
+        assert(sorted.nonEmpty, tag)
+        sorted.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax < bMin, s"$tag: overlapping file ranges $sorted")
+          case _ => ()
+        }
+      }
+      assertDisjoint("after delete+upsert")
+      assert(LayoutOps.describeManifest(spark, mt).contains("cluster: id"),
+        "maintenance must carry the cluster header forward")
+      // skipping still prunes after the maintenance cycle: a narrow probe
+      // far from the rewritten region opens at most one file...
+      val (kept1, total1) = LayoutOps.manifestSkipFiles(spark, mt,
+        Seq(ColBounds("id", Some(30000L), Some(30100L))))
+      assert(total1 >= 8 && kept1.size <= 1, s"${kept1.size} of $total1 kept")
+      // ...and so does one INSIDE the rewritten (upserted) region — the
+      // exact degradation the hash-scatter rewrite used to cause
+      val (kept2, _) = LayoutOps.manifestSkipFiles(spark, mt,
+        Seq(ColBounds("id", Some(13000L), Some(13100L))))
+      assert(kept2.size <= 1, s"rewritten region kept ${kept2.size} files")
+      // compaction without a clusterBy arg inherits the recorded columns
+      val n = LayoutOps.compactManifest(spark, mt, targetFileBytes = 32L * 1024)
+      assert(n >= 2, s"compaction should leave several files, got $n")
+      assertDisjoint("after inherited-cluster compaction")
+      // correctness end-to-end: table equals the relational equivalent
+      val expected = spark.range(40000)
+        .where(!col("id").between(4000, 5999))
+        .select(col("id"), when(col("id").between(12000, 17999), -1L)
+          .otherwise(col("id") % 97).as("v"))
+      val got = LayoutOps.readManifested(spark, mt)
+      assert(got.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(got).count() === 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("ConditionalPutCommitArbiter commits without ever renaming: racing " +
+      "appenders both land, and the direct contract holds") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.faux.impl", classOf[FauxCopyDeleteFileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-cput").toString
+    val mt = s"faux://$base/t"
+    LayoutOps.commitArbiter = LayoutOps.ConditionalPutCommitArbiter
+    try {
+      import spark.implicits._
+      LayoutOps.writeManifested(Seq(1L, 2L).toDF("id"), mt)
+      // arm the faux FS so ANY rename onto the next generations dies:
+      // conditional PUT must never attempt one (the rename arbiter would)
+      FauxCopyDeleteFileSystem.failRenameTo =
+        Some(f"$base/t/_manifests/${1L}%020d.manifest")
+      // a competing appender lands inside our appender's race window; the
+      // loser's tryCommit returns false and the retry loop re-commits
+      var fired = false
+      LayoutOps.beforeAppendCommitHook = () => {
+        if (!fired) {
+          fired = true
+          LayoutOps.appendManifested(Seq(100L).toDF("id"), mt)
+        }
+      }
+      LayoutOps.appendManifested(Seq(3L).toDF("id"), mt)
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 100L),
+        "both racing batches visible, none duplicated, no rename used")
+      // direct contract: exactly one writer wins a target; the loser sees
+      // false (not an exception, not a partial object)
+      val fs = new org.apache.hadoop.fs.Path(mt)
+        .getFileSystem(conf)
+      val probe = new org.apache.hadoop.fs.Path(s"faux://$base/probe")
+      assert(LayoutOps.ConditionalPutCommitArbiter
+        .tryCommit(fs, probe, "winner".getBytes("UTF-8")))
+      assert(!LayoutOps.ConditionalPutCommitArbiter
+        .tryCommit(fs, probe, "loser".getBytes("UTF-8")))
+      val in = fs.open(probe)
+      val content = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      assert(content === "winner", "the losing PUT must not clobber the winner")
+    } finally {
+      LayoutOps.commitArbiter = LayoutOps.RenameCommitArbiter
+      LayoutOps.beforeAppendCommitHook = () => ()
+      FauxCopyDeleteFileSystem.failRenameTo = None
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("distributed manifest pruning matches the driver path decision-for-" +
+      "decision on a 50k-entry manifest") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-dprune").toString
+    val mt = s"$base/t"
+    try {
+      // hand-author a manifest listing 50k files with disjoint id ranges;
+      // every 1000th entry is stats-less (must be KEPT by both paths)
+      val md = new java.io.File(s"$mt/_manifests")
+      assert(md.mkdirs())
+      val sb = new StringBuilder("#schema=id BIGINT\n#cluster=id\n")
+      for (i <- 0 until 50000) {
+        if (i % 1000 == 999) sb.append(s"data-g0/f$i.parquet\n")
+        else sb.append(s"data-g0/f$i.parquet\t" +
+          s"""{"__rows":10,"id":{"t":"l","min":"${i * 10L}","max":"${i * 10L + 9}","n":0}}""" +
+          "\n")
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$mt/_manifests/${"0" * 20}.manifest"),
+        sb.toString.getBytes("UTF-8"))
+      val bounds = Seq(ColBounds("id", Some(123400L), Some(130000L)))
+      val (driverKept, total) = LayoutOps.manifestSkipFiles(spark, mt, bounds)
+      val (distKept, totalD) =
+        try {
+          LayoutOps.distributedPruneThreshold = 1 // force the Dataset path
+          LayoutOps.manifestSkipFiles(spark, mt, bounds)
+        } finally LayoutOps.distributedPruneThreshold = 100000
+      assert(total === 50000 && totalD === 50000)
+      assert(driverKept === distKept,
+        "both paths must make identical pruning decisions, in order")
+      // selective: the range covers ~660 files + 50 stats-less keepers
+      assert(driverKept.nonEmpty && driverKept.size < 1500,
+        s"kept ${driverKept.size}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("a tokened append replay is a no-op even after OTHER writers " +
+      "advanced the table past it") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.appendManifested(Seq(1L, 2L).toDF("id"), mt,
+        token = Some("batch-0"))
+      // two interleaved commits bury batch-0's token below latest
+      LayoutOps.appendManifested(Seq(3L).toDF("id"), mt, token = Some("batch-1"))
+      LayoutOps.appendManifested(Seq(4L).toDF("id"), mt)
+      // the replay (a restarted writer re-sending its batch) must find its
+      // token in RETAINED history, not just the newest manifest
+      LayoutOps.appendManifested(Seq(1L, 2L).toDF("id"), mt,
+        token = Some("batch-0"))
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+        "replayed batch must not double-append")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("vacuum age-gates .tmp commit objects: a fresh (possibly in-flight) " +
+      "one survives, a stale leak is removed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tmpgc").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.writeManifested(Seq(1L).toDF("id"), mt)
+      val tmp = new java.io.File(s"$mt/_manifests/.tmp-leaked1")
+      java.nio.file.Files.write(tmp.toPath, "orphan".getBytes("UTF-8"))
+      LayoutOps.vacuumManifested(spark, mt) // default 1 h grace
+      assert(tmp.exists(), "a seconds-old tmp object may be a live commit")
+      assert(tmp.setLastModified(System.currentTimeMillis() - 7200000L))
+      LayoutOps.vacuumManifested(spark, mt)
+      assert(!tmp.exists(), "a stale tmp leak must be cleaned")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("inherited stats columns exclude the __rows key and bloom-only columns") {
+    val entries = Seq(
+      "a.parquet\t" +
+        """{"__rows":5,"id":{"t":"l","min":"0","max":"9","n":0},""" +
+        """"ck":{"bloom":"AAAAAAAAAAA=","bk":3}}""",
+      "b.parquet")
+    assert(LayoutOps.inheritedStatsCols(entries) === Seq("id"))
+  }
 }

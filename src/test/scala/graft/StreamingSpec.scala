@@ -203,14 +203,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("soak: dedup state rows plateau at the watermark horizon under sustained load") {
+  test("soak: dedup state rows AND bytes plateau at the watermark horizon " +
+      "under sustained load") {
     implicit val sc = spark.sqlContext
-    // 200 micro-batches, event time advancing 10 min/batch, EVERY key new:
-    // 4000 distinct keys cross the operator while the 60-minute watermark
-    // horizon only ever covers ~6-7 batches (~130 keys). The "bounded
-    // state" claim is structural everywhere else — this measures it:
-    // numRowsTotal must plateau at the horizon and stay flat for the
-    // remaining ~25 horizons, not track the stream length.
+    // N micro-batches (default 600; SPARK_GRAFT_SOAK_BATCHES overrides —
+    // the 2000-batch depth was run green in round 6, ~11 min, the cost
+    // being fixed ~330 ms/trigger overhead, so the default keeps the
+    // suite fast without weakening the assertion shape). Event time
+    // advances 10 min/batch, EVERY key new: 20·N distinct keys cross the
+    // operator while the 60-minute watermark horizon only ever covers
+    // ~6-7 batches (~130 keys). The "bounded state" claim is structural
+    // everywhere else — this measures it, twice over: numRowsTotal AND
+    // memoryUsedBytes must plateau at the horizon and stay flat for the
+    // remaining ~N/7 horizons, not track the stream length (rows can
+    // plateau while bytes leak — e.g. a state store retaining tombstones
+    // — so both are asserted).
+    val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "600").toInt
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
     val dedup = StreamingOps.streamingDedup(
       input.toDF().toDF("ts", "user_id", "payload"), "ts", Seq("user_id"),
@@ -218,8 +226,9 @@ class StreamingSpec extends SparkSpec {
     val q = dedup.writeStream.format("noop").outputMode("append").start()
     try {
       val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stateBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
       var key = 0L
-      for (batch <- 0 until 200) {
+      for (batch <- 0 until batches) {
         val rows = (0 until 20).map { i =>
           key += 1
           (ts(60 + batch * 10 + (i % 10)), key, s"p$batch-$i")
@@ -227,19 +236,30 @@ class StreamingSpec extends SparkSpec {
         input.addData(rows: _*)
         q.processAllAvailable()
         val p = q.lastProgress
-        if (p != null && p.stateOperators.nonEmpty)
+        if (p != null && p.stateOperators.nonEmpty) {
           stateRows += p.stateOperators(0).numRowsTotal
+          stateBytes += p.stateOperators(0).memoryUsedBytes
+        }
       }
-      assert(stateRows.length >= 150, "progress must report state metrics")
+      assert(stateRows.length >= batches * 3 / 4,
+        "progress must report state metrics")
       val horizon = stateRows.slice(20, 40).max // plateau established early
-      val tail = stateRows.takeRight(50)
+      val tail = stateRows.takeRight(batches / 4)
       assert(horizon > 0)
       assert(tail.max <= horizon * 2,
         s"state grew past the early plateau: tail max ${tail.max} vs $horizon")
       assert(stateRows.last < 1000,
-        s"state (${stateRows.last}) must not track the 4000 keys fed")
+        s"state (${stateRows.last}) must not track the ${20 * batches} keys fed")
       assert(tail.max - tail.min <= horizon,
         s"tail must be flat: ${tail.min}..${tail.max} (horizon $horizon)")
+      // bytes: same shape — the late-stream footprint must sit within a
+      // small noise factor of the early plateau, many horizons later
+      val bytesHorizon = stateBytes.slice(20, 40).max
+      val bytesTail = stateBytes.takeRight(batches / 4)
+      assert(bytesHorizon > 0)
+      assert(bytesTail.max <= bytesHorizon * 2,
+        s"state BYTES grew past the early plateau: " +
+          s"${bytesTail.max} vs $bytesHorizon")
     } finally q.stop()
   }
 
