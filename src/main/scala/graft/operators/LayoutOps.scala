@@ -358,6 +358,33 @@ object LayoutOps {
   private def newDataDir(gen: Long): String =
     s"data-g$gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** Test seam: invoked immediately before a MAINTENANCE commit attempt
+    * (compact / delete / upsert), so a spec can interleave a competing
+    * commit into the exact race window. No-op in production. */
+  @volatile private[graft] var beforeMaintenanceCommitHook: () => Unit = () => ()
+
+  /** Re-run `body` when a commit race steals the generation. Maintenance
+    * ops (compact/delete/upsert) planned their rewrite against a base
+    * manifest that no longer is the latest — carrying any of that plan
+    * forward could drop an interleaved append's files or resurrect
+    * deleted rows, so a from-scratch re-run against the NEW latest is the
+    * only honest retry. The lost attempt's data directory is orphaned
+    * (never referenced by any manifest) and the next [[vacuumManifested]]
+    * removes it — same lifecycle as a lost append. */
+  private def retryOnCommitRace[T](maxRetries: Int)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("committed concurrently"))
+              && attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---- manifest column statistics (file-level data skipping) ------------
   // Per data file, the manifest can carry `{"col":{"t":tag,"min":…,"max":…,
   // "n":nullCount}}` for requested top-level columns. The values come from
@@ -965,18 +992,23 @@ object LayoutOps {
     * table flips to it atomically via the manifest commit. Previous
     * generations stay on disk (time travel / concurrent readers) until
     * [[vacuumManifested]]. `clusterBy` range-clusters the files so the
-    * `statsCols` min/max ranges are disjoint (maximum skipping). */
+    * `statsCols` min/max ranges are disjoint (maximum skipping). A
+    * generation race only re-targets the COMMIT (up to `maxCommitRetries`
+    * times): a full write replaces the table whatever the base was, so
+    * the already-written data directory is reused verbatim — last
+    * replacer wins, by declared semantics. */
   def writeManifested(df: DataFrame, path: String,
                       numFiles: Int = 0, statsCols: Seq[String] = Nil,
                       clusterBy: Seq[String] = Nil,
                       bloomCols: Seq[String] = Nil,
-                      bloomBits: Int = 1 << 13): Unit = {
+                      bloomBits: Int = 1 << 13,
+                      maxCommitRetries: Int = 5): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
-    val dataDir = newDataDir(gen)
+    val dataDir = newDataDir(
+      latestManifest(fs, root).map(_._1 + 1).getOrElse(0L))
     val out = clustered(df, numFiles, clusterBy)
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     out.write.parquet(dataDirAbs)
@@ -984,12 +1016,16 @@ object LayoutOps {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataDir/$n").toSeq
     val blooms = collectBlooms(spark, dataDirAbs, bloomCols, bloomBits)
+    val entryLines = files.map(entryLineFor(conf, root, _, statsCols, blooms))
     // a full write REPLACES the table: the new schema is df's, verbatim;
     // clusterBy is recorded in the header so every later rewrite
     // (compaction, CoW delete/upsert) restores the same layout
-    commitManifest(fs, root, gen,
-      files.map(entryLineFor(conf, root, _, statsCols, blooms)),
-      schemaDdl = Some(df.schema.toDDL), clusterCols = clusterBy)
+    retryOnCommitRace(maxCommitRetries) {
+      val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
+      beforeMaintenanceCommitHook()
+      commitManifest(fs, root, gen, entryLines,
+        schemaDdl = Some(df.schema.toDDL), clusterCols = clusterBy)
+    }
   }
 
   /** Test seam: invoked immediately before every manifest-commit attempt
@@ -1027,7 +1063,8 @@ object LayoutOps {
                        statsCols: Seq[String] = Nil,
                        maxCommitRetries: Int = 5,
                        bloomCols: Seq[String] = Nil,
-                       bloomBits: Int = 1 << 13): Unit = {
+                       bloomBits: Int = 1 << 13,
+                       clusterBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -1049,9 +1086,12 @@ object LayoutOps {
     var st = state().getOrElse(return)
     evolveSchemaDdl(st._3, df) // fails fast, BEFORE writing
     val dataDir = newDataDir(st._1)
-    // a batch carrying all of the table's cluster columns lands clustered
-    // (disjoint per-file ranges within the batch); otherwise plain
-    val clusterCols = st._4.filter(_ => st._4.forall(df.columns.contains))
+    // a batch carrying all of the declared cluster columns (the table's
+    // recorded ones, or `clusterBy` when the table declares none — e.g. a
+    // streaming sink CREATING the table) lands clustered: disjoint
+    // per-file ranges within the batch; otherwise plain
+    val declared = if (st._4.nonEmpty) st._4 else clusterBy
+    val clusterCols = declared.filter(_ => declared.forall(df.columns.contains))
     val out = clustered(df, numFiles, clusterCols)
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     out.write.parquet(dataDirAbs)
@@ -1067,7 +1107,9 @@ object LayoutOps {
         commitManifest(fs, root, gen,
           old ++ added.map(entryLineFor(conf, root, _, statsCols, blooms)),
           token, schemaDdl = Some(evolveSchemaDdl(oldDdl, df)),
-          clusterCols = oldCluster)
+          // an existing declaration wins; a table CREATED by this append
+          // adopts `clusterBy` so maintenance preserves the sink's layout
+          clusterCols = if (oldCluster.nonEmpty) oldCluster else clusterBy)
         return
       } catch {
         case e: java.io.IOException
@@ -1120,13 +1162,19 @@ object LayoutOps {
     * is the steady-state maintenance shape for a streamed-into table —
     * the small-files tail of recent batches gets folded without
     * rewriting the petabytes that are already well-sized. Fewer than two
-    * qualifying files commits nothing.
+    * qualifying files commits nothing. Losing a generation race to a
+    * concurrent committer re-runs the whole compaction from the new
+    * latest manifest (up to `maxCommitRetries` times) — the steady-state
+    * shape is exactly a background compactor racing a streaming appender,
+    * and neither may die or lose the other's files.
     * @return number of data files in the new (or unchanged) generation */
   def compactManifest(spark: org.apache.spark.sql.SparkSession, path: String,
                       targetFileBytes: Long = 128L * 1024 * 1024,
                       statsCols: Option[Seq[String]] = None,
                       clusterBy: Seq[String] = Nil,
-                      onlyFilesSmallerThan: Long = Long.MaxValue): Int = {
+                      onlyFilesSmallerThan: Long = Long.MaxValue,
+                      maxCommitRetries: Int = 5): Int =
+      retryOnCommitRace(maxCommitRetries) {
     require(targetFileBytes > 0)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -1172,6 +1220,7 @@ object LayoutOps {
       .map(n => s"$dataDir/$n").toSeq
     val (bCols, bBits) = inheritedBloomCols(entries)
     val blooms = collectBlooms(spark, dataDirAbs, bCols, math.max(bBits, 64))
+    beforeMaintenanceCommitHook()
     commitManifest(fs, root, gen + 1,
       largeE.map(_._1) ++
         files.map(entryLineFor(conf, root, _, keepStats, blooms)),
@@ -1305,10 +1354,16 @@ object LayoutOps {
     * a handful of files, not the table; that is the
     * delete-one-user-from-100TB shape. Rewritten files re-collect the
     * table's stats columns; the old generation survives for time travel
-    * until [[vacuumManifested]].
+    * until [[vacuumManifested]]. Losing a generation race re-runs the
+    * whole delete from the new latest manifest (up to `maxCommitRetries`
+    * times) — the rewrite planned against a superseded base could
+    * resurrect rows or drop an interleaved append's files, so nothing of
+    * the lost attempt is reused.
     * @return (files rewritten, files carried untouched) */
   def deleteManifestedWhere(spark: org.apache.spark.sql.SparkSession,
-      path: String, bounds: Seq[ColBounds]): (Int, Int) = {
+      path: String, bounds: Seq[ColBounds],
+      maxCommitRetries: Int = 5): (Int, Int) =
+      retryOnCommitRace(maxCommitRetries) {
     require(bounds.nonEmpty && bounds.exists(b =>
       b.lower.nonEmpty || b.upper.nonEmpty),
       "refusing an unbounded delete — use a new writeManifested() to replace a table")
@@ -1351,6 +1406,7 @@ object LayoutOps {
       .map(n => s"$dataDir/$n").toSeq
     val (bCols, bBits) = inheritedBloomCols(entries)
     val blooms = collectBlooms(spark, dataDirAbs, bCols, math.max(bBits, 64))
+    beforeMaintenanceCommitHook()
     commitManifest(fs, root, gen + 1,
       carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
       schemaDdl = ddl, clusterCols = clusterCols)
@@ -1369,10 +1425,14 @@ object LayoutOps {
     * its key span is taken as two driver scalars, its distinct keys are
     * broadcast for the anti-join, and its rows are
     * unioned into one rewritten data directory. Schema evolves additively
-    * exactly as in [[appendManifested]].
+    * exactly as in [[appendManifested]]. Losing a generation race re-runs
+    * the whole upsert from the new latest manifest (up to
+    * `maxCommitRetries` times), like the delete path.
     * @return (files rewritten, files carried untouched) */
   def upsertManifested(updates: DataFrame, path: String,
-                       keyCol: String): (Int, Int) = {
+                       keyCol: String,
+                       maxCommitRetries: Int = 5): (Int, Int) =
+      retryOnCommitRace(maxCommitRetries) {
     val spark = updates.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -1414,6 +1474,7 @@ object LayoutOps {
       .map(n => s"$dataDir/$n").toSeq
     val (bCols, bBits) = inheritedBloomCols(entries)
     val blooms = collectBlooms(spark, dataDirAbs, bCols, math.max(bBits, 64))
+    beforeMaintenanceCommitHook()
     commitManifest(fs, root, gen + 1,
       carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
       schemaDdl = Some(evolved), clusterCols = clusterCols)

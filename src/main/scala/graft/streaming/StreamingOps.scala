@@ -165,18 +165,14 @@ object StreamingOps {
     * rename-based commit log on the table path itself).
     * Usage: `stream.writeStream.foreachBatch(manifestedBatchSink(path))`.
     * `statsCols`/`clusterBy` flow through to the manifest commit so the
-    * ingested table is skippable from the first batch.
+    * ingested table is skippable from the first batch; `clusterBy` is
+    * also RECORDED in the table's manifest header, so later compaction /
+    * CoW maintenance re-clusters through the same layout.
     */
   def manifestedBatchSink(path: String, statsCols: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil): (Dataset[Row], Long) => Unit =
-    (batch, batchId) => {
-      val df = if (clusterBy.nonEmpty)
-        batch.toDF().repartitionByRange(clusterBy.map(
-          org.apache.spark.sql.functions.col): _*)
-          .sortWithinPartitions(clusterBy.map(
-            org.apache.spark.sql.functions.col): _*)
-      else batch.toDF()
+    (batch, batchId) =>
       graft.operators.LayoutOps.appendManifested(
-        df, path, token = Some(s"batch-$batchId"), statsCols = statsCols)
-    }
+        batch.toDF(), path, token = Some(s"batch-$batchId"),
+        statsCols = statsCols, clusterBy = clusterBy)
 }

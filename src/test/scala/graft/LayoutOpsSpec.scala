@@ -976,6 +976,71 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("maintenance committers losing the generation race re-run against " +
+      "the new latest: neither side's rows are lost") {
+    import graft.operators.LayoutOps.ColBounds
+    val base = java.nio.file.Files.createTempDirectory("graft-mrace").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.writeManifested(
+        spark.range(1000).toDF("id"), mt, numFiles = 6)
+      // 1) a COMPACTION races a streaming append — the steady-state shape
+      var fired = false
+      LayoutOps.beforeMaintenanceCommitHook = () => {
+        if (!fired) {
+          fired = true
+          LayoutOps.appendManifested(Seq(5000L).toDF("id"), mt)
+        }
+      }
+      LayoutOps.compactManifest(spark, mt, targetFileBytes = 128L * 1024 * 1024)
+      assert(LayoutOps.readManifested(spark, mt).count() === 1001,
+        "compaction retry must fold against the post-append manifest")
+      // 2) a DELETE races an append: the retried delete re-plans from the
+      // new latest, so the appended file is scanned (it has no stats) and
+      // its non-matching row survives
+      fired = false
+      LayoutOps.beforeMaintenanceCommitHook = () => {
+        if (!fired) {
+          fired = true
+          LayoutOps.appendManifested(Seq(6000L).toDF("id"), mt)
+        }
+      }
+      LayoutOps.deleteManifestedWhere(spark, mt,
+        Seq(ColBounds("id", Some(0L), Some(99L))))
+      assert(LayoutOps.readManifested(spark, mt).count() === 1001 + 1 - 100)
+      // 3) a full REPLACE races an append: last replacer wins, by declared
+      // semantics — the table is exactly the replacement
+      fired = false
+      LayoutOps.beforeMaintenanceCommitHook = () => {
+        if (!fired) {
+          fired = true
+          LayoutOps.appendManifested(Seq(7000L).toDF("id"), mt)
+        }
+      }
+      LayoutOps.writeManifested(spark.range(50).toDF("id"), mt)
+      assert(LayoutOps.readManifested(spark, mt).count() === 50)
+      // with retries disabled the race surfaces as the documented error
+      fired = false
+      LayoutOps.beforeMaintenanceCommitHook = () => {
+        if (!fired) {
+          fired = true
+          LayoutOps.appendManifested(Seq(8000L).toDF("id"), mt)
+        }
+      }
+      val e = intercept[java.io.IOException] {
+        LayoutOps.deleteManifestedWhere(spark, mt,
+          Seq(ColBounds("id", Some(0L), Some(9L))), maxCommitRetries = 0)
+      }
+      assert(e.getMessage.contains("committed concurrently"))
+      // the lost attempts' orphaned data dirs are vacuumable
+      assert(LayoutOps.vacuumManifested(spark, mt) >= 1)
+    } finally {
+      LayoutOps.beforeMaintenanceCommitHook = () => ()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("inherited stats columns exclude the __rows key and bloom-only columns") {
     val entries = Seq(
       "a.parquet\t" +

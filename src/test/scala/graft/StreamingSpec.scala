@@ -269,7 +269,8 @@ class StreamingSpec extends SparkSpec {
     val mt = s"$base/t"
     val input = MemoryStream[(Long, Double)]
     val q = input.toDF().toDF("id", "v").writeStream
-      .foreachBatch(StreamingOps.manifestedBatchSink(mt))
+      .foreachBatch(StreamingOps.manifestedBatchSink(mt,
+        statsCols = Seq("id"), clusterBy = Seq("id")))
       .outputMode("append").start()
     try {
       input.addData((0L until 10L).map(i => (i, i * 0.5)): _*)
@@ -285,6 +286,10 @@ class StreamingSpec extends SparkSpec {
       val gens = new java.io.File(s"$mt/_manifests").listFiles()
         .map(_.getName).filter(_.endsWith(".manifest")).sorted
       assert(gens.length >= 2)
+      // the sink's clusterBy is RECORDED: later compaction / CoW
+      // maintenance re-clusters through it without being told
+      assert(graft.operators.LayoutOps.describeManifest(spark, mt)
+        .contains("cluster: id"))
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
