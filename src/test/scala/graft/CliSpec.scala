@@ -68,6 +68,26 @@ class CliSpec extends SparkSpec {
     assert(desc.exists(_.startsWith("schema: id BIGINT")), desc)
     assert(desc.count(_.contains("\"id\":{\"t\":\"l\"")) >= 1,
       s"per-file stats listed: $desc")
+    // bounds on a STRING stats column: the value is typed from the
+    // manifest's recorded tag (used to crash in _.toLong); --bound-type
+    // overrides; a value failing its declared type is a friendly error
+    graft.operators.LayoutOps.writeManifested(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "id"),
+      s"$base/st", numFiles = 2, statsCols = Seq("k", "id"),
+      clusterBy = Seq("k"))
+    Main.run(spark, "delete-manifest", Map("input" -> s"$base/st",
+      "col" -> "k", "lower" -> "b", "upper" -> "c"))
+    assert(graft.operators.LayoutOps.readManifested(spark, s"$base/st")
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("a", "d"),
+      "string-typed CLI bounds delete the right rows")
+    Main.run(spark, "count-manifest", Map("input" -> s"$base/st",
+      "col" -> "id", "lower" -> "1", "upper" -> "9",
+      "bound-type" -> "long"))
+    val err = intercept[IllegalArgumentException] {
+      Main.run(spark, "count-manifest", Map("input" -> s"$base/st",
+        "col" -> "id", "lower" -> "not-a-number"))
+    }
+    assert(err.getMessage.contains("not a valid long"), err.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
