@@ -585,6 +585,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
+    // lazy Catalyst-time file skipping: readManifested scans through a
+    // manifest-backed FileIndex, so this plain .where() prunes data files
+    // from the query's own predicate during physical planning (range
+    // stats + blooms) — no bounds API involved; hash-compared against
+    // the relational answer
+    "q_manifest_lazy" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mlazy").toString + "/orders"
+      LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+        bloomCols = Seq("o_custkey"))
+      LayoutOps.readManifested(s, tbl)
+        .where(col("o_orderkey").between(1000L, 5000L) &&
+          col("o_custkey") =!= 7L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+    // metadata-only rollback: a bad append is undone by re-committing the
+    // good generation's listing (zero data I/O); the restored table must
+    // equal the oracle computing the ORIGINAL split from the raw table
+    "q_manifest_rollback" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mrb").toString + "/orders"
+      val ord = Tables.orders(s, dir)
+      LayoutOps.writeManifested(ord.where(col("o_orderkey") <= 3000),
+        tbl, numFiles = 4, statsCols = Seq("o_orderkey"),
+        clusterBy = Seq("o_orderkey"))
+      // the "bad batch": wrong prices land in generation 1
+      LayoutOps.appendManifested(ord.where(col("o_orderkey") > 3000)
+        .withColumn("o_totalprice", lit(-1.0)), tbl, numFiles = 2)
+      val g = LayoutOps.rollbackManifested(s, tbl, 0L)
+      require(g == 2L, s"rollback must commit a NEW generation, got $g")
+      LayoutOps.readManifested(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
     // streaming manifested ingest: a MemoryStream feeds a known split of
     // orders through the foreachBatch manifest sink — one token-committed
     // generation per micro-batch (exactly-once under replay, proven in
@@ -1313,6 +1354,19 @@ object SparkEntry {
         |        CASE WHEN o_orderkey BETWEEN 1000 AND 2000
         |             THEN 1.0 ELSE o_totalprice END AS o_totalprice
         |      FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_lazy" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_custkey <> 7
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_rollback" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY o_orderstatus""".stripMargin,
     "q_manifest_stream" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -46,7 +46,8 @@ object Main {
       |       personalized-pagerank hourly-counts graph-stats
       |       split contamination dedup-clusters sample-exact
       |       compact compact-manifest vacuum-manifest show-manifest
-      |       count-manifest delete-manifest
+      |       count-manifest delete-manifest history-manifest
+      |       rollback-manifest (--to-generation N)
       |                             (pipeline extensions over parquet)
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
@@ -285,6 +286,15 @@ object Main {
             opts.get("lower").map(parseBound(spark, in, c, _, opts.get("bound-type"))),
             opts.get("upper").map(parseBound(spark, in, c, _, opts.get("bound-type"))))))
         println(s"rewrote $rw files, carried $carried untouched")
+      case "history-manifest" =>
+        // commit log: one line per retained generation with op provenance
+        LayoutOps.historyManifested(spark, in).foreach(println)
+      case "rollback-manifest" =>
+        // metadata-only undo: re-commit an old generation's listing as new
+        val g = LayoutOps.rollbackManifested(spark, in,
+          opts("to-generation").toLong)
+        println(s"rolled $in back to generation ${opts("to-generation")} " +
+          s"(committed as generation $g)")
       case "show-manifest" =>
         // inspection: generation, schema, and each file's skip stats
         val (kept, total) = LayoutOps.manifestSkipFiles(spark, in, Nil)

@@ -254,13 +254,13 @@ object LayoutOps {
     * `relative/path` or `relative/path<TAB>{stats json}` — both forms are
     * valid in one manifest, so tables written before stats existed (or
     * appended without `statsCols`) keep working. */
-  private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] =
     readManifestLines(fs, p).filterNot(_.startsWith("#"))
 
-  private def entryPath(line: String): String = line.split('\t').head
+  private[graft] def entryPath(line: String): String = line.split('\t').head
 
-  private def entryStatsJson(line: String): Option[String] = {
+  private[graft] def entryStatsJson(line: String): Option[String] = {
     val i = line.indexOf('\t')
     if (i < 0) None else Some(line.substring(i + 1))
   }
@@ -318,6 +318,14 @@ object LayoutOps {
         l.stripPrefix("#cluster=").split(",").toSeq.filter(_.nonEmpty)
     }.getOrElse(Nil)
 
+  /** The operation a manifest records (`#op=write|append|compact|delete|
+    * upsert|rollback:<gen>`), if any — commit provenance for
+    * [[historyManifested]] and `describeManifest`. */
+  private def manifestOp(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    readHeaderLines(fs, p).collectFirst {
+      case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
+
   /** True iff any RETAINED manifest generation was committed with `token`
     * — header-only reads, O(generations), bounded by vacuum retention.
     * Scanning every generation (not just the newest) is what keeps token
@@ -340,13 +348,15 @@ object LayoutOps {
       root: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String],
       token: Option[String] = None,
       schemaDdl: Option[String] = None,
-      clusterCols: Seq[String] = Nil): Unit = {
+      clusterCols: Seq[String] = Nil,
+      op: String = ""): Unit = {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     fs.mkdirs(md)
     val header = token.map(t => s"#token=$t\n").getOrElse("") +
       schemaDdl.map(s => s"#schema=$s\n").getOrElse("") +
       (if (clusterCols.nonEmpty) s"#cluster=${clusterCols.mkString(",")}\n"
-       else "")
+       else "") +
+      (if (op.nonEmpty) s"#op=$op\n" else "")
     val payload = (header + files.mkString("\n") + "\n").getBytes("UTF-8")
     val target = new org.apache.hadoop.fs.Path(md, f"$gen%020d$manifestSuffix")
     if (!commitArbiter.tryCommit(fs, target, payload))
@@ -636,16 +646,22 @@ object LayoutOps {
     * footer). Cannot collide with a column node — columns map to JSON
     * objects, this maps to a number. */
   private val rowsKey = "__rows"
+  private val bytesKey = "__bytes"
 
   /** Render one file's stats (+ optional blooms) as the manifest JSON
     * suffix. Footer-backed columns carry t/min/max/n; bloom columns add
-    * bloom/bk (and may be bloom-only, with no range fields). */
+    * bloom/bk (and may be bloom-only, with no range fields). `bytes` is
+    * the data file's length: with it recorded, a planner can fabricate
+    * the `FileStatus` a scan needs without ever stat-ing the file — the
+    * manifest IS the listing (see [[graft.plans.ManifestFileIndex]]). */
   private def statsJson(
       m: Map[String, (String, Option[String], Option[String], Long)],
       blooms: Map[String, Array[Long]] = Map.empty,
-      rows: Option[Long] = None): String = {
+      rows: Option[Long] = None,
+      bytes: Option[Long] = None): String = {
     val root = jsonMapper.createObjectNode()
     rows.foreach(root.put(rowsKey, _))
+    bytes.foreach(root.put(bytesKey, _))
     (m.keySet ++ blooms.keySet).toSeq.sorted.foreach { col =>
       val o = root.putObject(col)
       m.get(col).foreach { case (tag, mn, mx, nulls) =>
@@ -690,8 +706,29 @@ object LayoutOps {
     else parquetFileStats(conf, abs, statsCols.toSet)
     val b = blooms.getOrElse(abs.getName, Map.empty)
     if (m.isEmpty && b.isEmpty) relPath
-    else s"$relPath\t${statsJson(m, b, Some(parquetRowCount(conf, abs)))}"
+    else s"$relPath\t${statsJson(m, b, Some(parquetRowCount(conf, abs)),
+      Some(abs.getFileSystem(conf).getFileStatus(abs).getLen))}"
   }
+
+  /** The byte length recorded for an entry's data file, if any — lets a
+    * scan fabricate its `FileStatus` from the manifest alone (zero
+    * per-file namenode/object-store calls at planning). */
+  private[graft] def entryBytes(line: String): Option[Long] =
+    entryStatsJson(line).flatMap(j =>
+      Option(jsonMapper.readTree(j).get(bytesKey)).map(_.asLong))
+
+  /** Can a file with these stats contain a NULL in `column`? Stats with a
+    * recorded null count of zero prove it cannot; anything else keeps. */
+  private[graft] def mayHaveNull(statsLine: Option[String], column: String): Boolean =
+    statsLine.map(jsonMapper.readTree).flatMap(n => Option(n.get(column)))
+      .forall(cn => !cn.has("n") || cn.get("n").asLong > 0L)
+
+  /** Can a file with these stats contain a NON-null in `column`? False
+    * only when the column is provably all-null (stats node present with a
+    * null count but no min/max — [[parquetFileStats]]'s all-null form). */
+  private[graft] def mayHaveNonNull(statsLine: Option[String], column: String): Boolean =
+    statsLine.map(jsonMapper.readTree).flatMap(n => Option(n.get(column)))
+      .forall(cn => !cn.has("n") || cn.has("min") || cn.has("max"))
 
   /** Bloom columns (and the largest bit width seen) recorded by any live
     * entry — what a rewrite (compaction/delete/upsert) must re-collect so
@@ -778,7 +815,7 @@ object LayoutOps {
     * Missing stats for a bound column → yes (keep). Present stats with no
     * min/max → the column is all-null in the file → a range predicate can
     * never match → prune. */
-  private def mayMatch(statsLine: Option[String], bounds: Seq[ColBounds]): Boolean = {
+  private[graft] def mayMatch(statsLine: Option[String], bounds: Seq[ColBounds]): Boolean = {
     if (bounds.isEmpty) return true
     val node = statsLine.map(jsonMapper.readTree)
     bounds.forall { b =>
@@ -903,6 +940,7 @@ object LayoutOps {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mp = resolveManifest(fs, root, generation, path)
     Seq(s"generation: ${manifestGen(mp.getName).getOrElse(-1L)}") ++
+      manifestOp(fs, mp).map(o => s"op: $o") ++
       manifestToken(fs, mp).map(t => s"token: $t") ++
       manifestSchemaDdl(fs, mp).map(s => s"schema: $s") ++
       (manifestClusterCols(fs, mp) match {
@@ -1024,7 +1062,8 @@ object LayoutOps {
       val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
       beforeMaintenanceCommitHook()
       commitManifest(fs, root, gen, entryLines,
-        schemaDdl = Some(df.schema.toDDL), clusterCols = clusterBy)
+        schemaDdl = Some(df.schema.toDDL), clusterCols = clusterBy,
+        op = "write")
     }
   }
 
@@ -1109,7 +1148,8 @@ object LayoutOps {
           token, schemaDdl = Some(evolveSchemaDdl(oldDdl, df)),
           // an existing declaration wins; a table CREATED by this append
           // adopts `clusterBy` so maintenance preserves the sink's layout
-          clusterCols = if (oldCluster.nonEmpty) oldCluster else clusterBy)
+          clusterCols = if (oldCluster.nonEmpty) oldCluster else clusterBy,
+          op = "append")
         return
       } catch {
         case e: java.io.IOException
@@ -1130,20 +1170,25 @@ object LayoutOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mp = resolveManifest(fs, root, generation, path)
-    val files = readManifestFiles(fs, mp)
-      .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+    val entries = readManifestEntries(fs, mp)
     val ddl = manifestSchemaDdl(fs, mp)
     // an empty generation (e.g. a table created from an empty batch)
     // reads as an empty table with the recorded schema
-    if (files.isEmpty) return emptyManifested(spark, ddl, mp)
-    // the recorded schema plans the read with ZERO footer inference and
-    // null-fills columns added after a file was written (older manifests
-    // without one fall back to inference)
+    if (entries.isEmpty) return emptyManifested(spark, ddl, mp)
     ddl match {
-      case Some(d) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
-        .parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+      case Some(d) =>
+        // schema-recorded tables scan through a manifest-backed FileIndex:
+        // the query's OWN filter predicates reach `listFiles` during
+        // physical planning and prune files via the recorded min/max and
+        // bloom stats — `readManifested(...).where(...)` skips files
+        // without the caller ever passing bounds. The recorded schema
+        // plans the read with ZERO footer inference and null-fills
+        // columns added after a file was written.
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(d)
+        graft.plans.ManifestFileIndex.dataFrame(spark, root, entries, schema)
+      // pre-schema manifests fall back to an eager listing + inference
+      case None => spark.read.parquet(entries.map(l =>
+        new org.apache.hadoop.fs.Path(root, entryPath(l)).toString): _*)
     }
   }
 
@@ -1224,7 +1269,7 @@ object LayoutOps {
     commitManifest(fs, root, gen + 1,
       largeE.map(_._1) ++
         files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = ddl, clusterCols = effCluster)
+      schemaDdl = ddl, clusterCols = effCluster, op = "compact")
     largeE.size + files.size
   }
 
@@ -1409,7 +1454,7 @@ object LayoutOps {
     beforeMaintenanceCommitHook()
     commitManifest(fs, root, gen + 1,
       carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = ddl, clusterCols = clusterCols)
+      schemaDdl = ddl, clusterCols = clusterCols, op = "delete")
     (files.size, carried.size)
   }
 
@@ -1477,8 +1522,61 @@ object LayoutOps {
     beforeMaintenanceCommitHook()
     commitManifest(fs, root, gen + 1,
       carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = Some(evolved), clusterCols = clusterCols)
+      schemaDdl = Some(evolved), clusterCols = clusterCols, op = "upsert")
     (files.size, carried.size)
+  }
+
+  /** Commit log of the RETAINED generations, oldest first: one line per
+    * manifest with its recorded operation, file count, token, and the
+    * manifest object's filesystem timestamp — the table's `DESCRIBE
+    * HISTORY`. Header-only reads plus one listStatus; file counts read
+    * the entry bodies (still metadata, one small object per generation).
+    */
+  def historyManifested(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
+    if (!fs.exists(md)) throw new java.io.IOException(
+      s"$path has no committed manifest — not a manifested table")
+    fs.listStatus(md).toSeq
+      .flatMap(s => manifestGen(s.getPath.getName).map(g => (g, s)))
+      .sortBy(_._1)
+      .map { case (g, s) =>
+        val op = manifestOp(fs, s.getPath).getOrElse("?")
+        val tok = manifestToken(fs, s.getPath).map(t => s"  token=$t")
+          .getOrElse("")
+        val files = readManifestEntries(fs, s.getPath).size
+        val ts = java.time.Instant.ofEpochMilli(s.getModificationTime)
+        s"gen $g  op=$op  files=$files$tok  committed=$ts"
+      }
+  }
+
+  /** Roll the table back to `toGeneration`: commit a NEW generation that
+    * lists that generation's entries (stats included) verbatim — pure
+    * metadata, zero data I/O, the undo button for a bad batch. History
+    * is preserved (the bad generations stay time-travelable until
+    * vacuumed); change-feed consumers checkpointed past `toGeneration`
+    * see "history rewritten" and must re-read, exactly as after a
+    * delete. The target generation must still be retained (not
+    * vacuumed).
+    * @return the new generation number */
+  def rollbackManifested(spark: org.apache.spark.sql.SparkSession,
+      path: String, toGeneration: Long,
+      maxCommitRetries: Int = 5): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = resolveManifest(fs, root, Some(toGeneration), path)
+    val entries = readManifestEntries(fs, src)
+    val ddl = manifestSchemaDdl(fs, src)
+    val cluster = manifestClusterCols(fs, src)
+    retryOnCommitRace(maxCommitRetries) {
+      val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
+      beforeMaintenanceCommitHook()
+      commitManifest(fs, root, gen, entries, schemaDdl = ddl,
+        clusterCols = cluster, op = s"rollback:$toGeneration")
+      gen
+    }
   }
 
   /** Delete data files no longer referenced by any RETAINED manifest,

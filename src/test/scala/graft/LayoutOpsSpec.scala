@@ -1041,6 +1041,51 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("rollback re-commits an old generation's listing: content restored " +
+      "with zero data I/O, vacuum keeps the re-referenced files, history " +
+      "records provenance, change feed sees rewritten history") {
+    val base = java.nio.file.Files.createTempDirectory("graft-rb").toString
+    val mt = s"$base/t"
+    try {
+      import spark.implicits._
+      LayoutOps.writeManifested(spark.range(1000).toDF("id"), mt,
+        numFiles = 4, statsCols = Seq("id"), clusterBy = Seq("id"))
+      LayoutOps.appendManifested( // the bad batch
+        spark.range(5000, 5100).toDF("id"), mt)
+      assert(LayoutOps.readManifested(spark, mt).count() === 1100)
+      val g = LayoutOps.rollbackManifested(spark, mt, 0L)
+      assert(g === 2L)
+      val restored = LayoutOps.readManifested(spark, mt)
+      assert(restored.count() === 1000)
+      assert(restored.agg(max("id")).head().getLong(0) === 999L)
+      // the rollback carried stats + cluster verbatim: skipping still works
+      val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt,
+        Seq(LayoutOps.ColBounds("id", Some(0L), Some(10L))))
+      assert(total === 4 && kept.size === 1, s"${kept.size} of $total")
+      // a change-feed consumer checkpointed at the bad generation must be
+      // told its per-file delta is meaningless now
+      val e = intercept[java.io.IOException] {
+        LayoutOps.readManifestedChanges(spark, mt, 1L)
+      }
+      assert(e.getMessage.contains("rewrote history"))
+      // vacuum keeps the generation-0 files (re-referenced by the latest
+      // manifest) and reclaims the bad batch's
+      LayoutOps.vacuumManifested(spark, mt)
+      assert(LayoutOps.readManifested(spark, mt).count() === 1000,
+        "rollback target's data files must survive vacuum")
+      // provenance: one line per retained generation, ops recorded
+      val hist = LayoutOps.historyManifested(spark, mt)
+      assert(hist.exists(_.contains("op=rollback:0")), hist.mkString("\n"))
+      assert(LayoutOps.describeManifest(spark, mt)
+        .contains("op: rollback:0"))
+      // rolling back to a vacuumed generation is the documented error
+      val e2 = intercept[java.io.IOException] {
+        LayoutOps.rollbackManifested(spark, mt, 1L)
+      }
+      assert(e2.getMessage.contains("vacuumed or never committed"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("inherited stats columns exclude the __rows key and bloom-only columns") {
     val entries = Seq(
       "a.parquet\t" +
