@@ -585,6 +585,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
+    // z-order manifest layout: the table is written along a Morton curve
+    // of (o_custkey, o_orderkey), so each file covers a compact rectangle
+    // of that 2-D space and a conjunctive range query on BOTH dimensions
+    // prunes through the lazy FileIndex; a CoW delete in between proves
+    // the curve survives maintenance
+    "q_manifest_zorder" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mz").toString + "/orders"
+      LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 16,
+        statsCols = Seq("o_custkey", "o_orderkey"),
+        zOrderBy = Seq("o_custkey", "o_orderkey"))
+      LayoutOps.deleteManifestedWhere(s, tbl,
+        Seq(LayoutOps.ColBounds("o_orderkey", Some(50000L), None)))
+      LayoutOps.readManifested(s, tbl)
+        .where(col("o_custkey").between(100L, 400L) &&
+          col("o_orderkey").between(2000L, 20000L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_custkey")).as("max_cust"))
+    }),
     // lazy Catalyst-time file skipping: readManifested scans through a
     // manifest-backed FileIndex, so this plain .where() prunes data files
     // from the query's own predicate during physical planning (range
@@ -1354,6 +1375,15 @@ object SparkEntry {
         |        CASE WHEN o_orderkey BETWEEN 1000 AND 2000
         |             THEN 1.0 ELSE o_totalprice END AS o_totalprice
         |      FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_zorder" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(o_custkey) AS max_cust
+        |FROM orders
+        |WHERE o_orderkey < 50000
+        |  AND o_custkey BETWEEN 100 AND 400
+        |  AND o_orderkey BETWEEN 2000 AND 20000
         |GROUP BY o_orderstatus""".stripMargin,
     "q_manifest_lazy" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -47,7 +47,8 @@ object Main {
       |       split contamination dedup-clusters sample-exact
       |       compact compact-manifest vacuum-manifest show-manifest
       |       count-manifest delete-manifest history-manifest
-      |       rollback-manifest (--to-generation N)
+      |       rollback-manifest (--to-generation N | --as-of ISO)
+      |       show-manifest (--as-of ISO)
       |                             (pipeline extensions over parquet)
       |options: --window N --min-count N --iterations N --alpha F
       |         --sources a,b --top K --term T --query "x y AND"
@@ -290,16 +291,24 @@ object Main {
         // commit log: one line per retained generation with op provenance
         LayoutOps.historyManifested(spark, in).foreach(println)
       case "rollback-manifest" =>
-        // metadata-only undo: re-commit an old generation's listing as new
-        val g = LayoutOps.rollbackManifested(spark, in,
-          opts("to-generation").toLong)
-        println(s"rolled $in back to generation ${opts("to-generation")} " +
+        // metadata-only undo: re-commit an old generation's listing as
+        // new; the target is --to-generation N or --as-of <ISO instant>
+        val target = opts.get("to-generation").map(_.toLong).getOrElse(
+          LayoutOps.generationAsOf(spark, in,
+            java.time.Instant.parse(opts("as-of")).toEpochMilli))
+        val g = LayoutOps.rollbackManifested(spark, in, target)
+        println(s"rolled $in back to generation $target " +
           s"(committed as generation $g)")
       case "show-manifest" =>
-        // inspection: generation, schema, and each file's skip stats
-        val (kept, total) = LayoutOps.manifestSkipFiles(spark, in, Nil)
-        println(s"$in: $total data files in the current generation")
-        LayoutOps.describeManifest(spark, in).foreach(println)
+        // inspection: generation, schema, and each file's skip stats;
+        // --as-of <ISO instant> time-travels to the generation committed
+        // at or before that instant
+        val gen = opts.get("as-of").map(ts => LayoutOps.generationAsOf(
+          spark, in, java.time.Instant.parse(ts).toEpochMilli))
+        val (kept, total) = LayoutOps.manifestSkipFiles(spark, in, Nil, gen)
+        println(s"$in: $total data files in " +
+          gen.map(g => s"generation $g").getOrElse("the current generation"))
+        LayoutOps.describeManifest(spark, in, gen).foreach(println)
         require(kept.size == total) // no bounds → nothing pruned
       case "sample-exact" =>
         // exact-k deterministic per-class sample

@@ -241,6 +241,33 @@ object LayoutOps {
       .sortBy(_._1).lastOption
   }
 
+  /** The newest generation whose manifest was committed at-or-before
+    * `epochMillis` — timestamp-based time travel, resolved from manifest
+    * object modification times (the commit instant: a manifest object
+    * appears exactly once, at commit). Feed the result to any
+    * `generation =` parameter: `readManifested(spark, t,
+    * Some(generationAsOf(spark, t, ts)))` is `TIMESTAMP AS OF ts`.
+    * Errors when the table predates no generation (ts before the first
+    * commit, or older generations vacuumed away). */
+  def generationAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, epochMillis: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
+    if (!fs.exists(md)) throw new java.io.IOException(
+      s"$path has no committed manifest — not a manifested table")
+    val gens = fs.listStatus(md).toSeq
+      .flatMap(s => manifestGen(s.getPath.getName)
+        .map(g => (g, s.getModificationTime)))
+      .sortBy(_._1)
+    gens.filter(_._2 <= epochMillis).map(_._1).lastOption.getOrElse(
+      throw new java.io.IOException(
+        s"$path has no retained generation committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(epochMillis)} (first " +
+          s"retained commit: ${gens.headOption.map(g =>
+            java.time.Instant.ofEpochMilli(g._2)).getOrElse("none")})"))
+  }
+
   private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
     val in = fs.open(p)
@@ -318,6 +345,17 @@ object LayoutOps {
         l.stripPrefix("#cluster=").split(",").toSeq.filter(_.nonEmpty)
     }.getOrElse(Nil)
 
+  /** The z-order columns a manifest records (`#zorder=x,y`), if any —
+    * the 2-D sibling of `#cluster=`: rewrites restore a Morton-curve
+    * layout so every file covers a compact RECTANGLE of (x, y) space and
+    * min/max stats prune range predicates on EITHER dimension. */
+  private def manifestZOrderCols(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    readHeaderLines(fs, p).collectFirst {
+      case l if l.startsWith("#zorder=") =>
+        l.stripPrefix("#zorder=").split(",").toSeq.filter(_.nonEmpty)
+    }.getOrElse(Nil)
+
   /** The operation a manifest records (`#op=write|append|compact|delete|
     * upsert|rollback:<gen>`), if any — commit provenance for
     * [[historyManifested]] and `describeManifest`. */
@@ -349,12 +387,15 @@ object LayoutOps {
       token: Option[String] = None,
       schemaDdl: Option[String] = None,
       clusterCols: Seq[String] = Nil,
-      op: String = ""): Unit = {
+      op: String = "",
+      zOrderCols: Seq[String] = Nil): Unit = {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     fs.mkdirs(md)
     val header = token.map(t => s"#token=$t\n").getOrElse("") +
       schemaDdl.map(s => s"#schema=$s\n").getOrElse("") +
       (if (clusterCols.nonEmpty) s"#cluster=${clusterCols.mkString(",")}\n"
+       else "") +
+      (if (zOrderCols.nonEmpty) s"#zorder=${zOrderCols.mkString(",")}\n"
        else "") +
       (if (op.nonEmpty) s"#op=$op\n" else "")
     val payload = (header + files.mkString("\n") + "\n").getBytes("UTF-8")
@@ -947,6 +988,10 @@ object LayoutOps {
         case Nil => Nil
         case cs  => Seq(s"cluster: ${cs.mkString(",")}")
       }) ++
+      (manifestZOrderCols(fs, mp) match {
+        case Nil => Nil
+        case cs  => Seq(s"zorder: ${cs.mkString(",")}")
+      }) ++
       readManifestEntries(fs, mp).map { l =>
         entryStatsJson(l).map(j => s"  ${entryPath(l)}  $j")
           .getOrElse(s"  ${entryPath(l)}")
@@ -1025,6 +1070,24 @@ object LayoutOps {
     } else if (numFiles > 0) df.repartition(numFiles)
     else df
 
+  /** Apply the table's declared physical layout for a write or rewrite:
+    * z-order (Morton interleave of two columns — compact (x, y)
+    * rectangles per file, stats prune on EITHER dimension) wins over
+    * linear range-clustering (disjoint 1-D slices). Data columns only —
+    * the `__z` sort key never lands in a file. */
+  private def layout(df: DataFrame, numFiles: Int,
+      clusterBy: Seq[String], zOrderBy: Seq[String]): DataFrame =
+    if (zOrderBy.nonEmpty) {
+      require(zOrderBy.size == 2,
+        s"zOrderBy wants exactly 2 columns, got ${zOrderBy.mkString(",")}")
+      val z = zValue(boundedBucket(col(zOrderBy.head)),
+        boundedBucket(col(zOrderBy(1))))
+      val t = df.withColumn("__z", z)
+      val p = if (numFiles > 0) t.repartitionByRange(numFiles, col("__z"))
+              else t.repartitionByRange(col("__z"))
+      p.sortWithinPartitions(col("__z")).drop("__z")
+    } else clustered(df, numFiles, clusterBy)
+
   /** Create (or advance) a manifest-committed table at `path` with the
     * contents of `df`. Data lands in a fresh immutable directory; the
     * table flips to it atomically via the manifest commit. Previous
@@ -1040,14 +1103,17 @@ object LayoutOps {
                       clusterBy: Seq[String] = Nil,
                       bloomCols: Seq[String] = Nil,
                       bloomBits: Int = 1 << 13,
-                      maxCommitRetries: Int = 5): Unit = {
+                      maxCommitRetries: Int = 5,
+                      zOrderBy: Seq[String] = Nil): Unit = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are alternative layouts — declare one")
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val dataDir = newDataDir(
       latestManifest(fs, root).map(_._1 + 1).getOrElse(0L))
-    val out = clustered(df, numFiles, clusterBy)
+    val out = layout(df, numFiles, clusterBy, zOrderBy)
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     out.write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
@@ -1056,14 +1122,15 @@ object LayoutOps {
     val blooms = collectBlooms(spark, dataDirAbs, bloomCols, bloomBits)
     val entryLines = files.map(entryLineFor(conf, root, _, statsCols, blooms))
     // a full write REPLACES the table: the new schema is df's, verbatim;
-    // clusterBy is recorded in the header so every later rewrite
-    // (compaction, CoW delete/upsert) restores the same layout
+    // the declared layout (clusterBy or zOrderBy) is recorded in the
+    // header so every later rewrite (compaction, CoW delete/upsert)
+    // restores the same layout
     retryOnCommitRace(maxCommitRetries) {
       val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
       beforeMaintenanceCommitHook()
       commitManifest(fs, root, gen, entryLines,
         schemaDdl = Some(df.schema.toDDL), clusterCols = clusterBy,
-        op = "write")
+        op = "write", zOrderCols = zOrderBy)
     }
   }
 
@@ -1109,7 +1176,7 @@ object LayoutOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     // old entries are carried over VERBATIM (their stats suffixes included)
-    def state(): Option[(Long, Seq[String], Option[String], Seq[String])] = {
+    def state(): Option[(Long, Seq[String], Option[String], Seq[String], Seq[String])] = {
       // token scan covers every retained generation, not just the newest:
       // an interleaved appender advancing the table must not make a
       // replayed batch look uncommitted (that would double-append it)
@@ -1118,20 +1185,21 @@ object LayoutOps {
       else Some(latestManifest(fs, root) match {
         case Some((g, mp)) =>
           (g + 1, readManifestEntries(fs, mp), manifestSchemaDdl(fs, mp),
-            manifestClusterCols(fs, mp))
-        case None => (0L, Seq.empty[String], None, Nil)
+            manifestClusterCols(fs, mp), manifestZOrderCols(fs, mp))
+        case None => (0L, Seq.empty[String], None, Nil, Nil)
       })
     }
     var st = state().getOrElse(return)
     evolveSchemaDdl(st._3, df) // fails fast, BEFORE writing
     val dataDir = newDataDir(st._1)
-    // a batch carrying all of the declared cluster columns (the table's
+    // a batch carrying all of the declared layout columns (the table's
     // recorded ones, or `clusterBy` when the table declares none — e.g. a
-    // streaming sink CREATING the table) lands clustered: disjoint
-    // per-file ranges within the batch; otherwise plain
+    // streaming sink CREATING the table) lands laid out: disjoint
+    // per-file ranges (or z-rectangles) within the batch; otherwise plain
     val declared = if (st._4.nonEmpty) st._4 else clusterBy
     val clusterCols = declared.filter(_ => declared.forall(df.columns.contains))
-    val out = clustered(df, numFiles, clusterCols)
+    val zCols = st._5.filter(_ => st._5.forall(df.columns.contains))
+    val out = layout(df, numFiles, clusterCols, zCols)
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
     out.write.parquet(dataDirAbs)
     val added = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
@@ -1140,7 +1208,7 @@ object LayoutOps {
     val blooms = collectBlooms(spark, dataDirAbs, bloomCols, bloomBits)
     var attempt = 0
     while (true) {
-      val (gen, old, oldDdl, oldCluster) = st
+      val (gen, old, oldDdl, oldCluster, oldZ) = st
       beforeAppendCommitHook()
       try {
         commitManifest(fs, root, gen,
@@ -1149,7 +1217,7 @@ object LayoutOps {
           // an existing declaration wins; a table CREATED by this append
           // adopts `clusterBy` so maintenance preserves the sink's layout
           clusterCols = if (oldCluster.nonEmpty) oldCluster else clusterBy,
-          op = "append")
+          op = "append", zOrderCols = oldZ)
         return
       } catch {
         case e: java.io.IOException
@@ -1240,6 +1308,7 @@ object LayoutOps {
     // to remember the write-time clustering at every maintenance pass
     val effCluster =
       if (clusterBy.nonEmpty) clusterBy else manifestClusterCols(fs, mp)
+    val zCols = if (clusterBy.nonEmpty) Nil else manifestZOrderCols(fs, mp)
     val nFiles = math.max(1,
       math.ceil(smallE.map(_._2).sum.toDouble / targetFileBytes).toInt)
     val dataDir = newDataDir(gen + 1)
@@ -1255,10 +1324,10 @@ object LayoutOps {
     // clustering restores file-range disjointness that interleaved appends
     // erode — without it a compaction keeps rows where they land
     val dataDirAbs = new org.apache.hadoop.fs.Path(root, dataDir).toString
-    clustered(reader
+    layout(reader
         .parquet(smallE.map(e =>
           new org.apache.hadoop.fs.Path(root, entryPath(e._1)).toString): _*),
-        nFiles, effCluster)
+        nFiles, effCluster, zCols)
       .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
@@ -1269,7 +1338,8 @@ object LayoutOps {
     commitManifest(fs, root, gen + 1,
       largeE.map(_._1) ++
         files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = ddl, clusterCols = effCluster, op = "compact")
+      schemaDdl = ddl, clusterCols = effCluster, op = "compact",
+      zOrderCols = zCols)
     largeE.size + files.size
   }
 
@@ -1423,6 +1493,7 @@ object LayoutOps {
     if (touched.isEmpty) return (0, carried.size)
     val keepStats = inheritedStatsCols(entries)
     val clusterCols = manifestClusterCols(fs, mp)
+    val zCols = manifestZOrderCols(fs, mp)
     val ddl = manifestSchemaDdl(fs, mp)
     val reader = ddl match {
       case Some(d) => spark.read
@@ -1440,11 +1511,11 @@ object LayoutOps {
     // keeps a narrow key slice, so the stats that targeted THIS delete
     // still prune the next one — without it a clustered table degrades to
     // unclustered after the first maintenance pass
-    clustered(reader.parquet(touched.map(e =>
+    layout(reader.parquet(touched.map(e =>
         new org.apache.hadoop.fs.Path(root, entryPath(e)).toString): _*)
       // NULL in a bound column -> predicate NULL -> not a match -> keep
       .where(!coalesce(matches, lit(false))),
-        touched.size, clusterCols)
+        touched.size, clusterCols, zCols)
       .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
@@ -1454,7 +1525,8 @@ object LayoutOps {
     beforeMaintenanceCommitHook()
     commitManifest(fs, root, gen + 1,
       carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = ddl, clusterCols = clusterCols, op = "delete")
+      schemaDdl = ddl, clusterCols = clusterCols, op = "delete",
+      zOrderCols = zCols)
     (files.size, carried.size)
   }
 
@@ -1494,6 +1566,7 @@ object LayoutOps {
       mayMatch(entryStatsJson(l), bounds))
     val keepStats = inheritedStatsCols(entries)
     val clusterCols = manifestClusterCols(fs, mp)
+    val zCols = manifestZOrderCols(fs, mp)
     val reader = ddl match {
       case Some(d) => spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
@@ -1512,7 +1585,7 @@ object LayoutOps {
     // rewrite through the recorded cluster layout (see the delete path):
     // upserted key ranges stay disjoint across files, so repeated upserts
     // do not erode the skipping that targets them
-    clustered(kept, math.max(1, touched.size), clusterCols)
+    layout(kept, math.max(1, touched.size), clusterCols, zCols)
       .write.parquet(dataDirAbs)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
@@ -1522,7 +1595,8 @@ object LayoutOps {
     beforeMaintenanceCommitHook()
     commitManifest(fs, root, gen + 1,
       carried ++ files.map(entryLineFor(conf, root, _, keepStats, blooms)),
-      schemaDdl = Some(evolved), clusterCols = clusterCols, op = "upsert")
+      schemaDdl = Some(evolved), clusterCols = clusterCols, op = "upsert",
+      zOrderCols = zCols)
     (files.size, carried.size)
   }
 
@@ -1570,11 +1644,13 @@ object LayoutOps {
     val entries = readManifestEntries(fs, src)
     val ddl = manifestSchemaDdl(fs, src)
     val cluster = manifestClusterCols(fs, src)
+    val zCols = manifestZOrderCols(fs, src)
     retryOnCommitRace(maxCommitRetries) {
       val gen = latestManifest(fs, root).map(_._1 + 1).getOrElse(0L)
       beforeMaintenanceCommitHook()
       commitManifest(fs, root, gen, entries, schemaDdl = ddl,
-        clusterCols = cluster, op = s"rollback:$toGeneration")
+        clusterCols = cluster, op = s"rollback:$toGeneration",
+        zOrderCols = zCols)
       gen
     }
   }

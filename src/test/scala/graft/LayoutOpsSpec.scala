@@ -1086,6 +1086,87 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("z-order manifest layout: files cover compact (x,y) rectangles, " +
+      "stats prune on EITHER dimension, and maintenance preserves the " +
+      "curve via the #zorder= header") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zm").toString
+    val mt = s"$base/t"
+    try {
+      // a 64x64 grid in shuffled order: an unclustered (or 1-D clustered)
+      // write gives every file the full span of at least one dimension
+      val grid = spark.range(4096).select(
+        (col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"),
+        col("id").as("payload"))
+        .orderBy(org.apache.spark.sql.functions.hash(col("id")))
+      LayoutOps.writeManifested(grid, mt, numFiles = 16,
+        statsCols = Seq("x", "y"), zOrderBy = Seq("x", "y"))
+      assert(LayoutOps.describeManifest(spark, mt)
+        .contains("zorder: x,y"))
+      // a 16x16 box is 1/16 of the grid: z-files are compact rectangles,
+      // so only a couple of the 16 files can intersect it (a 1-D x-only
+      // cluster would keep ~all files for the y constraint)
+      def keptFor(b: Seq[LayoutOps.ColBounds]) =
+        LayoutOps.manifestSkipFiles(spark, mt, b)._1.size
+      val box = Seq(LayoutOps.ColBounds("x", Some(0L), Some(15L)),
+        LayoutOps.ColBounds("y", Some(0L), Some(15L)))
+      assert(keptFor(box) <= 4, s"2-D box kept ${keptFor(box)} of 16")
+      // each dimension prunes ALONE too — that is the z-order win
+      assert(keptFor(Seq(LayoutOps.ColBounds("x", Some(0L), Some(7L)))) <= 8)
+      assert(keptFor(Seq(LayoutOps.ColBounds("y", Some(0L), Some(7L)))) <= 8)
+      // the lazy path prunes from the query's own 2-D predicate
+      val q = LayoutOps.readManifested(spark, mt)
+        .where(col("x") <= 15 && col("y") <= 15)
+      assert(q.count() === 256)
+      // CoW delete rewrites through the z-curve: layout + pruning survive
+      LayoutOps.deleteManifestedWhere(spark, mt,
+        Seq(LayoutOps.ColBounds("y", Some(48L), Some(63L))))
+      assert(LayoutOps.describeManifest(spark, mt).contains("zorder: x,y"))
+      assert(LayoutOps.readManifested(spark, mt).count() === 3072)
+      assert(keptFor(box) <= 4, s"post-delete 2-D box kept ${keptFor(box)}")
+      // upsert keeps the curve as well
+      val up = spark.range(10).select((col("id") % 64).as("x"),
+        lit(0L).as("y"), (col("id") + 100000L).as("payload"))
+      LayoutOps.upsertManifested(up, mt, keyCol = "payload")
+      assert(LayoutOps.describeManifest(spark, mt).contains("zorder: x,y"))
+      val afterUpsert = LayoutOps.readManifested(spark, mt).count()
+      assert(afterUpsert === 3082)
+      assert(keptFor(Seq(LayoutOps.ColBounds("x", Some(0L), Some(7L)),
+        LayoutOps.ColBounds("y", Some(16L), Some(31L)))) <= 6)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("generationAsOf resolves timestamp time travel from manifest " +
+      "commit instants") {
+    val base = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val mt = s"$base/t"
+    try {
+      LayoutOps.writeManifested(spark.range(10).toDF("id"), mt, numFiles = 1)
+      LayoutOps.appendManifested(spark.range(10, 20).toDF("id"), mt)
+      LayoutOps.appendManifested(spark.range(20, 30).toDF("id"), mt)
+      // pin distinct, known commit instants (commits in one test run can
+      // land inside the same millisecond)
+      val root = new org.apache.hadoop.fs.Path(mt)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val t0 = 1700000000000L
+      for (g <- 0L to 2L)
+        fs.setTimes(new org.apache.hadoop.fs.Path(s"$mt/_manifests",
+          f"$g%020d.manifest"), t0 + g * 60000L, -1)
+      assert(LayoutOps.generationAsOf(spark, mt, t0) === 0L)
+      assert(LayoutOps.generationAsOf(spark, mt, t0 + 59999L) === 0L)
+      assert(LayoutOps.generationAsOf(spark, mt, t0 + 60000L) === 1L)
+      assert(LayoutOps.generationAsOf(spark, mt, System.currentTimeMillis
+        + 86400000L) === 2L)
+      // the composition IS `TIMESTAMP AS OF`: read the resolved generation
+      val g1 = LayoutOps.generationAsOf(spark, mt, t0 + 60000L)
+      assert(LayoutOps.readManifested(spark, mt, Some(g1)).count() === 20)
+      val e = intercept[java.io.IOException] {
+        LayoutOps.generationAsOf(spark, mt, t0 - 1L)
+      }
+      assert(e.getMessage.contains("no retained generation"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("inherited stats columns exclude the __rows key and bloom-only columns") {
     val entries = Seq(
       "a.parquet\t" +
