@@ -654,6 +654,33 @@ object SparkEntry {
     // filter over the raw table. The driver-side collect is the bounded
     // gate FIXTURE (MemoryStream is fed from the driver by design), not
     // an operator shape: production ingest reads a real source.
+    // the change-feed SOURCE (CDC read side): a manifested table built in
+    // three generations is consumed as a stream — snapshot batch + one
+    // batch per append, offsets = generations; the union of all delivered
+    // batches must equal the table, hash-compared against the oracle
+    "q_manifest_cdc" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-mcdc").toString
+      val tbl = base + "/orders"
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      LayoutOps.writeManifested(ord.where(col("o_orderkey") <= 2000), tbl,
+        numFiles = 2, statsCols = Seq("o_orderkey"),
+        clusterBy = Seq("o_orderkey"))
+      LayoutOps.appendManifested(ord.where(col("o_orderkey") > 2000 &&
+        col("o_orderkey") <= 4000), tbl, numFiles = 2)
+      LayoutOps.appendManifested(ord.where(col("o_orderkey") > 4000), tbl,
+        numFiles = 2)
+      val q = graft.streaming.StreamingOps.readStreamManifested(s, tbl)
+        .writeStream.format("memory").queryName("mcdc")
+        .option("checkpointLocation", base + "/_ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("SELECT * FROM mcdc")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
     "q_manifest_stream" -> ((s, dir) => {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft-mstr").toString
@@ -1398,6 +1425,11 @@ object SparkEntry {
         |  max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_cdc" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_manifest_stream" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

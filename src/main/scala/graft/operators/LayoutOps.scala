@@ -1420,6 +1420,67 @@ object LayoutOps {
     * must re-read the full table and re-checkpoint. Drive it from a poll
     * loop or a `foreachBatch`-style scheduler; the generation number is
     * the only consumer state. */
+  /** (table root, entry lines, schema DDL) of one resolved generation
+    * (default newest) — what a DataSource provider needs to build the
+    * lazy scan relation. */
+  private[graft] def resolvedEntriesAndSchema(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      generation: Option[Long])
+      : (org.apache.hadoop.fs.Path, Seq[String], Option[String]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = resolveManifest(fs, root, generation, path)
+    (root, readManifestEntries(fs, mp), manifestSchemaDdl(fs, mp))
+  }
+
+  /** (newest generation, recorded schema DDL) — the streaming change
+    * source's view of the table head. One listStatus + one header read. */
+  private[graft] def latestGenerationAndSchema(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Option[String]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (g, mp) = latestManifest(fs, root).getOrElse(
+      throw new java.io.IOException(
+        s"$path has no committed manifest — not a manifested table"))
+    (g, manifestSchemaDdl(fs, mp))
+  }
+
+  /** The data files a generation window (fromGeneration, toGeneration]
+    * ADDED, for a streaming change feed pinned to exact offsets (replay
+    * must see the same batch, so this never floats to "latest").
+    * `fromGeneration = None` is the initial snapshot: every file live at
+    * `toGeneration`. A window that REMOVED files rewrote history
+    * (compaction/delete/upsert/rollback) and throws unless
+    * `ignoreRewrites` — with it, the window's added files are forwarded
+    * anyway, which (exactly like Delta's ignoreChanges) can re-emit
+    * surviving rows of rewritten files; downstream must dedup by key.
+    * Both endpoints must still be retained (not vacuumed). Reads use the
+    * CALLER's schema so a stream's column set stays fixed mid-run. */
+  private[graft] def manifestChangesBetween(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fromGeneration: Option[Long], toGeneration: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      ignoreRewrites: Boolean = false): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val to = readManifestFiles(fs,
+      resolveManifest(fs, root, Some(toGeneration), path))
+    val base = fromGeneration.map(g => readManifestFiles(fs,
+      resolveManifest(fs, root, Some(g), path)).toSet).getOrElse(Set.empty)
+    val removed = base -- to.toSet
+    if (removed.nonEmpty && !ignoreRewrites) throw new java.io.IOException(
+      s"generations ${fromGeneration.getOrElse(-1L) + 1}..$toGeneration " +
+        s"rewrote history (removed ${removed.size} files) — restart the " +
+        "stream from a fresh checkpoint, or set ignore-rewrites=true " +
+        "(surviving rows of rewritten files may be re-emitted)")
+    val delta = to.filterNot(base)
+    if (delta.isEmpty) spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(delta.map(f =>
+      new org.apache.hadoop.fs.Path(root, f).toString): _*)
+  }
+
   def readManifestedChanges(spark: org.apache.spark.sql.SparkSession,
       path: String, sinceGeneration: Long): (DataFrame, Long) = {
     val root = new org.apache.hadoop.fs.Path(path)

@@ -77,7 +77,7 @@ object ManifestFileIndex {
     * still reads as null from files that PREDATE it under schema
     * evolution, so declared non-nullability must never reach the
     * optimizer (it would fold `IS NULL` to false). */
-  private def relaxed(dt: DataType): DataType = dt match {
+  private[graft] def relaxed(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(dataType = relaxed(f.dataType), nullable = true)))
     case a: ArrayType =>
@@ -87,20 +87,26 @@ object ManifestFileIndex {
     case other => other
   }
 
-  /** A manifest-backed scan as a DataFrame: the standard parquet
+  /** The manifest-backed `BaseRelation`: the standard parquet
     * `FileFormat` over this FileIndex, so every downstream filter both
-    * prunes files (here) and pushes down to parquet row groups (there). */
-  def dataFrame(spark: SparkSession, root: Path, entries: Seq[String],
-      schema: StructType): DataFrame = {
+    * prunes files (here) and pushes down to parquet row groups (there).
+    * Also what the batch `graft-manifest` DataSource format returns. */
+  def relation(spark: SparkSession, root: Path, entries: Seq[String],
+      schema: StructType): HadoopFsRelation = {
     val read = relaxed(schema).asInstanceOf[StructType]
-    spark.baseRelationToDataFrame(HadoopFsRelation(
+    HadoopFsRelation(
       new ManifestFileIndex(spark, root, entries, read),
       partitionSchema = new StructType(),
       dataSchema = read,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
-      options = Map.empty)(spark))
+      options = Map.empty)(spark)
   }
+
+  /** [[relation]] as a DataFrame — `readManifested`'s scan. */
+  def dataFrame(spark: SparkSession, root: Path, entries: Seq[String],
+      schema: StructType): DataFrame =
+    spark.baseRelationToDataFrame(relation(spark, root, entries, schema))
 
   /** A Catalyst literal as the JVM value the stats comparator
     * understands; None = a type stats cannot prune (→ keep files). */

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.LayoutOps
+
+/** Structured-Streaming SOURCE over a manifest-committed table: each
+  * micro-batch is the rows the table's new generations appended — the
+  * lakehouse change feed as a stream, the read-side complement of
+  * `StreamingOps.manifestedBatchSink` (which streams INTO a manifested
+  * table). Offsets are generation numbers, so replay is exact: a batch
+  * re-reads the same (from, to] window file-for-file, and exactly-once
+  * falls out of the engine's offset log plus the manifest's immutable
+  * generations.
+  *
+  * Semantics and caveats (all standard for log-backed CDC sources):
+  * - The first batch is the table's full snapshot at stream start.
+  * - A history REWRITE inside a window (compaction / CoW delete/upsert /
+  *   rollback) fails the stream by default; `ignore-rewrites=true`
+  *   forwards the window's added files anyway, which can re-emit the
+  *   surviving rows of rewritten files (Delta `ignoreChanges`-style) —
+  *   downstream must key-dedup.
+  * - Offsets only stay replayable while their generations are retained:
+  *   size `vacuumManifested(keepHistory = …)` to cover the longest
+  *   expected stream downtime.
+  * - The column set is pinned at stream start (the manifest schema at
+  *   that moment); columns added later are not surfaced mid-run —
+  *   restart the stream to pick them up.
+  *
+  * Use via `StreamingOps.readStreamManifested(spark, path)` or
+  * `spark.readStream.format(classOf[ManifestChangeSourceProvider]
+  * .getName).option("path", …).load()`.
+  */
+class ManifestChangeSource(
+    sqlContext: SQLContext,
+    path: String,
+    override val schema: StructType,
+    ignoreRewrites: Boolean) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  private def gen(o: Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other               => other.json.trim.toLong
+  }
+
+  /** Newest committed generation — one listStatus per trigger. */
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(LayoutOps.latestGenerationAndSchema(spark, path)._1))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val batch = LayoutOps.manifestChangesBetween(spark, path,
+      start.map(gen), gen(end), schema, ignoreRewrites)
+    // a v1 Source must hand back a STREAMING DataFrame;
+    // internalCreateDataFrame is the seam that re-wraps the batch plan's
+    // rows with isStreaming=true — `private[sql]` in source but public
+    // bytecode, so it is reached reflectively (a third-party source
+    // cannot live in org.apache.spark.sql)
+    val m = spark.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      java.lang.Boolean.TYPE)
+    m.invoke(spark, batch.queryExecution.toRdd, schema,
+      java.lang.Boolean.TRUE).asInstanceOf[DataFrame]
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(...)` registration for
+  * [[ManifestChangeSource]]. Options: `path` (the manifested table,
+  * required), `ignore-rewrites` (default false). */
+class ManifestChangeSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName: String = "manifest-changes"
+
+  private def tableSchema(sqlContext: SQLContext,
+      params: Map[String, String]): StructType = {
+    val path = params.getOrElse("path", throw new IllegalArgumentException(
+      "manifest-changes source needs .option(\"path\", <manifested table>)"))
+    val (_, ddl) = LayoutOps.latestGenerationAndSchema(
+      sqlContext.sparkSession, path)
+    val raw = ddl.map(StructType.fromDDL).getOrElse(
+      throw new java.io.IOException(
+        s"$path records no schema — not streamable (pre-schema manifest)"))
+    graft.plans.ManifestFileIndex.relaxed(raw).asInstanceOf[StructType]
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName, schema.getOrElse(tableSchema(sqlContext, parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ManifestChangeSource(sqlContext, parameters("path"),
+      schema.getOrElse(tableSchema(sqlContext, parameters)),
+      parameters.get("ignore-rewrites").exists(_.toBoolean))
+}

@@ -175,4 +175,16 @@ object StreamingOps {
       graft.operators.LayoutOps.appendManifested(
         batch.toDF(), path, token = Some(s"batch-$batchId"),
         statsCols = statsCols, clusterBy = clusterBy)
+
+  /** Stream a manifested table's CHANGE FEED: each micro-batch is the
+    * rows new generations appended (first batch = full snapshot) —
+    * offsets are generation numbers, replay-exact. See
+    * [[ManifestChangeSource]] for rewrite/vacuum/schema caveats. */
+  def readStreamManifested(spark: org.apache.spark.sql.SparkSession,
+      path: String, ignoreRewrites: Boolean = false): DataFrame =
+    spark.readStream
+      .format(classOf[ManifestChangeSourceProvider].getName)
+      .option("path", path)
+      .option("ignore-rewrites", ignoreRewrites.toString)
+      .load()
 }

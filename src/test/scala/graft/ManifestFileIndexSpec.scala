@@ -136,6 +136,44 @@ class ManifestFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("the graft-manifest batch format: spark.read short name, SQL " +
+      "CREATE TABLE USING, file pruning, and time-travel options") {
+    withTable { t =>
+      LayoutOps.writeManifested(spark.range(1000)
+          .select(col("id"), (col("id") * 3).as("v")), t,
+        numFiles = 4, statsCols = Seq("id"), clusterBy = Seq("id"))
+      LayoutOps.appendManifested(spark.range(1000, 1500)
+        .select(col("id"), (col("id") * 3).as("v")), t,
+        statsCols = Seq("id"))
+      // short-name format read (META-INF/services registration)
+      val df = spark.read.format("graft-manifest").option("path", t).load()
+      assert(df.count() === 1500)
+      val pruned = df.where(col("id") <= 100)
+      assert(scannedFiles(pruned) === 1)
+      assert(pruned.count() === 101)
+      // generation pin + as-of pin
+      assert(spark.read.format("graft-manifest").option("path", t)
+        .option("generation", "0").load().count() === 1000)
+      val asOf = java.time.Instant.now().plusSeconds(3600).toString
+      assert(spark.read.format("graft-manifest").option("path", t)
+        .option("as-of", asOf).load().count() === 1500)
+      // SQL surface: the table is a USING citizen
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mfi_sql " +
+        s"USING `graft-manifest` OPTIONS (path '$t')")
+      assert(spark.sql("SELECT count(*) FROM mfi_sql WHERE id < 10")
+        .head().getLong(0) === 10)
+      // the streaming source resolves by short name too
+      val q = spark.readStream.format("manifest-changes")
+        .option("path", t).load()
+        .writeStream.format("memory").queryName("mfi_stream").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.sql("SELECT count(*) FROM mfi_stream").head()
+          .getLong(0) === 1500)
+      } finally q.stop()
+    }
+  }
+
   test("planning is zero-filesystem-stat: fabricated FileStatus carries " +
       "the manifest-recorded length, and sizeInBytes sums it") {
     withTable { t =>
