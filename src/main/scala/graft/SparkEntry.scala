@@ -262,6 +262,17 @@ object SparkEntry {
         emb.where(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, nlist = 8, nprobe = 2, centroids = Some(cents))
     }),
+    // product quantization ANN: per-subspace Lloyd codebooks (L2
+    // assignment, per-iteration 6-decimal centroid quantization for
+    // hash-stability), corpus reduced to m int codes, ADC scoring from
+    // literal codebooks — the full train→encode→score pipeline vs an
+    // unrolled per-subspace-Lloyd oracle
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, m = 2, cells = 4, iterations = 2)
+    }),
     // hyperplane-LSH bucketed ANN (approximate by construction — no SQL
     // oracle; the driver records a rows-only check)
     "q_ann_lsh" -> ((s, dir) => {
@@ -1049,6 +1060,7 @@ object SparkEntry {
     // deterministic, so the bucket code is SQL-expressible exactly like
     // the MinHash permutations above. q_ann_lsh_mp shares every piece
     // except the query CTE, which also unnests the Hamming-1 probe codes.
+    "q_ann_pq" -> pqOracleSql(cells = 4, iters = 2, topK = 5, dim = 64),
     "q_ann_ivf_trained" -> ivfTrainedOracleSql(nlist = 8, iters = 2,
       nprobe = 2, k = 5),
     "q_ann_lsh" -> lshAnnOracleSql(multiProbe = false),
@@ -1606,6 +1618,59 @@ object SparkEntry {
     * The per-dimension mean zips parallel `unnest`s (DuckDB evaluates
     * them in lockstep) and rebuilds the vector with list(... ORDER BY d).
     */
+  /** The q_ann_pq oracle: per-subspace Lloyd (L2 assignment, seeds = the
+    * `cells` lowest-id vectors' subvectors, means rounded to 6 decimals
+    * per iteration, empty cells keep their centroid) unrolled in SQL for
+    * TWO subspaces, then ADC scoring — the PQ twin of
+    * [[ivfTrainedOracleSql]]. */
+  private def pqOracleSql(cells: Int, iters: Int, topK: Int,
+                          dim: Int): String = {
+    val dsub = dim / 2
+    def svExpr(j: Int) =
+      if (j == 0) s"v[1:$dsub]" else s"v[${dsub + 1}:$dim]"
+    def assignFrom(j: Int, centsCte: String): String =
+      s"""(SELECT s.vec_id, s.sv, c.cell,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |      list_dot_product(c.cv, c.cv)
+         |        - 2 * list_dot_product(s.sv, c.cv) ASC, c.cell ASC) AS rc
+         |  FROM sub$j s CROSS JOIN $centsCte c)"""
+    def train(j: Int): String = {
+      def iteration(i: Int) =
+        s"""a${j}_$i AS (SELECT vec_id, sv, cell FROM
+           |  ${assignFrom(j, s"c${j}_${i - 1}")} WHERE rc = 1),
+           |m${j}_$i AS (SELECT cell, list(mx ORDER BY d) AS cv FROM (
+           |  SELECT cell, d, round(avg(val), 6) AS mx FROM (
+           |    SELECT cell, unnest(sv) AS val,
+           |           unnest(generate_series(1, len(sv))) AS d FROM a${j}_$i)
+           |  GROUP BY cell, d) GROUP BY cell),
+           |c${j}_$i AS (SELECT c0.cell, COALESCE(m${j}_$i.cv, c0.cv) AS cv
+           |  FROM c${j}_${i - 1} c0 LEFT JOIN m${j}_$i USING (cell))"""
+      s"""sub$j AS (SELECT vec_id, ${svExpr(j)} AS sv FROM e),
+         |c${j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |  sv AS cv FROM (SELECT vec_id, sv FROM sub$j ORDER BY vec_id
+         |                 LIMIT $cells)),
+         |${(1 to iters).map(iteration).mkString(",\n")},
+         |code$j AS (SELECT vec_id, cell FROM
+         |  ${assignFrom(j, s"c${j}_$iters")} WHERE rc = 1)"""
+    }
+    s"""WITH e AS ($embSql),
+       |${train(0)},
+       |${train(1)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+       |sc AS (SELECT q.query_id, code0.vec_id,
+       |  round(list_dot_product(q.qv[1:$dsub], cf0.cv) +
+       |        list_dot_product(q.qv[${dsub + 1}:$dim], cf1.cv), 6) AS score
+       |  FROM code0 JOIN code1 USING (vec_id)
+       |  CROSS JOIN q
+       |  JOIN c0_$iters cf0 ON cf0.cell = code0.cell
+       |  JOIN c1_$iters cf1 ON cf1.cell = code1.cell
+       |  WHERE code0.vec_id <> q.query_id)
+       |SELECT query_id, vec_id, score, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id ASC) AS rn FROM sc)
+       |WHERE rn <= $topK""".stripMargin
+  }
+
   private def ivfTrainedOracleSql(nlist: Int, iters: Int, nprobe: Int,
                                   k: Int): String = {
     def iteration(i: Int): String =

@@ -345,4 +345,127 @@ object SimilarityOps {
       val plane = array(planeVector(p, dim).map(lit).toIndexedSeq: _*)
       when(fastDot(df, v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  // ---- product quantization (PQ) ---------------------------------------
+  // The memory-compression ANN path: vectors split into m subspaces, each
+  // quantized against its own k-cell codebook, so a corpus vector becomes
+  // m small ints. At 100 TB that is the difference between shipping
+  // d floats and m bytes per row through every scoring scan — the
+  // codebooks (m*k*dsub doubles) are a driver-side model like the IVF
+  // centroids, and scoring is ADC: score(q, x) = Σ_j dot(q_j, C_j[code_j]).
+
+  /** One subspace's codebook: cells 0..k-1 as (centroid subvector,
+    * squared norm). Index j of the outer array = subspace j. */
+  type PqCodebook = Array[Array[(Array[Double], Double)]]
+
+  private def normSq(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  }
+
+  /** Argmin-L2 cell for a subvector via a least() struct fold — ties →
+    * lowest cell. ||s−c||² ranks identically to (||c||² − 2·s·c) because
+    * ||s||² is constant per row, so the fold never materializes it. */
+  private def nearestPqCellFor(df: DataFrame,
+      book: Array[(Array[Double], Double)], sv: Column): Column = {
+    val scored = book.zipWithIndex.map { case ((cv, cn2), cid) =>
+      struct((lit(cn2) - lit(2.0) * fastDot(df, sv,
+        array(cv.map(lit).toIndexedSeq: _*))).as("d"), lit(cid).as("cid"))
+    }.toIndexedSeq
+    val best = if (scored.size == 1) scored.head else least(scored: _*)
+    best.getField("cid")
+  }
+
+  /** Train per-subspace Lloyd codebooks (standard PQ, L2 assignment).
+    * Seeding is the k lowest-id vectors' subvectors (cell = seed rank),
+    * ties break to the lowest cell, and `roundDecimals` quantizes every
+    * recomputed centroid coordinate per iteration — the same determinism
+    * recipe as [[trainIvfCentroids]], so the trained model is hash-stable
+    * and engine-portable (the q_ann_pq oracle re-derives it in SQL).
+    * Each iteration per subspace is one corpus pass + a k×dsub
+    * aggregation; empty cells keep their centroid. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, cells: Int, iterations: Int = 2,
+                       roundDecimals: Option[Int] = Some(6)): PqCodebook = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v")).localCheckpoint()
+    val dimRow = c.select(size(col("v"))).head(1)
+    if (dimRow.isEmpty) return Array.empty
+    val dim = dimRow(0).getInt(0)
+    require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+    val dsub = dim / m
+    def quantize(x: Array[Double]): Array[Double] = roundDecimals match {
+      case Some(d) => x.map(v =>
+        BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      case None => x
+    }
+    (0 until m).map { j =>
+      val sub = c.select(col("vec_id"),
+        slice(col("v"), j * dsub + 1, dsub).as("sv"))
+      var book: Array[(Array[Double], Double)] =
+        sub.orderBy("vec_id").limit(cells).as[(Long, Seq[Double])]
+          .collect().map { p => val a = p._2.toArray; (a, normSq(a)) }
+      for (_ <- 1 to iterations) {
+        val assigned = sub.withColumn("cell",
+          nearestPqCellFor(sub, book, col("sv")))
+        val meanCols = (0 until dsub).map(i =>
+          avg(element_at(col("sv"), i + 1)).as(s"m$i"))
+        val means = assigned.groupBy("cell")
+          .agg(meanCols.head, meanCols.tail: _*).collect()
+          .map(r => r.getInt(0) ->
+            Array.tabulate(dsub)(i => r.getDouble(i + 1))).toMap
+        book = book.zipWithIndex.map { case (old, cid) =>
+          means.get(cid).map { m0 =>
+            val mq = quantize(m0); (mq, normSq(mq))
+          }.getOrElse(old)
+        }
+      }
+      book
+    }.toArray
+  }
+
+  /** PQ-ANN top-k by asymmetric distance computation. The index-build
+    * pass is the ONLY scan that reads corpus vectors — it reduces each
+    * row to m int codes; the scoring scan then carries (id, codes) and
+    * reconstructs Σ_j dot(q_j, C_j[code_j]) from LITERAL codebook arrays,
+    * all inside whole-stage codegen (no UDF, no model broadcast — the
+    * model IS the plan). Queries broadcast; the corpus never shuffles. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, m: Int = 2, cells: Int = 4, iterations: Int = 2,
+             codebooks: Option[PqCodebook] = None): DataFrame = {
+    val books = codebooks.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, cells, iterations))
+    val spark = corpus.sparkSession
+    if (books.isEmpty || books.exists(_.isEmpty)) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("vec_id", LongType),
+          StructField("score", DoubleType), StructField("rn", IntegerType))))
+    }
+    val dsub = books.head.head._1.length
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val coded = c.select(col("vec_id") +: (0 until m).map(j =>
+      nearestPqCellFor(c, books(j),
+        slice(col("v"), j * dsub + 1, dsub)).as(s"code$j")): _*)
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      asDouble(col(qvecCol)).as("qv"))
+    val joined = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val score = (0 until m).map { j =>
+      val bookLit = array(books(j).map(e =>
+        array(e._1.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      fastDot(joined, slice(col("qv"), j * dsub + 1, dsub),
+        element_at(bookLit, col(s"code$j") + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    joined.select(col("query_id"), col("vec_id"),
+        round(score, 6).as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
 }

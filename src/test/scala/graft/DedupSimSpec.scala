@@ -228,6 +228,40 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("PQ-ANN: training is run-to-run deterministic, more subspaces " +
+      "raise reconstruction fidelity, and recall@5 holds a floor") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.where(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    def recall(got: Set[(Long, Long)]): Double =
+      got.intersect(brute).size.toDouble / brute.size
+    // determinism: two trainings over the same data give identical books
+    val b1 = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 4, cells = 16, iterations = 2)
+    val b2 = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 4, cells = 16, iterations = 2)
+    assert(b1.length === 4 && b1.forall(_.length === 16))
+    for (j <- b1.indices; c <- b1(j).indices)
+      assert(b1(j)(c)._1.toSeq === b2(j)(c)._1.toSeq, s"subspace $j cell $c")
+    // recall: coarse (gate config) vs finer codebooks — the finer model
+    // must not be worse, and holds an absolute floor (random ~ 0.0025)
+    val coarse = recall(pairs(SimilarityOps.pqTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", 5,
+      m = 2, cells = 4, iterations = 2)))
+    val fine = recall(pairs(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5,
+      m = 4, cells = 16, iterations = 2, codebooks = Some(b1))))
+    withClue(f"recall@5 pq(m=2,k=4)=$coarse%.2f pq(m=4,k=16)=$fine%.2f: ") {
+      assert(fine >= 0.20, "PQ m=4/k=16 recall floor")
+      assert(fine >= coarse - 0.05,
+        "a finer codebook must not lose recall beyond noise")
+    }
+  }
+
   test("IVF k-means training: deterministic, objective non-decreasing, sane recall") {
     import graft.operators.SimilarityOps.Centroid
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
