@@ -256,14 +256,17 @@ object Main {
         println(s"compacted $in to $n files")
       case "compact-manifest" =>
         // --stats-cols overrides the (otherwise inherited) stats columns;
-        // --cluster-by re-sorts so file ranges are disjoint again
+        // --cluster-by re-sorts so file ranges are disjoint again;
+        // --zorder-by x,y converts/re-declares a 2-D Morton layout
         val n = LayoutOps.compactManifest(spark, in,
           opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong,
           statsCols = opts.get("stats-cols").map(_.split(",").toSeq),
           clusterBy = opts.get("cluster-by")
             .map(_.split(",").toSeq).getOrElse(Nil),
           onlyFilesSmallerThan = opts.get("only-smaller-than")
-            .map(_.toLong).getOrElse(Long.MaxValue))
+            .map(_.toLong).getOrElse(Long.MaxValue),
+          zOrderBy = opts.get("zorder-by")
+            .map(_.split(",").toSeq).getOrElse(Nil))
         println(s"committed compacted generation of $in with $n files")
       case "vacuum-manifest" =>
         // --keep-history K retains the newest K+1 generations readable

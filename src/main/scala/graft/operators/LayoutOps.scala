@@ -1286,9 +1286,12 @@ object LayoutOps {
                       statsCols: Option[Seq[String]] = None,
                       clusterBy: Seq[String] = Nil,
                       onlyFilesSmallerThan: Long = Long.MaxValue,
-                      maxCommitRetries: Int = 5): Int =
+                      maxCommitRetries: Int = 5,
+                      zOrderBy: Seq[String] = Nil): Int =
       retryOnCommitRace(maxCommitRetries) {
     require(targetFileBytes > 0)
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are alternative layouts — declare one")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -1306,9 +1309,17 @@ object LayoutOps {
     // (and re-declares) the table's recorded columns; the default is
     // whatever the manifest header declares, so callers no longer have
     // to remember the write-time clustering at every maintenance pass
+    // layout: an explicit zOrderBy CONVERTS the table to (or re-declares)
+    // a z-order layout; an explicit clusterBy converts to linear; neither
+    // → whatever the manifest header declares
     val effCluster =
-      if (clusterBy.nonEmpty) clusterBy else manifestClusterCols(fs, mp)
-    val zCols = if (clusterBy.nonEmpty) Nil else manifestZOrderCols(fs, mp)
+      if (zOrderBy.nonEmpty) Nil
+      else if (clusterBy.nonEmpty) clusterBy
+      else manifestClusterCols(fs, mp)
+    val zCols =
+      if (zOrderBy.nonEmpty) zOrderBy
+      else if (clusterBy.nonEmpty) Nil
+      else manifestZOrderCols(fs, mp)
     val nFiles = math.max(1,
       math.ceil(smallE.map(_._2).sum.toDouble / targetFileBytes).toInt)
     val dataDir = newDataDir(gen + 1)

@@ -61,10 +61,24 @@ class ManifestFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val keeps = dataFilters.flatMap(ManifestFileIndex.filePredicate)
-    val kept = files.collect {
-      case (stats, st) if keeps.forall(_(stats)) =>
-        FileStatusWithMetadata(st, Map.empty)
-    }
+    val kept =
+      if (keeps.isEmpty) files.map(f => FileStatusWithMetadata(f._2, Map.empty))
+      else if (files.size < LayoutOps.distributedPruneThreshold)
+        files.collect { case (stats, st) if keeps.forall(_(stats)) =>
+          FileStatusWithMetadata(st, Map.empty) }
+      else {
+        // past the planning-cost threshold the same decisions run
+        // DISTRIBUTED over the stats strings (the translated predicates
+        // capture only plain data), mirroring the eager path's
+        // pruneEntries — only surviving indices come back to the driver
+        import spark.implicits._
+        val stats = files.map(_._1).zipWithIndex
+        val keep = spark.createDataset(stats)
+          .filter(p => keeps.forall(_(p._1)))
+          .collect().map(_._2).toSet
+        files.zipWithIndex.collect { case ((_, st), i) if keep(i) =>
+          FileStatusWithMetadata(st, Map.empty) }
+      }
     Seq(PartitionDirectory(InternalRow.empty, kept))
   }
 }

@@ -1136,6 +1136,39 @@ class LayoutOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("compact-manifest --zorder-by CONVERTS a linear table to z-order: " +
+      "header flips and 2-D pruning appears") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zc").toString
+    val mt = s"$base/t"
+    try {
+      val grid = spark.range(4096).select(
+        (col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"))
+      LayoutOps.writeManifested(grid, mt, numFiles = 16,
+        statsCols = Seq("x", "y"), clusterBy = Seq("x"))
+      def kept2d() = LayoutOps.manifestSkipFiles(spark, mt,
+        Seq(LayoutOps.ColBounds("x", Some(0L), Some(15L)),
+          LayoutOps.ColBounds("y", Some(0L), Some(15L))))._1.size
+      // linear x-cluster: the y constraint prunes nothing; the x
+      // constraint alone keeps ~1/4 of the files
+      val before = kept2d()
+      // target sized so the fold re-emits ~16 z-ordered files
+      val total = LayoutOps.manifestSkipFiles(spark, mt, Nil)._1
+        .map(f => new java.io.File(s"$mt/$f").length).sum
+      val n = LayoutOps.compactManifest(spark, mt,
+        targetFileBytes = math.max(1L, total / 16), zOrderBy = Seq("x", "y"))
+      assert(n >= 8, s"compaction rewrote to $n files")
+      val desc = LayoutOps.describeManifest(spark, mt)
+      assert(desc.contains("zorder: x,y") && !desc.exists(_.startsWith("cluster:")))
+      assert(LayoutOps.readManifested(spark, mt).count() === 4096)
+      assert(kept2d() <= before,
+        s"z-order conversion must not prune worse: $before -> ${kept2d()}")
+      // a 1/16-area box over ~17 unaligned z-files intersects a handful
+      assert(kept2d() <= math.max(3, n / 4),
+        s"2-D box should keep a small fraction of $n files, kept ${kept2d()}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("generationAsOf resolves timestamp time travel from manifest " +
       "commit instants") {
     val base = java.nio.file.Files.createTempDirectory("graft-asof").toString

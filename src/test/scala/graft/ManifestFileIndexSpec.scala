@@ -174,6 +174,27 @@ class ManifestFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("above the distributed-prune threshold, lazy listFiles makes " +
+      "identical decisions to the driver loop") {
+    withTable { t =>
+      LayoutOps.writeManifested(spark.range(2000)
+          .select(col("id"), (col("id") % 5).as("m")), t,
+        numFiles = 8, statsCols = Seq("id"), clusterBy = Seq("id"))
+      val driverPath = LayoutOps.readManifested(spark, t)
+        .where(col("id").between(300, 700))
+      val driverFiles = scannedFiles(driverPath)
+      val driverCount = driverPath.count()
+      val saved = LayoutOps.distributedPruneThreshold
+      try {
+        LayoutOps.distributedPruneThreshold = 1 // force the executor path
+        val dist = LayoutOps.readManifested(spark, t)
+          .where(col("id").between(300, 700))
+        assert(scannedFiles(dist) === driverFiles)
+        assert(dist.count() === driverCount)
+      } finally LayoutOps.distributedPruneThreshold = saved
+    }
+  }
+
   test("planning is zero-filesystem-stat: fabricated FileStatus carries " +
       "the manifest-recorded length, and sizeInBytes sums it") {
     withTable { t =>
