@@ -596,6 +596,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
+    // dimension-driven semi-join pruning: the probe keys come from a
+    // DIMENSION query (small by construction), re-enter the plan as an
+    // IN list, and the lazy FileIndex prunes fact files per key through
+    // the per-file blooms — the "read only this user's files" shape; the
+    // oracle is the equivalent IN-subquery
+    "q_manifest_semijoin" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-msj").toString + "/orders"
+      LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+        bloomCols = Seq("o_custkey"))
+      val keys = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 40)
+        .select(col("c_custkey")).collect().map(_.getLong(0)).sorted
+      LayoutOps.readManifested(s, tbl)
+        .where(col("o_custkey").isin(keys: _*))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          count_distinct(col("o_custkey")).as("n_cust"))
+    }),
     // z-order manifest layout: the table is written along a Morton curve
     // of (o_custkey, o_orderkey), so each file covers a compact rectangle
     // of that 2-D space and a conjunctive range query on BOTH dimensions
@@ -1414,6 +1435,14 @@ object SparkEntry {
         |        CASE WHEN o_orderkey BETWEEN 1000 AND 2000
         |             THEN 1.0 ELSE o_totalprice END AS o_totalprice
         |      FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_semijoin" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 40)
         |GROUP BY o_orderstatus""".stripMargin,
     "q_manifest_zorder" ->
       """SELECT o_orderstatus, count(*) AS n,
