@@ -596,6 +596,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
+    // timestamp-range skipping: o_orderdate written as TIMESTAMP_MICROS
+    // (Spark's INT96 default records no footer stats) so per-file
+    // min/max cover micros ranges, and the lazy path translates the
+    // query's own timestamp literals (session tz UTC) into the stats
+    // domain — the time-series retention-scan shape
+    "q_manifest_tsrange" -> ((s, dir) => {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mts").toString + "/orders"
+      val prev = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try LayoutOps.writeManifested(Tables.orders(s, dir), tbl,
+        numFiles = 8, statsCols = Seq("o_orderdate"),
+        clusterBy = Seq("o_orderdate"))
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      LayoutOps.readManifested(s, tbl)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"))
+    }),
     // dimension-driven semi-join pruning: the probe keys come from a
     // DIMENSION query (small by construction), re-enter the plan as an
     // IN list, and the lazy FileIndex prunes fact files per key through
@@ -1435,6 +1461,14 @@ object SparkEntry {
         |        CASE WHEN o_orderkey BETWEEN 1000 AND 2000
         |             THEN 1.0 ELSE o_totalprice END AS o_totalprice
         |      FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_manifest_tsrange" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderstatus""".stripMargin,
     "q_manifest_semijoin" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -174,6 +174,33 @@ class ManifestFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("timestamp literals translate into the stats domain: a time-range " +
+      ".where() prunes files written with TIMESTAMP_MICROS stats") {
+    withTable { t =>
+      val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      try {
+        LayoutOps.writeManifested(spark.range(1000).select(col("id"),
+            to_timestamp(lit("2020-01-01 00:00:00"))
+              .plus(expr("make_interval(0, 0, 0, 0, id, 0, 0)")).as("ts")), t,
+          numFiles = 4, statsCols = Seq("ts"), clusterBy = Seq("ts"))
+      } finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      // hours 0..999 over 4 files of 250 hours each; a 100-hour window
+      // lands in one file
+      val q = LayoutOps.readManifested(spark, t)
+        .where(col("ts") >= to_timestamp(lit("2020-01-02 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2020-01-06 04:00:00")))
+      assert(q.count() === 100)
+      assert(scannedFiles(q) === 1, "timestamp range must prune to 1 file")
+    }
+  }
+
   test("above the distributed-prune threshold, lazy listFiles makes " +
       "identical decisions to the driver loop") {
     withTable { t =>
