@@ -45,6 +45,7 @@ object Main {
       |       lookup-postings boolean-retrieval pagerank
       |       personalized-pagerank hourly-counts graph-stats
       |       split contamination dedup-clusters sample-exact
+      |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N)
       |       compact compact-manifest vacuum-manifest show-manifest
       |       count-manifest delete-manifest history-manifest
       |       rollback-manifest (--to-generation N | --as-of ISO)
@@ -237,6 +238,35 @@ object Main {
             PipelineOps.bloomContamination(corpus, bench, id, text, n,
               numBits = bits.toInt)
           case None => PipelineOps.contamination(corpus, bench, id, text, n)
+        }).write.mode("overwrite").parquet(out)
+      case "ann-topk" =>
+        // embedding top-k: --method picks the path (brute = exact
+        // baseline; lsh/ivf/pq = the bucketed/compressed scale paths);
+        // --queries defaults to the corpus' first 3 ids
+        val corpus = spark.read.parquet(in)
+        val id = opts.getOrElse("id", "vec_id")
+        val vec = opts.getOrElse("vec", "embedding")
+        val queries = opts.get("queries").map(spark.read.parquet(_))
+          .getOrElse(corpus.orderBy(col(id)).limit(3))
+        val k = opts.getOrElse("k", "5").toInt
+        (opts.getOrElse("method", "brute") match {
+          case "brute" => SimilarityOps.bruteForceTopK(
+            corpus, id, vec, queries, id, vec, k)
+          case "lsh" => SimilarityOps.lshTopK(corpus, id, vec,
+            queries, id, vec, k,
+            planes = opts.getOrElse("planes", "4").toInt,
+            probeBits = opts.getOrElse("probe-bits", "0").toInt)
+          case "ivf" => SimilarityOps.ivfTopK(corpus, id, vec,
+            queries, id, vec, k,
+            nlist = opts.getOrElse("nlist", "16").toInt,
+            nprobe = opts.getOrElse("nprobe", "4").toInt)
+          case "pq" => SimilarityOps.pqTopK(corpus, id, vec,
+            queries, id, vec, k,
+            m = opts.getOrElse("m", "2").toInt,
+            cells = opts.getOrElse("cells", "16").toInt,
+            iterations = opts.getOrElse("iterations", "2").toInt)
+          case other => throw new IllegalArgumentException(
+            s"unknown --method '$other' (brute|lsh|ivf|pq)")
         }).write.mode("overwrite").parquet(out)
       case "dedup-clusters" =>
         // near-dup clustering: (doc_id, cluster_id, is_canonical) — keep

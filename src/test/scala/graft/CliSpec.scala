@@ -2,6 +2,7 @@ package graft
 
 import graft.cli.Main
 import java.nio.file.Files
+import org.apache.spark.sql.functions.max
 
 /** Drives every CLI subcommand end-to-end on tiny inputs. */
 class CliSpec extends SparkSpec {
@@ -214,6 +215,24 @@ class CliSpec extends SparkSpec {
     val counts = spark.read.parquet(sampleOut).groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.values.toSeq === Seq(5L, 5L, 5L))
+  }
+
+  test("ann-topk serves all four methods; pq/ivf/lsh rows are a subset " +
+      "shape of brute's (query_id, vec_id, score, rn)") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    for (method <- Seq("brute", "lsh", "ivf", "pq")) {
+      val out = tmpOut()
+      Main.run(spark, "ann-topk", Map("input" -> emb, "output" -> out,
+        "method" -> method, "k" -> "5"))
+      val got = spark.read.parquet(out)
+      assert(got.count() > 0, method)
+      assert(got.columns.length === 4, method)
+      assert(got.select(max("rn")).head().getInt(0) <= 5, method)
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "ann-topk", Map("input" -> emb,
+        "output" -> tmpOut(), "method" -> "hnsw"))
+    }
   }
 
   test("unknown tool raises a usage error") {
