@@ -65,4 +65,48 @@ class EdgeCasesSpec extends SparkSpec {
     assert(PipelineOps.contamination(tiny, tiny, "doc_id", "text", shingleN = 5)
       .head().getDouble(3) === 1.0, "the whole-doc shingle matches itself")
   }
+
+  test("PQ on an empty corpus returns the empty contract schema; " +
+      "training on it returns an empty model") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.SimilarityOps
+      .trainPqCodebooks(empty, "vec_id", "embedding", m = 2, cells = 4)
+      .isEmpty)
+    val r = graft.operators.SimilarityOps.pqTopK(empty, "vec_id",
+      "embedding", empty, "vec_id", "embedding", k = 5)
+    assert(r.count() === 0)
+    assert(r.columns.toSeq === Seq("query_id", "vec_id", "score", "rn"))
+  }
+
+  test("rollback to the CURRENT generation is a contentful no-op: a new " +
+      "generation with identical data") {
+    val base = java.nio.file.Files.createTempDirectory("graft-rbc").toString
+    val t = s"$base/t"
+    try {
+      graft.operators.LayoutOps.writeManifested(
+        spark.range(50).toDF("id"), t, numFiles = 2, statsCols = Seq("id"))
+      val g = graft.operators.LayoutOps.rollbackManifested(spark, t, 0L)
+      assert(g === 1L)
+      assert(graft.operators.LayoutOps.readManifested(spark, t)
+        .count() === 50)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(base))
+  }
+
+  test("z-order layout tolerates NULLs in a curve column: rows survive " +
+      "the write and IS NULL still finds them") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zn").toString
+    val t = s"$base/t"
+    try {
+      val df = spark.range(100).select(
+        when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("x"),
+        (col("id") % 7).as("y"), col("id").as("payload"))
+      graft.operators.LayoutOps.writeManifested(df, t, numFiles = 4,
+        statsCols = Seq("x", "y"), zOrderBy = Seq("x", "y"))
+      val back = graft.operators.LayoutOps.readManifested(spark, t)
+      assert(back.count() === 100)
+      assert(back.where(col("x").isNull).count() === 10)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(base))
+  }
 }
