@@ -311,6 +311,11 @@ object SparkEntry {
     // near 0 for one-token spam, log2(n) for all-distinct docs
     "q_entropy" -> ((s, dir) =>
       TextAnalysisOps.tokenEntropy(docs(s, dir), "doc_id", "text")),
+    // n-gram LM quality scoring (the pretraining perplexity filter):
+    // add-k bigram model trained on the corpus itself, each doc scored by
+    // its average bigram log-probability
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysisOps.lmQualityScore(docs(s, dir), "doc_id", "text")),
     // Gopher-style repetitiveness signal: repeated-shingle fraction
     "q_repetition" -> ((s, dir) =>
       TextAnalysisOps.repetitionRatio(docs(s, dir), "doc_id", "text",
@@ -1166,6 +1171,24 @@ object SparkEntry {
          |FROM c GROUP BY doc_id""".stripMargin,
     // distinct counted over the 60-bit HASHES (as the engine does), so a
     // hash collision — however unlikely — cannot split the two engines
+    "q_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, len(toks)-1)) AS i FROM d)),
+         |uni AS (SELECT w1, count(*) AS cw FROM
+         |        (SELECT unnest(toks) AS w1 FROM d) GROUP BY w1),
+         |v AS (SELECT count(*) AS vocab FROM uni),
+         |sc AS (SELECT p.doc_id,
+         |  ln((bi.cbg + 0.5) / (uni.cw + 0.5 * v.vocab)) AS lp
+         |  FROM p
+         |  JOIN (SELECT w1, w2, count(*) AS cbg FROM p GROUP BY w1, w2) bi
+         |    USING (w1, w2)
+         |  JOIN uni USING (w1) CROSS JOIN v)
+         |SELECT d.doc_id, count(sc.lp) AS n_bigrams,
+         |  round(avg(sc.lp), 6) AS avg_logp
+         |FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s0 AS (SELECT doc_id,

@@ -242,4 +242,57 @@ object TextAnalysisOps {
       .select(col("id").as("doc_id"), size(col("fps")).as("n_fingerprints"),
         md5(concat_ws(",", transform(col("fps"), x => x.cast("string"))))
           .as("fp_digest"))
+
+  /** Per-doc (w1, w2) adjacent-token pairs as columns, docs with fewer
+    * than 2 tokens kept with NULL pairs (they must score, as "no
+    * evidence", not vanish). */
+  private def docTokenPairs(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.select(col(idCol).as("doc_id"), explode_outer(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** N-gram language-model quality scoring — the classic perplexity
+    * filter of pretraining pipelines: train an add-k-smoothed bigram LM
+    * on `train` (default: the corpus itself) and score every document by
+    * its average bigram log-probability,
+    * `avg ln((c(w1,w2)+k) / (c(w1)+k·V))`. Low scores flag
+    * gibberish/boilerplate relative to the reference corpus.
+    * Returns (doc_id, n_bigrams, avg_logp(6dp)); docs under 2 tokens
+    * score NULL over 0 bigrams.
+    *
+    * Scale: two word-keyed aggregations over the training corpus (the
+    * exact model) + two word-keyed joins on the scoring side — linear,
+    * shuffle-on-word-key work; the vocabulary size is one driver scalar.
+    * An exact bigram table over 100 TB is itself large but stays a
+    * well-partitioned join relation (never collected); if the model must
+    * be bounded, feed the counts through [[graft.functions.CmsSketch]]
+    * and trade exactness for fixed state. */
+  def lmQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                     train: Option[DataFrame] = None,
+                     addK: Double = 0.5): DataFrame = {
+    val t = train.getOrElse(docs)
+    val tPairs = docTokenPairs(t, idCol, textCol).localCheckpoint()
+    val uni = t.select(explode(TextOps.tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cw"))
+    val vocab = uni.count() // one driver scalar, like BM25's avgdl
+    val bi = tPairs.where(col("w1").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val scored = docTokenPairs(docs, idCol, textCol)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("lp", when(col("w1").isNotNull,
+        log((coalesce(col("cbg"), lit(0L)) + lit(addK)) /
+          (coalesce(col("cw"), lit(0L)) + lit(addK) * lit(vocab.toDouble)))))
+    scored.groupBy("doc_id")
+      .agg(count(col("lp")).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("avg_logp"))
+  }
 }

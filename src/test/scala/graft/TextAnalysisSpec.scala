@@ -141,4 +141,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f1.size === docs.count() * 3)
     assert(f1 === f2, "features independent of partitioning and batch size")
   }
+
+  test("LM quality score: a formulaic doc outscores a one-off-token doc, " +
+      "tiny docs score NULL over zero bigrams, and scoring is " +
+      "partitioning-independent") {
+    // corpus dominated by one repeated phrase + one doc of unique tokens
+    val docs = ((1L to 20L).map(i => (i, "the cat sat on the mat")) :+
+      (100L, "zq xv wk jp nb") :+ (200L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.lmQualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 5L)
+    assert(got(200L) === ((0L, None)), "a 1-token doc has no bigram evidence")
+    assert(got(1L)._2.get > got(100L)._2.get,
+      s"formulaic ${got(1L)._2.get} must outscore unique ${got(100L)._2.get}")
+    // partitioning independence (the avg is rounded to 6dp)
+    val re = TextAnalysisOps.lmQualityScore(docs.repartition(7),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(re === got)
+    // a separate training corpus shifts scores: unseen bigrams back off
+    // to the smoothing floor
+    val train = Some(docs.where(col("doc_id") <= 20))
+    val vsTrain = TextAnalysisOps.lmQualityScore(docs, "doc_id", "text",
+      train = train).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(vsTrain(1L).get > vsTrain(100L).get,
+      "out-of-domain doc must score lower under the reference-corpus LM")
+  }
 }
