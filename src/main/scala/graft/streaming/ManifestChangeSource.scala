@@ -39,9 +39,15 @@ class ManifestChangeSource(
     sqlContext: SQLContext,
     path: String,
     override val schema: StructType,
-    ignoreRewrites: Boolean) extends Source {
+    ignoreRewrites: Boolean,
+    maxGenerationsPerBatch: Option[Long] = None) extends Source {
 
   private val spark = sqlContext.sparkSession
+
+  // the newest generation this source has handed out — what the
+  // per-batch generation cap advances from (set by getBatch, including
+  // the engine's replay of a checkpointed-but-uncommitted batch)
+  @volatile private var lastEnd: Option[Long] = None
 
   private def gen(o: Offset): Long = o match {
     case l: LongOffset       => l.offset
@@ -49,11 +55,24 @@ class ManifestChangeSource(
     case other               => other.json.trim.toLong
   }
 
-  /** Newest committed generation — one listStatus per trigger. */
-  override def getOffset: Option[Offset] =
-    Some(LongOffset(LayoutOps.latestGenerationAndSchema(spark, path)._1))
+  /** Newest committed generation — one listStatus per trigger — capped
+    * to `max-generations-per-batch` beyond the last batch's end, so a
+    * backlogged table drains in bounded micro-batches instead of one
+    * giant catch-up batch (the maxFilesPerTrigger knob of file sources).
+    * The initial snapshot is never capped (generation 0..head IS one
+    * consistent table state), and neither is the first window after a
+    * restart (the engine hands v1 sources no pre-trigger offset
+    * replay) — the cap is a within-run smoothing knob. */
+  override def getOffset: Option[Offset] = {
+    val latest = LayoutOps.latestGenerationAndSchema(spark, path)._1
+    Some(LongOffset((maxGenerationsPerBatch, lastEnd) match {
+      case (Some(cap), Some(last)) if cap > 0 => math.min(latest, last + cap)
+      case _ => latest
+    }))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastEnd = Some(gen(end))
     val batch = LayoutOps.manifestChangesBetween(spark, path,
       start.map(gen), gen(end), schema, ignoreRewrites)
     // a v1 Source must hand back a STREAMING DataFrame;
@@ -73,7 +92,8 @@ class ManifestChangeSource(
 
 /** `spark.readStream.format(...)` registration for
   * [[ManifestChangeSource]]. Options: `path` (the manifested table,
-  * required), `ignore-rewrites` (default false). */
+  * required), `ignore-rewrites` (default false),
+  * `max-generations-per-batch` (default unbounded). */
 class ManifestChangeSourceProvider
     extends StreamSourceProvider with DataSourceRegister {
 
@@ -101,5 +121,6 @@ class ManifestChangeSourceProvider
       parameters: Map[String, String]): Source =
     new ManifestChangeSource(sqlContext, parameters("path"),
       schema.getOrElse(tableSchema(sqlContext, parameters)),
-      parameters.get("ignore-rewrites").exists(_.toBoolean))
+      parameters.get("ignore-rewrites").exists(_.toBoolean),
+      parameters.get("max-generations-per-batch").map(_.toLong))
 }

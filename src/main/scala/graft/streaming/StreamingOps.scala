@@ -181,10 +181,14 @@ object StreamingOps {
     * offsets are generation numbers, replay-exact. See
     * [[ManifestChangeSource]] for rewrite/vacuum/schema caveats. */
   def readStreamManifested(spark: org.apache.spark.sql.SparkSession,
-      path: String, ignoreRewrites: Boolean = false): DataFrame =
-    spark.readStream
+      path: String, ignoreRewrites: Boolean = false,
+      maxGenerationsPerBatch: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[ManifestChangeSourceProvider].getName)
       .option("path", path)
       .option("ignore-rewrites", ignoreRewrites.toString)
-      .load()
+    maxGenerationsPerBatch
+      .foreach(c => r.option("max-generations-per-batch", c.toString))
+    r.load()
+  }
 }

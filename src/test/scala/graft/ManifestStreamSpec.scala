@@ -69,6 +69,33 @@ class ManifestStreamSpec extends SparkSpec {
     }
   }
 
+  test("max-generations-per-batch drains a backlog in bounded batches " +
+      "instead of one catch-up batch") {
+    withDirs { (t, ckpt, _) =>
+      LayoutOps.writeManifested(spark.range(10).toDF("id"), t, numFiles = 1)
+      val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamingOps.readStreamManifested(spark, t,
+        maxGenerationsPerBatch = Some(1L))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batchSizes.synchronized { batchSizes += b.count() }; ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(batchSizes.toSeq === Seq(10L), "uncapped initial snapshot")
+        // a 3-generation backlog accumulates while the stream idles
+        LayoutOps.appendManifested(spark.range(10, 12).toDF("id"), t)
+        LayoutOps.appendManifested(spark.range(12, 15).toDF("id"), t)
+        LayoutOps.appendManifested(spark.range(15, 19).toDF("id"), t)
+        q.processAllAvailable()
+        // cap=1: one generation per micro-batch, in commit order
+        assert(batchSizes.toSeq === Seq(10L, 2L, 3L, 4L),
+          s"backlog must drain generation-by-generation: $batchSizes")
+      } finally q.stop()
+    }
+  }
+
   test("a restarted stream resumes from the checkpointed generation — " +
       "appends during downtime arrive exactly once") {
     withDirs { (t, ckpt, _) =>
