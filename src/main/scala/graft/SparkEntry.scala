@@ -316,6 +316,12 @@ object SparkEntry {
     // its average bigram log-probability
     "q_lm_score" -> ((s, dir) =>
       TextAnalysisOps.lmQualityScore(docs(s, dir), "doc_id", "text")),
+    // bounded-state LM scoring: the same perplexity filter with both
+    // count relations replaced by broadcast count-min matrices (fixed
+    // d*w state at any corpus size) — the 100 TB-safe variant
+    "q_lm_score_bounded" -> ((s, dir) =>
+      TextAnalysisOps.lmQualityScoreBounded(docs(s, dir), "doc_id", "text",
+        cmsDepth = 3, cmsWidth = 1 << 18)),
     // Gopher-style repetitiveness signal: repeated-shingle fraction
     "q_repetition" -> ((s, dir) =>
       TextAnalysisOps.repetitionRatio(docs(s, dir), "doc_id", "text",
@@ -466,18 +472,24 @@ object SparkEntry {
     }),
     // edit distance over the LSH near-dup candidates (the precise-refine
     // step a fuzzy-dedup pipeline runs after candidate generation).
-    // Candidate count grows quadratically in per-doc COPY count — run
-    // exact dedup first on heavily-duplicated corpora (measured 76x on a
-    // deliberately 80%-duplicate 5x dataset)
+    // Duplicate-safe: byte-identical texts collapse to one representative
+    // BEFORE candidate generation (DedupOps.collapseIdentical on
+    // md5(text)), so the O(len^2) levenshtein kernel runs once per
+    // distinct-text pair, not once per doc pair; member pairs rejoin
+    // relationally — cross-group pairs inherit the rep pair's distance
+    // (members carry byte-identical text) and within-group pairs are 0.
     "q_levenshtein" -> ((s, dir) => {
-      val d = docs(s, dir)
-      DedupOps.minhashNearDupPairs(d, "doc_id", "text",
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val (reps, membership) =
+        DedupOps.collapseIdentical(d, "doc_id", md5(col("text")))
+      val repPairs = DedupOps.minhashNearDupPairs(reps, "doc_id", "text",
         shingleN = 3, k = 12, bands = 4, threshold = 0.5)
         .select(col("ida"), col("idb"))
-        .join(d.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
-        .join(d.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+        .join(reps.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+        .join(reps.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
         .select(col("ida"), col("idb"),
           levenshtein(col("ta"), col("tb")).as("edit_dist"))
+      DedupOps.expandPairs(repPairs, membership, Seq(lit(0).as("edit_dist")))
     }),
     // JSON property extraction (get_json_object, codegen'd — no UDF)
     "q_json_kstats" -> ((s, dir) =>
@@ -1189,6 +1201,44 @@ object SparkEntry {
          |  round(avg(sc.lp), 6) AS avg_logp
          |FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    "q_lm_score_bounded" -> {
+      val d = 3
+      val w = 1 << 18
+      val cs = operators.DedupOps.minhashMultipliers(d)
+      def pos(hExpr: String, c: Long) =
+        s"(${operators.DedupOps.permuteHashSql(hExpr, c)} % $w)"
+      def h60(e: String) =
+        s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, len(toks)-1)) AS i FROM d)),
+         |tw AS (SELECT unnest(toks) AS w FROM d),
+         |ut AS (SELECT ${h60("w")} AS h FROM tw),
+         |v AS (SELECT count(DISTINCT w) AS vocab FROM tw),
+         |${(0 until d).map(j => s"u$j AS (SELECT ${pos("h", cs(j))} AS b, " +
+              s"count(*) AS n FROM ut GROUP BY 1)").mkString(",\n")},
+         |bt AS (SELECT ${h60("w1 || ' ' || w2")} AS h FROM p),
+         |${(0 until d).map(j => s"g$j AS (SELECT ${pos("h", cs(j))} AS b, " +
+              s"count(*) AS n FROM bt GROUP BY 1)").mkString(",\n")},
+         |ph AS (SELECT doc_id, ${h60("w1")} AS hu,
+         |       ${h60("w1 || ' ' || w2")} AS hb FROM p),
+         |sc AS (SELECT ph.doc_id,
+         |  ln((least(${(0 until d).map(j => s"coalesce(g$j.n, 0)")
+                .mkString(", ")}) + 0.5) /
+         |     (least(${(0 until d).map(j => s"coalesce(u$j.n, 0)")
+                .mkString(", ")}) + 0.5 * v.vocab)) AS lp
+         |  FROM ph
+         |  ${(0 until d).map(j =>
+              s"LEFT JOIN g$j ON ${pos("ph.hb", cs(j))} = g$j.b").mkString("\n  ")}
+         |  ${(0 until d).map(j =>
+              s"LEFT JOIN u$j ON ${pos("ph.hu", cs(j))} = u$j.b").mkString("\n  ")}
+         |  CROSS JOIN v)
+         |SELECT d.doc_id, count(sc.lp) AS n_bigrams,
+         |  round(avg(sc.lp), 6) AS avg_logp
+         |FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin
+    },
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s0 AS (SELECT doc_id,

@@ -24,10 +24,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
-    * to TimestampType via integral division (double division would lose
-    * precision at 1e18 nanos).
+  /** events.parquet's `ts` physical type has varied across driver testdata
+    * generations — INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects without the nanosAsLong legacy conf), and plain TIMESTAMP
+    * micros without UTC adjustment (which Spark 4 infers as TIMESTAMP_NTZ).
+    * Normalize every representation to session-zoned TimestampType so the
+    * whole engine (unix_micros, watermarks, window functions) sees ONE
+    * type: nanos -> integral division (double division would lose precision
+    * at 1e18 nanos); NTZ -> cast, which under the engine's pinned UTC
+    * session timezone preserves the wall-clock micros bit-for-bit.
     *
     * The legacy conf is needed at schema-inference time (read.parquet below)
     * AND at scan execution; we pin the inferred LongType schema with an
@@ -36,8 +41,8 @@ object Tables {
     * events must not change how unrelated reads in the same session behave.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
@@ -49,6 +54,8 @@ object Tables {
           // THIS DataFrame then works whatever the session conf says later
           s.read.schema(raw.schema).parquet(s"$d/events.parquet")
             .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
         case _ => raw
       }
     } finally prev match {

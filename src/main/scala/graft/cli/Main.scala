@@ -326,6 +326,9 @@ object Main {
       case "rollback-manifest" =>
         // metadata-only undo: re-commit an old generation's listing as
         // new; the target is --to-generation N or --as-of <ISO instant>
+        if (opts.get("to-generation").isEmpty && opts.get("as-of").isEmpty)
+          throw new IllegalArgumentException(
+            "rollback-manifest needs a target: --to-generation N | --as-of <ISO instant>")
         val target = opts.get("to-generation").map(_.toLong).getOrElse(
           LayoutOps.generationAsOf(spark, in,
             java.time.Instant.parse(opts("as-of")).toEpochMilli))

@@ -149,9 +149,85 @@ object DedupOps {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Collapse rows carrying an identical `groupKey` value into one
+    * representative row (minimum id) per distinct key.
+    *
+    * This is THE scale guard for fuzzy pair generation under duplication:
+    * LSH band buckets and simhash blocks hold whole duplicate groups, and
+    * pair emission is quadratic in group size — a crawl corpus that is 80%
+    * exact-duplicate turns a linear candidate join into a scale-killer
+    * (measured 161x/69x on a 10x duplicate-heavy fixture before this
+    * pre-pass). Candidate generation + refine kernels run on
+    * REPRESENTATIVES only; identical members rejoin relationally via
+    * [[expandPairs]] (their pairwise distance is 0 / jaccard 1 by
+    * construction — no kernel needed).
+    *
+    * Same groupBy+join de-skew shape as [[exactDedup]] (map-side partial
+    * min; no window over the hot key), null-safe on the key.
+    *
+    * @return (reps, membership): `reps` keeps every original column for the
+    *         rows whose id is its group's minimum; `membership` is
+    *         (id, rep) for EVERY input row (reps map to themselves).
+    */
+  def collapseIdentical(df: DataFrame, idCol: String, groupKey: Column)
+      : (DataFrame, DataFrame) = {
+    val keyed = df.withColumn("__gk", groupKey)
+    // rename on the aggregated side: groups derives from keyed, so an
+    // unqualified __gk in the join condition would be AMBIGUOUS_REFERENCE
+    val groups = keyed.groupBy("__gk").agg(min(col(idCol)).as("__rep"))
+      .withColumnRenamed("__gk", "__gkc")
+    // membership is (id, rep) only — tiny; checkpoint so the three
+    // downstream consumers (two expansion joins + the within-group
+    // self-join) don't re-run the key hash + aggregation each
+    val membership = keyed.select(col(idCol), col("__gk"))
+      .join(groups, col("__gk") <=> col("__gkc"))
+      .select(col(idCol).as("id"), col("__rep").as("rep"))
+      .localCheckpoint()
+    val reps = df.join(
+      membership.where(col("id") === col("rep")).select(col("id").as("__rid")),
+      col(idCol) === col("__rid")).drop("__rid")
+    (reps, membership)
+  }
+
+  /** Expand representative-level pairs back to all member pairs.
+    *
+    * `repPairs` must be (ida, idb, score...) over representative ids from
+    * [[collapseIdentical]]'s membership; the result contains, for every rep
+    * pair, all cross-group member pairs carrying the rep pair's scores,
+    * PLUS all within-group pairs carrying `identicalScores` (the scores of
+    * an identical pair: jaccard 1.0, distance 0, ...). Pairs come out
+    * (least, greatest)-ordered, matching the ida < idb convention.
+    *
+    * Exactness: members share their rep's signature by construction, so a
+    * member pair is a candidate iff its rep pair is, and scores computed
+    * from the signature are equal across the group — expansion reproduces
+    * the uncollapsed pair set bit-for-bit.
+    */
+  def expandPairs(repPairs: DataFrame, membership: DataFrame,
+                  identicalScores: Seq[Column]): DataFrame = {
+    val scoreCols = repPairs.columns.filterNot(c => c == "ida" || c == "idb")
+    val cross = repPairs
+      .join(membership.select(col("rep").as("ida"), col("id").as("__a")), "ida")
+      .join(membership.select(col("rep").as("idb"), col("id").as("__b")), "idb")
+      .select(least(col("__a"), col("__b")).as("ida") +:
+        greatest(col("__a"), col("__b")).as("idb") +: scoreCols.map(col): _*)
+    val within = membership.as("x").join(membership.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida") +: col("y.id").as("idb") +:
+        identicalScores: _*)
+    cross.unionByName(within)
+  }
+
   /** MinHash+LSH near-duplicate pairs: (ida, idb, jaccard) with
     * ida < idb and exact shingle Jaccard >= `threshold`, candidates
     * generated by band-bucket equality.
+    *
+    * Duplicate-safe: rows with identical shingle-hash arrays are collapsed
+    * to one representative before banding ([[collapseIdentical]]), so band
+    * buckets never hold exact-duplicate groups and the candidate join stays
+    * linear on duplicate-heavy corpora; member pairs are restored
+    * relationally afterwards (jaccard 1 by construction, always >=
+    * threshold).
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 12, bands: Int = 4,
@@ -167,10 +243,14 @@ object DedupOps {
     val sh = docs.select(col(idCol).as("id"),
       shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as("hs"))
       .localCheckpoint()
+    // collapse identical hash arrays: the group key is md5 of the array
+    // rendering (32 chars through the shuffle, not the array itself)
+    val (reps, membership) = collapseIdentical(sh, "id",
+      md5(concat_ws(",", transform(col("hs"), _.cast("string")))))
     // Band join and pair-dedup move ONLY (band, hash, id) — the shingle
     // arrays stay out of the self-join shuffle and are re-attached once per
     // surviving candidate (at 100 TB the arrays dwarf the id pairs).
-    val banded = sh.select(col("id"),
+    val banded = reps.select(col("id"),
       posexplode(lshBandHashes(minhashSignature64(col("hs"), k), bands, rowsPerBand))
         .as(Seq("band", "bh")))
     val cands = banded.as("a").join(banded.as("b"),
@@ -181,12 +261,13 @@ object DedupOps {
     // exact-jaccard refine runs on the 60-bit hash arrays, not the shingle
     // strings — integer set-intersection, same result (collision odds at
     // 2^60 are negligible AND the oracle hashes identically)
-    cands
-      .join(sh.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
-      .join(sh.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
+    val repPairs = cands
+      .join(reps.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
+      .join(reps.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
       .select(col("ida"), col("idb"),
         call_function("graft_jaccard", col("hsa"), col("hsb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    expandPairs(repPairs, membership, Seq(lit(1.0).as("jaccard")))
   }
 
   /** Connected components over an undirected pair relation: every vertex's
@@ -348,21 +429,33 @@ object DedupOps {
     * using block bucketing: split the `bits`-bit code into `maxDist + 1`
     * blocks — any pair within distance d agrees on >= 1 block (pigeonhole),
     * so the self-join runs on block equality, not all pairs.
+    *
+    * Duplicate-safe: rows with an identical simhash value collapse to one
+    * representative before blocking ([[collapseIdentical]] keyed on the
+    * code itself), so a block bucket never holds an exact-duplicate group
+    * and the candidate join stays linear on duplicate-heavy corpora.
+    * Member pairs are restored relationally afterwards: a member shares
+    * its rep's code, so cross-group member pairs carry the rep pair's
+    * distance and within-group pairs are distance 0 (identical codes agree
+    * on every block, so the uncollapsed join would always emit them).
     */
   def simhashNearDupPairs(sims: DataFrame, idCol: String, simhashCol: String,
                           bits: Int = 60, maxDist: Int = 3): DataFrame = {
     val blocks = maxDist + 1
     val blockBits = (bits + blocks - 1) / blocks
-    val blocked = sims.select(col(idCol).as("id"), col(simhashCol).as("sh"),
+    val (reps, membership) = collapseIdentical(
+      sims.select(col(idCol).as("id"), col(simhashCol).as("sh")), "id", col("sh"))
+    val blocked = reps.select(col("id"), col("sh"),
       explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
       .withColumn("blkval",
         expr(s"shiftright(sh, CAST(blk * $blockBits AS INT)) & ${(1L << blockBits) - 1}"))
-    blocked.as("a").join(blocked.as("b"),
+    val repPairs = blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         hammingDistance(col("a.sh"), col("b.sh")).as("dist"))
       .dropDuplicates("ida", "idb")
       .where(col("dist") <= maxDist)
+    expandPairs(repPairs, membership, Seq(lit(0).as("dist")))
   }
 }

@@ -121,4 +121,49 @@ object JoinOps {
       .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Occupancy telemetry for [[rangeJoin]] — the diagnostic that explains
+    * a superlinear range join. The join's candidate count is
+    * `sum over (key, bucket) of n_points * n_intervals`; a fat tail in
+    * that product (dense overlap regions, giant intervals fanning out)
+    * is the only way the equi-join shape degrades. Runs as a SEPARATE
+    * aggregation with the exact bucket mapping the join uses — the
+    * production join's plan is untouched — and returns the per-bucket
+    * relation (key?, __bucket, n_points, n_intervals, candidates),
+    * logging a debug-level summary (total/max candidates, top bucket).
+    * If a workload's occupancy stays superlinear, derive `bucketWidth`
+    * from interval-length quantiles (e.g. the median from
+    * [[graft.functions.QuantileSketch]]) instead of a fixed guess. */
+  def rangeJoinOccupancy(points: DataFrame, pCol: String,
+                         intervals: DataFrame, loCol: String, hiCol: String,
+                         bucketWidth: Double,
+                         keyCol: Option[String] = None): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    val keys = "__bucket" +: keyCol.toSeq
+    val pCnt = points.select(bucketOf(col(pCol)).as("__bucket") +:
+        keyCol.map(col).toSeq: _*)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_points"))
+    val iCnt = intervals.select(
+        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol))))
+          .as("__bucket") +: keyCol.map(col).toSeq: _*)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_intervals"))
+    val occ = pCnt.join(iCnt, keys, "full_outer")
+      .select(keys.map(col) :+
+        coalesce(col("n_points"), lit(0L)).as("n_points") :+
+        coalesce(col("n_intervals"), lit(0L)).as("n_intervals"): _*)
+      .withColumn("candidates", col("n_points") * col("n_intervals"))
+    if (log.isDebugEnabled) {
+      val s = occ.agg(count(lit(1)).as("buckets"),
+        coalesce(sum(col("candidates")), lit(0L)).as("total"),
+        coalesce(max(col("candidates")), lit(0L)).as("worst")).head
+      log.debug(s"rangeJoin occupancy (width=$bucketWidth): " +
+        s"${s.getLong(0)} buckets, ${s.getLong(1)} candidate pairs, " +
+        s"worst bucket ${s.getLong(2)}")
+    }
+    occ
+  }
 }

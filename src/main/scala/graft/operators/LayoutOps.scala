@@ -192,9 +192,27 @@ object LayoutOps {
   }
 
   /** Arbiter for stores whose create-if-absent is an atomic conditional
-    * PUT (S3 `If-None-Match`, GCS/Azure preconditions): write the object
-    * directly with overwrite=false; the store accepts exactly one writer
-    * per generation and the object appears complete or not at all. NOT
+    * PUT — the object-store precondition must be enforced BY THE STORE at
+    * object-materialization time (S3 `If-None-Match: *` issued on the
+    * final PUT/CompleteMultipartUpload, GCS `ifGenerationMatch=0`, Azure
+    * `If-None-Match: *`): the store then accepts exactly one writer per
+    * generation and the object appears complete or not at all.
+    *
+    * Stock Hadoop S3A does NOT qualify: its `create(path, overwrite =
+    * false)` is a HEAD existence check at open time plus an unconditional
+    * PUT at close — two concurrent committers can both pass the check and
+    * the later close silently overwrites the earlier one (a lost commit).
+    * Use this arbiter only with a connector configured to attach the
+    * store's conditional-write precondition to the final PUT (e.g. S3A's
+    * conditional create support where available), or implement a custom
+    * [[CommitArbiter]] against the store SDK directly.
+    *
+    * Defense-in-depth for check-at-open stores: after close, the written
+    * object is read back and byte-compared to this writer's payload; a
+    * mismatch means a concurrent committer's PUT superseded ours, and the
+    * commit reports lost instead of silently dropping the winner. (This
+    * narrows the lost-commit window to PUTs landing after the read-back —
+    * it is NOT a substitute for a true store-side precondition.) Also NOT
     * correct on plain filesystems, where an in-progress create is a
     * visible partial file — those keep [[RenameCommitArbiter]]. */
   object ConditionalPutCommitArbiter extends CommitArbiter {
@@ -209,7 +227,12 @@ object LayoutOps {
             return false
         }
       try out.write(payload) finally out.close()
-      true
+      // read-back verification: did OUR payload survive the race?
+      val in = fs.open(target)
+      val got =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      java.util.Arrays.equals(got, payload)
     }
   }
 
@@ -242,9 +265,14 @@ object LayoutOps {
   }
 
   /** The newest generation whose manifest was committed at-or-before
-    * `epochMillis` — timestamp-based time travel, resolved from manifest
-    * object modification times (the commit instant: a manifest object
-    * appears exactly once, at commit). Feed the result to any
+    * `epochMillis` — timestamp-based time travel, resolved from the
+    * `#ts=` commit instant recorded in each manifest header (mtime is the
+    * fallback for pre-`#ts=` manifests; rename-based commits preserve tmp
+    * mtimes and writer clocks skew, so raw mtimes need not be monotonic
+    * in generation number). A running max over generations enforces
+    * monotonicity either way: an instant always resolves to the
+    * generation actually current at that instant, never to an older
+    * generation whose recorded time lags. Feed the result to any
     * `generation =` parameter: `readManifested(spark, t,
     * Some(generationAsOf(spark, t, ts)))` is `TIMESTAMP AS OF ts`.
     * Errors when the table predates no generation (ts before the first
@@ -256,10 +284,15 @@ object LayoutOps {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     if (!fs.exists(md)) throw new java.io.IOException(
       s"$path has no committed manifest — not a manifested table")
+    var runMax = Long.MinValue
     val gens = fs.listStatus(md).toSeq
       .flatMap(s => manifestGen(s.getPath.getName)
-        .map(g => (g, s.getModificationTime)))
+        .map(g => (g, s.getPath, s.getModificationTime)))
       .sortBy(_._1)
+      .map { case (g, p, mtime) =>
+        runMax = math.max(runMax, manifestCommitMillis(fs, p).getOrElse(mtime))
+        (g, runMax)
+      }
     gens.filter(_._2 <= epochMillis).map(_._1).lastOption.getOrElse(
       throw new java.io.IOException(
         s"$path has no retained generation committed at or before " +
@@ -356,6 +389,18 @@ object LayoutOps {
         l.stripPrefix("#zorder=").split(",").toSeq.filter(_.nonEmpty)
     }.getOrElse(Nil)
 
+  /** The commit instant a manifest records (`#ts=<epochMillis>`, written
+    * at commit), if any. The authoritative timestamp for as-of time
+    * travel and history: object modification times are NOT reliable —
+    * rename-based commits preserve the tmp object's mtime on posix/HDFS,
+    * and writer clocks can skew — so mtime is only the fallback for
+    * manifests committed before this header existed. */
+  private def manifestCommitMillis(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    readHeaderLines(fs, p).collectFirst {
+      case l if l.startsWith("#ts=") => l.stripPrefix("#ts=") }
+      .flatMap(_.toLongOption)
+
   /** The operation a manifest records (`#op=write|append|compact|delete|
     * upsert|rollback:<gen>`), if any — commit provenance for
     * [[historyManifested]] and `describeManifest`. */
@@ -364,18 +409,100 @@ object LayoutOps {
     readHeaderLines(fs, p).collectFirst {
       case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
 
-  /** True iff any RETAINED manifest generation was committed with `token`
-    * — header-only reads, O(generations), bounded by vacuum retention.
-    * Scanning every generation (not just the newest) is what keeps token
+  // ---- token/generation checkpoints ----------------------------------
+  //
+  // A streaming sink committing every trigger accumulates thousands of
+  // generations; a token scan that header-reads EVERY retained manifest
+  // makes each commit O(G) object reads and the table's lifetime O(G²).
+  // The classic answer (Iceberg snapshot compaction, Delta checkpoints)
+  // is a periodically-rewritten summary object: every
+  // [[checkpointInterval]] generations, commit 0 writes
+  // `_manifests/%020d.checkpoint` holding every idempotence token
+  // committed in any generation <= its number — CHAINED from the previous
+  // checkpoint, so tokens survive even after their manifests are
+  // vacuumed. Token probes then read newest-checkpoint + the <= interval
+  // manifest headers above it: O(1)-ish per commit, independent of table
+  // age. Checkpoint content is deterministic given the chain (sorted
+  // line-per-token), so racing writers produce identical objects and the
+  // commit-arbiter race is harmless.
+
+  private val checkpointSuffix = ".checkpoint"
+
+  /** Generations between token/generation checkpoints; <= 0 disables. */
+  @volatile var checkpointInterval: Int = 25
+
+  private def checkpointGenOf(name: String): Option[Long] =
+    if (name.endsWith(checkpointSuffix))
+      name.stripSuffix(checkpointSuffix).toLongOption
+    else None
+
+  /** (generation, path) of the newest committed checkpoint, if any. */
+  private def latestCheckpoint(fs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path): Option[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(md)) None
+    else fs.listStatus(md).toSeq
+      .flatMap(s => checkpointGenOf(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(_._1).lastOption
+
+  private def readCheckpointTokens(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[String] =
+    readManifestLines(fs, p).filterNot(_.startsWith("#")).toSet
+
+  /** Write the checkpoint for generation `gen`: the previous checkpoint's
+    * tokens plus the tokens of retained manifests in (prevCkpt, gen].
+    * Losing the commit race is ignored — the racer wrote the same
+    * deterministic content. */
+  private[graft] def writeCheckpoint(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, gen: Long): Unit = {
+    val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
+    val prev = latestCheckpoint(fs, md).filter(_._1 <= gen)
+    val prevGen = prev.map(_._1).getOrElse(Long.MinValue)
+    if (prevGen == gen) return // already checkpointed
+    val prevTokens = prev.map(c => readCheckpointTokens(fs, c._2))
+      .getOrElse(Set.empty[String])
+    val fresh = fs.listStatus(md).toSeq.flatMap { s =>
+      manifestGen(s.getPath.getName)
+        .filter(g => g > prevGen && g <= gen)
+        .flatMap(_ => manifestToken(fs, s.getPath))
+    }
+    val payload = ((prevTokens ++ fresh).toSeq.sorted.mkString("\n") + "\n")
+      .getBytes("UTF-8")
+    val target = new org.apache.hadoop.fs.Path(md, f"$gen%020d$checkpointSuffix")
+    commitArbiter.tryCommit(fs, target, payload): Unit
+  }
+
+  /** Checkpoint every [[checkpointInterval]]-th generation, right after
+    * its manifest commit. Modulo-gated so the common commit pays ZERO
+    * extra object reads; a table created before checkpoints existed (or
+    * with the feature disabled for a while) catches up at the next
+    * multiple. */
+  private def maybeCheckpoint(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, gen: Long): Unit = {
+    val n = checkpointInterval
+    if (n > 0 && gen > 0 && gen % n == 0) writeCheckpoint(fs, root, gen)
+  }
+
+  /** True iff ANY manifest generation was committed with `token` — the
+    * newest checkpoint's token set (one read, covers everything at or
+    * below its generation, vacuumed manifests included) plus header reads
+    * of the <= [[checkpointInterval]] manifests above it. Scanning above
+    * the checkpoint (not just the newest manifest) is what keeps token
     * idempotence sound under interleaved writers: a replay arriving after
     * OTHER appenders advanced the table still finds its token. */
   private def tokenCommitted(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, token: String): Boolean = {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
-    fs.exists(md) && fs.listStatus(md).exists { s =>
-      manifestGen(s.getPath.getName).isDefined &&
-        manifestToken(fs, s.getPath).contains(token)
-    }
+    if (!fs.exists(md)) return false
+    val stats = fs.listStatus(md).toSeq
+    val ckpt = stats
+      .flatMap(s => checkpointGenOf(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(_._1).lastOption
+    val ckptGen = ckpt.map(_._1).getOrElse(Long.MinValue)
+    ckpt.exists(c => readCheckpointTokens(fs, c._2).contains(token)) ||
+      stats.exists { s =>
+        manifestGen(s.getPath.getName).exists(_ > ckptGen) &&
+          manifestToken(fs, s.getPath).contains(token)
+      }
   }
 
   /** Commit `files` (entry lines: a relative path, optionally followed by
@@ -392,6 +519,7 @@ object LayoutOps {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     fs.mkdirs(md)
     val header = token.map(t => s"#token=$t\n").getOrElse("") +
+      s"#ts=${System.currentTimeMillis()}\n" +
       schemaDdl.map(s => s"#schema=$s\n").getOrElse("") +
       (if (clusterCols.nonEmpty) s"#cluster=${clusterCols.mkString(",")}\n"
        else "") +
@@ -404,6 +532,7 @@ object LayoutOps {
       throw new java.io.IOException(
         s"manifest generation $gen was committed concurrently at $target — " +
           "re-read the table and retry")
+    maybeCheckpoint(fs, root, gen)
   }
 
   private def newDataDir(gen: Long): String =
@@ -1144,12 +1273,13 @@ object LayoutOps {
     * commit with the same `token` is a NO-OP — pass the micro-batch id
     * from `foreachBatch` and a restarted streaming query cannot
     * double-append its replayed batch (the manifest layout's equivalent
-    * of an idempotent sink). Tokens are scanned across ALL retained
-    * generations (header-only reads), so the no-op holds even when other
-    * writers committed between the original append and its replay; the
-    * one remaining caveat is vacuum retention — [[vacuumManifested]] with
-    * `keepHistory` shorter than the replay horizon forgets old tokens,
-    * so size retention to the longest possible replay. Creates the table
+    * of an idempotent sink). Token probes read the newest token
+    * CHECKPOINT (covers every generation at or below it, vacuumed ones
+    * included — [[vacuumManifested]] folds tokens into a checkpoint
+    * before dropping manifests) plus the few manifest headers above it,
+    * so the no-op holds even when other writers committed between the
+    * original append and its replay, at O(checkpointInterval) object
+    * reads per commit however old the table grows. Creates the table
     * when none exists. If the table records `#cluster=` columns and the
     * batch carries them all, the appended files are range-clustered the
     * same way, keeping their min/max stats selective from the first
@@ -1190,6 +1320,13 @@ object LayoutOps {
       })
     }
     var st = state().getOrElse(return)
+    // a z-ordered table rejects a caller clusterBy outright (same
+    // exclusivity writeManifested and compactManifest require) — silently
+    // recording BOTH #cluster= and #zorder= would leave later maintenance
+    // to resolve the conflict on its own
+    require(st._5.isEmpty || clusterBy.isEmpty,
+      "clusterBy and zOrderBy are alternative layouts — declare one " +
+        s"(table already declares #zorder=${st._5.mkString(",")})")
     evolveSchemaDdl(st._3, df) // fails fast, BEFORE writing
     val dataDir = newDataDir(st._1)
     // a batch carrying all of the declared layout columns (the table's
@@ -1215,8 +1352,11 @@ object LayoutOps {
           old ++ added.map(entryLineFor(conf, root, _, statsCols, blooms)),
           token, schemaDdl = Some(evolveSchemaDdl(oldDdl, df)),
           // an existing declaration wins; a table CREATED by this append
-          // adopts `clusterBy` so maintenance preserves the sink's layout
-          clusterCols = if (oldCluster.nonEmpty) oldCluster else clusterBy,
+          // adopts `clusterBy` so maintenance preserves the sink's layout.
+          // A z-ordered base (possibly turned so by a racing writer after
+          // the upfront require) never also records #cluster=
+          clusterCols = if (oldCluster.nonEmpty) oldCluster
+                        else if (oldZ.nonEmpty) Nil else clusterBy,
           op = "append", zOrderCols = oldZ)
         return
       } catch {
@@ -1693,7 +1833,8 @@ object LayoutOps {
         val tok = manifestToken(fs, s.getPath).map(t => s"  token=$t")
           .getOrElse("")
         val files = readManifestEntries(fs, s.getPath).size
-        val ts = java.time.Instant.ofEpochMilli(s.getModificationTime)
+        val ts = java.time.Instant.ofEpochMilli(
+          manifestCommitMillis(fs, s.getPath).getOrElse(s.getModificationTime))
         s"gen $g  op=$op  files=$files$tok  committed=$ts"
       }
   }
@@ -1765,9 +1906,23 @@ object LayoutOps {
       drop.foreach { e => fs.delete(e.getPath, false); removed += 1 }
       if (keep.isEmpty) fs.delete(d.getPath, true) // whole superseded generation
     }
+    // before dropping manifests, fold their tokens into a checkpoint at
+    // the current latest generation — replay idempotence then survives
+    // ANY retention window (the pre-checkpoint caveat was "vacuum
+    // retention shorter than the replay horizon forgets tokens")
+    if (checkpointInterval > 0 &&
+        fs.listStatus(md).exists(m =>
+          manifestGen(m.getPath.getName).exists(_ < cutoff)))
+      writeCheckpoint(fs, root, gen)
+    val newestCkpt = latestCheckpoint(fs, md).map(_._1)
     val tmpCutoff = System.currentTimeMillis() - math.max(0L, tmpGraceMs)
     fs.listStatus(md).foreach { m =>
       if (manifestGen(m.getPath.getName).exists(_ < cutoff))
+        fs.delete(m.getPath, false)
+      // superseded checkpoints: keep only the newest (its chain already
+      // carries every older token)
+      else if (checkpointGenOf(m.getPath.getName).exists(g =>
+          newestCkpt.exists(_ > g)))
         fs.delete(m.getPath, false)
       // a committer that died between tmp-write and rename leaks a .tmp-*
       // object; only STALE ones are cleaned (older than the grace window)

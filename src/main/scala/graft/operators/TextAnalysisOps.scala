@@ -295,4 +295,51 @@ object TextAnalysisOps {
       .agg(count(col("lp")).as("n_bigrams"),
         round(avg(col("lp")), 6).as("avg_logp"))
   }
+
+  /** Bounded-state variant of [[lmQualityScore]]: the unigram and bigram
+    * count relations are replaced by two count-min sketch matrices
+    * ([[graft.functions.CmsSketch]], `d*w` longs EACH however large the
+    * training corpus), broadcast to the scoring side as one-row
+    * relations — at 100 TB the exact bigram table is itself a multi-TB
+    * join side, while this model is a fixed few MB. The vocabulary size
+    * stays the exact one-driver-scalar aggregate. No word-keyed join
+    * remains anywhere in the plan.
+    *
+    * Bias direction: count-min never under-counts, so both c(w1,w2) and
+    * c(w1) are OVER-estimates and an unseen bigram's numerator gets its
+    * buckets' collision mass instead of 0. The net score bias is upward
+    * (documents — gibberish especially — look slightly more probable
+    * than under the exact model) and shrinks as `w` grows; size `w` a
+    * few times the distinct-bigram count for a near-exact filter.
+    */
+  def lmQualityScoreBounded(docs: DataFrame, idCol: String, textCol: String,
+                            train: Option[DataFrame] = None,
+                            addK: Double = 0.5,
+                            cmsDepth: Int = 3,
+                            cmsWidth: Int = 1 << 20): DataFrame = {
+    import graft.functions.CmsSketch
+    val t = train.getOrElse(docs)
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def bigram(a: Column, b: Column): Column = concat(a, lit(" "), b)
+    val toks = t.select(explode(TextOps.tokens(col(textCol))).as("w"))
+    val vocab = toks.agg(countDistinct(col("w"))).head.getLong(0)
+    val uniCms = toks
+      .agg(CmsSketch.cmsMatrix(h60(col("w")), cmsDepth, cmsWidth).as("uni"))
+    val biCms = docTokenPairs(t, idCol, textCol).where(col("w1").isNotNull)
+      .agg(CmsSketch.cmsMatrix(h60(bigram(col("w1"), col("w2"))),
+        cmsDepth, cmsWidth).as("bi"))
+    val model = broadcast(uniCms.crossJoin(biCms))
+    val scored = docTokenPairs(docs, idCol, textCol)
+      .crossJoin(model)
+      .withColumn("lp", when(col("w1").isNotNull,
+        log((CmsSketch.estimate(col("bi"),
+            h60(bigram(col("w1"), col("w2"))), cmsDepth, cmsWidth)
+            + lit(addK)) /
+          (CmsSketch.estimate(col("uni"), h60(col("w1")), cmsDepth, cmsWidth)
+            + lit(addK) * lit(vocab.toDouble)))))
+    scored.groupBy("doc_id")
+      .agg(count(col("lp")).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("avg_logp"))
+  }
 }

@@ -80,14 +80,37 @@ class ManifestChangeSource(
     // rows with isStreaming=true — `private[sql]` in source but public
     // bytecode, so it is reached reflectively (a third-party source
     // cannot live in org.apache.spark.sql)
-    val m = spark.getClass.getMethod("internalCreateDataFrame",
-      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
-      java.lang.Boolean.TYPE)
+    val m = ManifestChangeSource.resolveInternalCreateDataFrame(spark.getClass)
     m.invoke(spark, batch.queryExecution.toRdd, schema,
       java.lang.Boolean.TRUE).asInstanceOf[DataFrame]
   }
 
   override def stop(): Unit = ()
+}
+
+object ManifestChangeSource {
+
+  /** Resolve the `private[sql]` `internalCreateDataFrame(RDD[InternalRow],
+    * StructType, isStreaming)` seam by name on the given SparkSession
+    * class. Pinned here (and by a spec that asserts the resolved
+    * signature) so a Spark minor bump that moves or renames the method
+    * fails LOUD with the running version named, instead of a bare
+    * NoSuchMethodException surfacing mid-stream. */
+  private[graft] def resolveInternalCreateDataFrame(
+      clazz: Class[_]): java.lang.reflect.Method =
+    try clazz.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      java.lang.Boolean.TYPE)
+    catch {
+      case e: NoSuchMethodException => throw new IllegalStateException(
+        s"Spark ${org.apache.spark.SPARK_VERSION}: ${clazz.getName} no " +
+          "longer exposes internalCreateDataFrame(RDD[InternalRow], " +
+          "StructType, boolean) — the manifest-changes streaming source " +
+          "relies on this private[sql] seam to mark its micro-batch plans " +
+          "isStreaming=true (a v1 Source outside org.apache.spark.sql has " +
+          "no public equivalent). Find the renamed seam in SparkSession " +
+          "and update ManifestChangeSource.getBatch.", e)
+    }
 }
 
 /** `spark.readStream.format(...)` registration for

@@ -89,6 +89,17 @@ class CliSpec extends SparkSpec {
         "col" -> "id", "lower" -> "not-a-number"))
     }
     assert(err.getMessage.contains("not a valid long"), err.getMessage)
+    // rollback: happy path via --to-generation, then the missing-target
+    // usage error (a raw NoSuchElementException is not a CLI answer)
+    Main.run(spark, "rollback-manifest", Map("input" -> s"$base/st",
+      "to-generation" -> "0"))
+    assert(graft.operators.LayoutOps.readManifested(spark, s"$base/st")
+      .count() === 4, "rollback restored the pre-delete generation")
+    val rbErr = intercept[IllegalArgumentException] {
+      Main.run(spark, "rollback-manifest", Map("input" -> s"$base/st"))
+    }
+    assert(rbErr.getMessage.contains("--to-generation N | --as-of"),
+      rbErr.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 

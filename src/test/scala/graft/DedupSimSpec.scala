@@ -136,6 +136,57 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.contains((1L, 5L)))
   }
 
+  test("collapseIdentical: reps keep min-id per distinct key, membership covers every row") {
+    val (reps, membership) = DedupOps.collapseIdentical(
+      docs, "doc_id", md5(col("text")))
+    // texts of 1 and 5 are byte-identical; everything else is distinct
+    assert(reps.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L, 4L))
+    val m = membership.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    // reps carry every original column (the downstream kernels need them)
+    assert(reps.columns.toSet === docs.columns.toSet)
+  }
+
+  test("duplicate-heavy corpus: collapsed minhash pair set matches brute force exactly") {
+    // every base doc duplicated 5x — the distribution that made the
+    // uncollapsed band join quadratic (161x at 10x scale). The collapsed
+    // path must still emit the FULL member-level pair set, bit-for-bit
+    // against the O(n^2) oracle.
+    val dup = docs.union(docs.select(col("doc_id") + 100, col("text")))
+      .union(docs.select(col("doc_id") + 200, col("text")))
+      .union(docs.select(col("doc_id") + 300, col("text")))
+      .union(docs.select(col("doc_id") + 400, col("text")))
+    val brute = DedupOps.ngramJaccardPairs(dup, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = DedupOps.minhashNearDupPairs(dup, "doc_id", "text", 3, 12, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (k, v) => assert(brute(k) === v, s"pair $k") }
+    // every exact-duplicate pair must surface with jaccard exactly 1.0
+    // (within-group expansion), e.g. the five copies of doc 1 and doc 5
+    val copies1 = Seq(1L, 5L, 101L, 105L, 201L, 205L, 301L, 305L, 401L, 405L)
+    for (a <- copies1; b <- copies1 if a < b)
+      assert(lsh((a, b)) === 1.0, s"identical pair ($a,$b)")
+    assert(lsh.keySet === brute.keySet,
+      "100% recall at j>=0.5 on this corpus: collapse must not drop pairs")
+  }
+
+  test("duplicate-heavy corpus: collapsed simhash pairs equal all-pairs hamming brute force") {
+    val dup = docs.union(docs.select(col("doc_id") + 100, col("text")))
+      .union(docs.select(col("doc_id") + 200, col("text")))
+    val sims = DedupOps.simhash(dup, "doc_id", "text")
+    val sh = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 3
+    } yield (a, b) -> d).toMap
+    val got = DedupOps.simhashNearDupPairs(sims, "id", "simhash", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // pigeonhole blocking is exact at maxDist+1 blocks, and the collapse
+    // expansion must restore every member pair with its true distance
+    assert(got === brute)
+  }
+
   test("hoisted hyperplane codes equal the per-element column reference") {
     import graft.operators.SimilarityOps
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

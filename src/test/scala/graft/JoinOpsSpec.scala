@@ -71,6 +71,41 @@ class JoinOpsSpec extends SparkSpec {
     assert(gotK === bruteK)
   }
 
+  test("rangeJoinOccupancy: per-bucket candidate products account for the " +
+      "join's exact pre-filter candidate count") {
+    val points = (0 until 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "p")
+    val intervals = Seq(
+      (1L, 5.0, 12.0), (2L, 11.9, 12.1), (3L, 50.0, 130.0),
+      (4L, 200.0, 300.0), (5L, -10.0, -1.0)
+    ).toDF("iid", "lo", "hi")
+    for (w <- Seq(0.5, 7.0, 1000.0)) {
+      // ground truth: candidates the equi-join actually meets = pairs
+      // agreeing on the point's bucket (each pair meets in EXACTLY one)
+      val trueCands = points
+        .withColumn("__b", floor(col("p") / w).cast("long"))
+        .join(intervals.withColumn("__b",
+          explode(sequence(floor(col("lo") / w).cast("long"),
+            floor(col("hi") / w).cast("long")))), "__b")
+        .count()
+      val occ = JoinOps.rangeJoinOccupancy(points, "p",
+        intervals, "lo", "hi", w)
+      val total = occ.agg(sum(col("candidates"))).head.getLong(0)
+      assert(total === trueCands, s"width=$w")
+      // a fat-tailed width choice shows up as one worst bucket carrying
+      // most of the candidate mass — the signal the telemetry exists for
+      val worst = occ.agg(max(col("candidates"))).head.getLong(0)
+      assert(worst <= total)
+    }
+    // keyed variant partitions occupancy by key too
+    val kp = points.withColumn("k", col("pid") % 2)
+    val ki = intervals.withColumn("k", col("iid") % 2)
+    val occK = JoinOps.rangeJoinOccupancy(kp, "p", ki, "lo", "hi", 7.0,
+      keyCol = Some("k"))
+    assert(occK.columns.toSeq ===
+      Seq("__bucket", "k", "n_points", "n_intervals", "candidates"))
+    assert(occK.where(col("candidates") > 0).count() > 0)
+  }
+
   test("as-of join output keeps every left row exactly once") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("ts"))

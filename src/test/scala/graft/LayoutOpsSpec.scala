@@ -1178,13 +1178,30 @@ class LayoutOpsSpec extends SparkSpec {
       LayoutOps.appendManifested(spark.range(10, 20).toDF("id"), mt)
       LayoutOps.appendManifested(spark.range(20, 30).toDF("id"), mt)
       // pin distinct, known commit instants (commits in one test run can
-      // land inside the same millisecond)
+      // land inside the same millisecond) by rewriting the authoritative
+      // #ts= header each manifest records at commit; ALSO scramble the
+      // object mtimes to prove they no longer drive resolution (renames
+      // preserve tmp mtimes and clocks skew, so mtime is fallback only)
       val root = new org.apache.hadoop.fs.Path(mt)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val t0 = 1700000000000L
-      for (g <- 0L to 2L)
-        fs.setTimes(new org.apache.hadoop.fs.Path(s"$mt/_manifests",
-          f"$g%020d.manifest"), t0 + g * 60000L, -1)
+      for (g <- 0L to 2L) {
+        val mp = new org.apache.hadoop.fs.Path(s"$mt/_manifests",
+          f"$g%020d.manifest")
+        val content = {
+          val in = fs.open(mp)
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        }
+        assert(content.contains("#ts="), s"gen $g must record a commit instant")
+        val pinned = content.replaceAll("(?m)^#ts=\\d+$", s"#ts=${t0 + g * 60000L}")
+        fs.delete(mp, false)
+        val out = fs.create(mp, false)
+        try out.write(pinned.getBytes("UTF-8")) finally out.close()
+        // mtimes deliberately ANTI-monotonic in generation number
+        fs.setTimes(mp, t0 + (2L - g) * 3600000L, -1)
+      }
       assert(LayoutOps.generationAsOf(spark, mt, t0) === 0L)
       assert(LayoutOps.generationAsOf(spark, mt, t0 + 59999L) === 0L)
       assert(LayoutOps.generationAsOf(spark, mt, t0 + 60000L) === 1L)
@@ -1197,7 +1214,135 @@ class LayoutOpsSpec extends SparkSpec {
         LayoutOps.generationAsOf(spark, mt, t0 - 1L)
       }
       assert(e.getMessage.contains("no retained generation"))
+      // legacy manifests (no #ts=) fall back to mtime under a running max:
+      // strip gen 2's header line; its anti-monotonic mtime (t0+0h, older
+      // than gen 1's) must NOT make an as-of BEFORE gen1's instant pick it
+      val mp2 = new org.apache.hadoop.fs.Path(s"$mt/_manifests",
+        f"${2L}%020d.manifest")
+      val c2 = {
+        val in = fs.open(mp2)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      }
+      fs.delete(mp2, false)
+      val out2 = fs.create(mp2, false)
+      try out2.write(c2.replaceAll("(?m)^#ts=\\d+$\\n", "").getBytes("UTF-8"))
+      finally out2.close()
+      fs.setTimes(mp2, t0, -1) // mtime says "at gen 0's instant" — a lie
+      // without the running max, gen 2's lagging stamp (t0) would make
+      // asOf(t0 + 59999) resolve to gen 2 — a generation that did not
+      // exist before gen 1 did; the clamp keeps it at gen 0
+      assert(LayoutOps.generationAsOf(spark, mt, t0 + 59999L) === 0L,
+        "a legacy mtime lagging earlier generations must not shadow them")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("ConditionalPutCommitArbiter read-back detects a lost race on a " +
+      "check-at-open store (stock-S3A create semantics)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fauxs3.impl", classOf[FauxCheckAtOpenFileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-s3race").toString
+    val target = new org.apache.hadoop.fs.Path(s"fauxs3://$base/gen0.manifest")
+    val fs = target.getFileSystem(conf)
+    try {
+      // a competing committer's unconditional PUT lands in the window
+      // between OUR close and the read-back: on stock S3A both writers
+      // pass the open-time existence check, and without the read-back the
+      // loser would return true while its payload was silently replaced
+      FauxCheckAtOpenFileSystem.afterPut = Some(() => {
+        val out = fs.create(target, true)
+        try out.write("winner-payload".getBytes("UTF-8")) finally out.close()
+      })
+      assert(!LayoutOps.ConditionalPutCommitArbiter.tryCommit(
+        fs, target, "loser-payload".getBytes("UTF-8")),
+        "a superseded PUT must report the commit as lost, not silently won")
+      // and an uncontended commit on the same store still wins
+      val t2 = new org.apache.hadoop.fs.Path(s"fauxs3://$base/gen1.manifest")
+      assert(LayoutOps.ConditionalPutCommitArbiter.tryCommit(
+        fs, t2, "solo".getBytes("UTF-8")))
+    } finally {
+      FauxCheckAtOpenFileSystem.afterPut = None
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("appendManifested rejects a clusterBy on a table that declares " +
+      "z-order (single-layout header stays single)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-zappend").toString
+    val mt = s"$base/t"
+    try {
+      LayoutOps.writeManifested(
+        spark.range(100).select(col("id"), (col("id") % 7).as("v")),
+        mt, numFiles = 2, statsCols = Seq("id", "v"), zOrderBy = Seq("id", "v"))
+      val e = intercept[IllegalArgumentException] {
+        LayoutOps.appendManifested(
+          spark.range(100, 200).select(col("id"), (col("id") % 7).as("v")),
+          mt, clusterBy = Seq("id"))
+      }
+      assert(e.getMessage.contains("alternative layouts"))
+      // a clusterBy-free append on the same table still lands fine
+      LayoutOps.appendManifested(
+        spark.range(100, 200).select(col("id"), (col("id") % 7).as("v")), mt)
+      assert(LayoutOps.readManifested(spark, mt).count() === 200)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("500-generation table: commit-time metadata reads stay O(interval) " +
+      "via token checkpoints, and tokens survive vacuum") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fauxcnt.impl", classOf[FauxOpenCountFileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mt = s"fauxcnt://$base/t"
+    import spark.implicits._
+    try {
+      // hand-author 500 header-only (empty) generations, one token each —
+      // the shape a per-trigger streaming sink leaves behind, built
+      // without 500 Spark jobs
+      val md = new java.io.File(s"$base/t/_manifests")
+      assert(md.mkdirs())
+      for (g <- 0 until 500) {
+        val w = new java.io.FileWriter(new java.io.File(md, f"$g%020d.manifest"))
+        try w.write(s"#token=tok$g\n#ts=${1700000000000L + g}\n" +
+          "#schema=id BIGINT\n#op=append\n")
+        finally w.close()
+      }
+      // first append commits gen 500 (an interval multiple): it pays the
+      // one-time back-fill that reads all 500 headers and writes the
+      // checkpoint chain's first object
+      LayoutOps.appendManifested(Seq(500L).toDF("id"), mt,
+        token = Some("tok500"))
+      assert(new java.io.File(md, f"${500L}%020d.checkpoint").exists(),
+        "interval-multiple commit must write the checkpoint")
+      // steady state: ONE tokened append against the 500-generation table
+      // reads the checkpoint + the few headers above it, not 500 objects
+      FauxOpenCountFileSystem.manifestOpens.set(0)
+      LayoutOps.appendManifested(Seq(501L).toDF("id"), mt,
+        token = Some("tok501"))
+      val opens = FauxOpenCountFileSystem.manifestOpens.get()
+      assert(opens <= 2 * LayoutOps.checkpointInterval,
+        s"commit-time manifest reads must be O(interval), got $opens")
+      assert(LayoutOps.readManifested(spark, mt).count() === 2)
+      // replay of a token recorded 490+ generations ago: found in the
+      // checkpoint (not by scanning 500 headers), so the append no-ops
+      LayoutOps.appendManifested(Seq(999L).toDF("id"), mt, token = Some("tok7"))
+      assert(LayoutOps.readManifested(spark, mt).count() === 2,
+        "tok7 replay must be a no-op through the checkpoint")
+      // vacuum far below the replay horizon: folds dropped manifests'
+      // tokens into a fresh checkpoint first, so idempotence still holds
+      LayoutOps.vacuumManifested(spark, mt, keepHistory = 3)
+      assert(!new java.io.File(md, f"${3L}%020d.manifest").exists(),
+        "old manifests vacuumed")
+      LayoutOps.appendManifested(Seq(998L).toDF("id"), mt, token = Some("tok3"))
+      assert(LayoutOps.readManifested(spark, mt).count() === 2,
+        "tok3 replay must be a no-op even after its manifest was vacuumed")
+      // the superseded first checkpoint is gone; the newest survives
+      val ckpts = md.listFiles().filter(_.getName.endsWith(".checkpoint"))
+      assert(ckpts.length === 1, ckpts.map(_.getName).mkString(","))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
   }
 
   test("inherited stats columns exclude the __rows key and bloom-only columns") {

@@ -125,4 +125,26 @@ class ManifestStreamSpec extends SparkSpec {
         s"resume must replay only generations after the checkpoint: $resumed")
     }
   }
+
+  test("the reflective internalCreateDataFrame seam is pinned: the " +
+      "signature resolves on this Spark, and a moved seam fails actionably") {
+    val m = graft.streaming.ManifestChangeSource
+      .resolveInternalCreateDataFrame(spark.getClass)
+    assert(m.getParameterTypes.toSeq === Seq(
+      classOf[org.apache.spark.rdd.RDD[_]],
+      classOf[org.apache.spark.sql.types.StructType],
+      java.lang.Boolean.TYPE))
+    assert(classOf[org.apache.spark.sql.Dataset[_]]
+      .isAssignableFrom(m.getReturnType),
+      s"seam must hand back a DataFrame, got ${m.getReturnType}")
+    // the failure path names the running Spark version and the seam, so
+    // a minor-bump breakage tells the operator exactly what moved
+    val e = intercept[IllegalStateException] {
+      graft.streaming.ManifestChangeSource
+        .resolveInternalCreateDataFrame(classOf[String])
+    }
+    assert(e.getMessage.contains(org.apache.spark.SPARK_VERSION))
+    assert(e.getMessage.contains("internalCreateDataFrame"))
+    assert(e.getCause.isInstanceOf[NoSuchMethodException])
+  }
 }

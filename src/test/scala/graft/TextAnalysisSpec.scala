@@ -171,4 +171,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(vsTrain(1L).get > vsTrain(100L).get,
       "out-of-domain doc must score lower under the reference-corpus LM")
   }
+
+  test("bounded LM score: fixed-state plan (no word-keyed join), tolerance " +
+      "to the exact path on the sf0.01 corpus, bias is upward") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val bounded = TextAnalysisOps.lmQualityScoreBounded(docs, "doc_id", "text")
+    // fixed state: both count relations became broadcast one-row CMS
+    // matrices — the plan must contain NO shuffled word-keyed join (the
+    // only shuffle left is the final per-doc aggregation)
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"bounded variant must not join word-keyed relations:\n${plan.take(2000)}")
+    val exact = TextAnalysisOps.lmQualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val got = bounded.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.keySet === exact.keySet)
+    val diffs = exact.keys.toSeq.flatMap { id =>
+      assert(got(id)._1 === exact(id)._1, s"bigram count drifted for doc $id")
+      (got(id)._2, exact(id)._2) match {
+        case (Some(b), Some(e)) => Some(b - e)
+        case (None, None) => None
+        case other => fail(s"null-ness drifted for doc $id: $other")
+      }
+    }
+    // count-min never under-counts: the numerator's inflation is relative
+    // to (cbg + k) while the denominator's is damped by the k*V smoothing
+    // floor, so the net bias is upward — any negative drift is bounded by
+    // collision_mass / (k*V), far under a thousandth per pair
+    assert(diffs.forall(_ >= -0.002),
+      s"bounded score under exact beyond the k*V damping: min diff ${diffs.min}")
+    assert(diffs.max < 0.05, s"score tolerance blown: max diff ${diffs.max}")
+    assert(diffs.sum >= 0, "aggregate bias direction must be upward")
+  }
 }
