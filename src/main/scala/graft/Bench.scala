@@ -54,7 +54,9 @@ object Bench {
     // then carries "contended":true so a grader can discard the run.
     def calibrate(): Double = median((1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(1L << 27).selectExpr("sum(id * 2654435761)").collect()
+      // hash() keeps the kernel CPU-bound; summing INT hashes into a long
+      // cannot overflow ANSI arithmetic (2^27 * 2^31 << 2^63)
+      spark.range(1L << 27).selectExpr("sum(hash(id))").collect()
       (System.nanoTime() - t0) / 1e9
     })
     val calBound = sys.env.getOrElse("SPARK_GRAFT_CAL_BOUND", "2.0").toDouble

@@ -479,17 +479,15 @@ object SparkEntry {
     // relationally — cross-group pairs inherit the rep pair's distance
     // (members carry byte-identical text) and within-group pairs are 0.
     "q_levenshtein" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val (reps, membership) =
-        DedupOps.collapseIdentical(d, "doc_id", md5(col("text")))
-      val repPairs = DedupOps.minhashNearDupPairs(reps, "doc_id", "text",
+      val (reps, membership, repPairs) = DedupOps.minhashNearDupRepPairs(
+        docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text",
         shingleN = 3, k = 12, bands = 4, threshold = 0.5)
-        .select(col("ida"), col("idb"))
+      val lev = repPairs
         .join(reps.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
         .join(reps.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
         .select(col("ida"), col("idb"),
           levenshtein(col("ta"), col("tb")).as("edit_dist"))
-      DedupOps.expandPairs(repPairs, membership, Seq(lit(0).as("edit_dist")))
+      DedupOps.expandPairs(lev, membership, Seq(lit(0).as("edit_dist")))
     }),
     // JSON property extraction (get_json_object, codegen'd — no UDF)
     "q_json_kstats" -> ((s, dir) =>

@@ -206,7 +206,14 @@ object DedupOps {
   def expandPairs(repPairs: DataFrame, membership: DataFrame,
                   identicalScores: Seq[Column]): DataFrame = {
     val scoreCols = repPairs.columns.filterNot(c => c == "ida" || c == "idb")
-    val cross = repPairs
+    // materialize the refined rep pairs before fanning out: they are the
+    // BOUNDED relation here (one row per surviving near-dup rep pair, the
+    // candidate-generation + refine kernels already applied), and without
+    // the boundary the whole shingle/band/refine lineage re-plans inside
+    // the two expansion branches with no stats — measured 23 s -> <1 s on
+    // a 10x duplicate-heavy fixture for an identical 241-row input
+    val rp = repPairs.localCheckpoint()
+    val cross = rp
       .join(membership.select(col("rep").as("ida"), col("id").as("__a")), "ida")
       .join(membership.select(col("rep").as("idb"), col("id").as("__b")), "idb")
       .select(least(col("__a"), col("__b")).as("ida") +:
@@ -218,39 +225,46 @@ object DedupOps {
     cross.unionByName(within)
   }
 
-  /** MinHash+LSH near-duplicate pairs: (ida, idb, jaccard) with
-    * ida < idb and exact shingle Jaccard >= `threshold`, candidates
-    * generated by band-bucket equality.
+  /** Representative-level MinHash+LSH near-dup pairs — the building block
+    * behind [[minhashNearDupPairs]], exposed for callers that refine the
+    * candidate pairs with their OWN kernel (e.g. a levenshtein refine):
+    * run the kernel on `repPairs` (one evaluation per distinct-text pair),
+    * then [[expandPairs]] with the kernel's identical-pair value.
     *
-    * Duplicate-safe: rows with identical shingle-hash arrays are collapsed
-    * to one representative before banding ([[collapseIdentical]]), so band
-    * buckets never hold exact-duplicate groups and the candidate join stays
-    * linear on duplicate-heavy corpora; member pairs are restored
-    * relationally afterwards (jaccard 1 by construction, always >=
-    * threshold).
+    * Byte-identical texts collapse to one representative BEFORE the
+    * shingle-hash kernel ([[collapseIdentical]] on md5(text) — one md5 of
+    * an already-materialized string per row), so on a duplicate-heavy
+    * corpus the shingle/minhash kernels, the band self-join, and the
+    * jaccard refine all run once per DISTINCT text: candidate generation
+    * stays linear however many exact copies each document has (the
+    * uncollapsed band join was quadratic in copy count — 161x on a 10x
+    * duplicate-heavy fixture).
+    *
+    * @return (reps, membership, repPairs): `reps` are the surviving
+    *         (idCol, textCol) rows, `membership` maps every id to its
+    *         rep, `repPairs` is (ida, idb, jaccard) over rep ids.
     */
-  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-                          threshold: Double = 0.5): DataFrame = {
+  def minhashNearDupRepPairs(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                             threshold: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
+    val (reps, membership) = collapseIdentical(
+      docs.select(col(idCol), col(textCol)), idCol, md5(col(textCol)))
     // localCheckpoint (not persist) materializes the per-shingle hashing
     // ONCE — without the boundary CollapseProject would inline `hs` into
     // every consumer and recompute the kernel per use. Checkpoint RDDs are
     // context-cleaned when unreferenced; a persist here would sit in the
     // session CacheManager forever (no unpersist hook after the lazy
     // result escapes).
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = reps.select(col(idCol).as("id"),
       shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as("hs"))
       .localCheckpoint()
-    // collapse identical hash arrays: the group key is md5 of the array
-    // rendering (32 chars through the shuffle, not the array itself)
-    val (reps, membership) = collapseIdentical(sh, "id",
-      md5(concat_ws(",", transform(col("hs"), _.cast("string")))))
     // Band join and pair-dedup move ONLY (band, hash, id) — the shingle
     // arrays stay out of the self-join shuffle and are re-attached once per
     // surviving candidate (at 100 TB the arrays dwarf the id pairs).
-    val banded = reps.select(col("id"),
+    val banded = sh.select(col("id"),
       posexplode(lshBandHashes(minhashSignature64(col("hs"), k), bands, rowsPerBand))
         .as(Seq("band", "bh")))
     val cands = banded.as("a").join(banded.as("b"),
@@ -262,11 +276,28 @@ object DedupOps {
     // strings — integer set-intersection, same result (collision odds at
     // 2^60 are negligible AND the oracle hashes identically)
     val repPairs = cands
-      .join(reps.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
-      .join(reps.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
+      .join(sh.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
+      .join(sh.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
       .select(col("ida"), col("idb"),
         call_function("graft_jaccard", col("hsa"), col("hsb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (reps, membership, repPairs)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: (ida, idb, jaccard) with
+    * ida < idb and exact shingle Jaccard >= `threshold`, candidates
+    * generated by band-bucket equality.
+    *
+    * Duplicate-safe ([[minhashNearDupRepPairs]]): byte-identical texts
+    * collapse before shingling, kernels and the band join run per
+    * distinct text, and member pairs are restored relationally afterwards
+    * (jaccard 1 by construction, always >= threshold).
+    */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val (_, membership, repPairs) =
+      minhashNearDupRepPairs(docs, idCol, textCol, shingleN, k, bands, threshold)
     expandPairs(repPairs, membership, Seq(lit(1.0).as("jaccard")))
   }
 

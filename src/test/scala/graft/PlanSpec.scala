@@ -69,9 +69,16 @@ class PlanSpec extends SparkSpec {
     val langid = planOf("q_langid")
     val line = langid.linesIterator.find(_.contains("graft_langid")).getOrElse("")
     assert(line.contains("*("), s"q_langid kernel fell out of codegen:\n$langid")
-    for (q <- Seq("q_fingerprint", "q_dedup_minhash")) {
-      assert(planOf(q).contains("graft_"), s"$q has no kernel call")
-    }
+    assert(planOf("q_fingerprint").contains("graft_"),
+      "q_fingerprint has no kernel call")
+    // q_dedup_minhash's FINAL plan is the member expansion over an eagerly
+    // materialized rep-pair checkpoint (expandPairs' lineage boundary), so
+    // the kernels live in the rep-level builder's plan, not the query's
+    val (_, _, repPairs) = graft.operators.DedupOps.minhashNearDupRepPairs(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val rp = repPairs.queryExecution.executedPlan.toString
+    assert(rp.contains("graft_minhash") && rp.contains("graft_jaccard"),
+      s"rep-pair builder lost its kernels:\n$rp")
   }
 
   test("KMV sketch aggregation has a partial (map-side combine) phase") {
