@@ -17,6 +17,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The pipeline tables compress ~50:1 (duplicate-heavy text), so the
+      // default 128 MB split target under-parallelizes CPU-dense text
+      // kernels by 1-2 orders of magnitude at bench scale: a 10x
+      // documents table is ~9 MB compressed = ONE scan partition for 32
+      // cores. 4 MB splits size partitions to the work, per the standard
+      // guidance of tuning files.maxPartitionBytes to the corpus's
+      // compression ratio. No effect on the driver's single-row-group
+      // sf0.1 files (a parquet row group is the minimum split) — only on
+      // multi-row-group scale fixtures, where a real table's many-files
+      // layout is what is being emulated.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: session/codegen/FS init otherwise lands on the

@@ -248,14 +248,21 @@ object TextAnalysisOps {
     * evidence", not vanish). */
   private def docTokenPairs(docs: DataFrame, idCol: String,
                             textCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    // Tokenize in a projection of its own: the pair expression below
+    // references the token array 5 times, and split/trim re-evaluated
+    // per reference is the dominant per-row cost. CollapseProject keeps
+    // a non-cheap alias that is referenced more than once, so `toks`
+    // stays a separate codegen'd projection evaluated once per doc.
+    val withT = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val toks = col("toks")
     val pairs = when(size(toks) >= 2,
       zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    docs.select(col(idCol).as("doc_id"), explode_outer(pairs).as("p"))
+    withT.select(col("doc_id"), explode_outer(pairs).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
   }
 
@@ -322,21 +329,35 @@ object TextAnalysisOps {
     def h60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     def bigram(a: Column, b: Column): Column = concat(a, lit(" "), b)
+    // ONE corpus pass builds the unigram matrix AND the exact vocab
+    // scalar (the distinct agg shares the tokenize/hash work via Expand);
+    // one more builds the bigram matrix. The 1-row model is materialized
+    // (localCheckpoint) so reading the vocab scalar on the driver does
+    // not re-run either aggregation when the scoring query executes.
     val toks = t.select(explode(TextOps.tokens(col(textCol))).as("w"))
-    val vocab = toks.agg(countDistinct(col("w"))).head.getLong(0)
-    val uniCms = toks
-      .agg(CmsSketch.cmsMatrix(h60(col("w")), cmsDepth, cmsWidth).as("uni"))
+    val uniModel = toks.agg(
+      CmsSketch.cmsMatrix(h60(col("w")), cmsDepth, cmsWidth).as("uni"),
+      countDistinct(col("w")).as("vocab"))
     val biCms = docTokenPairs(t, idCol, textCol).where(col("w1").isNotNull)
       .agg(CmsSketch.cmsMatrix(h60(bigram(col("w1"), col("w2"))),
         cmsDepth, cmsWidth).as("bi"))
-    val model = broadcast(uniCms.crossJoin(biCms))
+    val model = uniModel.crossJoin(biCms).localCheckpoint()
+    val vocab = model.select(col("vocab")).head.getLong(0)
+    // Hoist the two item hashes into their own projection: estimate()
+    // references its hash operand 3x per depth row (9x at depth 3), and
+    // the md5 chain sits inside a `when` branch where codegen CSE does
+    // not apply — inlined, each scoring row pays ~18 md5 evaluations.
+    // As a non-cheap multiply-referenced alias the projection survives
+    // CollapseProject, so each hash is computed exactly once per pair.
     val scored = docTokenPairs(docs, idCol, textCol)
-      .crossJoin(model)
+      .select(col("doc_id"), col("w1"),
+        h60(bigram(col("w1"), col("w2"))).as("bh"),
+        h60(col("w1")).as("uh"))
+      .crossJoin(broadcast(model.drop("vocab")))
       .withColumn("lp", when(col("w1").isNotNull,
-        log((CmsSketch.estimate(col("bi"),
-            h60(bigram(col("w1"), col("w2"))), cmsDepth, cmsWidth)
+        log((CmsSketch.estimate(col("bi"), col("bh"), cmsDepth, cmsWidth)
             + lit(addK)) /
-          (CmsSketch.estimate(col("uni"), h60(col("w1")), cmsDepth, cmsWidth)
+          (CmsSketch.estimate(col("uni"), col("uh"), cmsDepth, cmsWidth)
             + lit(addK) * lit(vocab.toDouble)))))
     scored.groupBy("doc_id")
       .agg(count(col("lp")).as("n_bigrams"),
