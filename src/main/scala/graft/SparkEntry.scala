@@ -859,6 +859,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(unix_micros(col("ts"))).as("start_us"),
           max(unix_micros(col("ts"))).as("end_us"))),
+
+    // ---- training-data pipeline: corpus curation (CurationOps) ----
+    // repeated-substring detection: token 8-gram windows recurring
+    // corpus-wide, merged into maximal spans (exact-substring dedup at
+    // window granularity — doc-level dedup's missing finer level)
+    "q_dup_spans" -> ((s, dir) =>
+      CurationOps.duplicateSpans(docs(s, dir), "doc_id", "text", k = 8)),
+    // keep-first removal of those spans: per-doc token loss + digest of
+    // the rewritten body (narrow result; full text never shuffles)
+    "q_dup_span_removal" -> ((s, dir) =>
+      CurationOps.removeDuplicateSpans(docs(s, dir), "doc_id", "text", k = 8)),
+    // corpus-composition report: source x language mixture shares
+    "q_mixture_report" -> ((s, dir) =>
+      CurationOps.mixtureReport(docs(s, dir), "text", Seq("source", "lang"))),
+    // deterministic downsample-only resample to a target language mix
+    // (zh has no target weight -> dropped entirely)
+    "q_mixture_resample" -> ((s, dir) =>
+      CurationOps.mixtureResample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15))),
+    // concat-and-chunk sequence packing: 256-token sequences, 8 buckets
+    "q_pack_sequences" -> ((s, dir) =>
+      CurationOps.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 256, numBuckets = 8)),
   )
 
   private def graphEdges(s: SparkSession, dir: String): DataFrame =
@@ -1665,6 +1688,105 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY event_type
         |                            ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    // ---- corpus curation (CurationOps) ----
+    "q_dup_spans" ->
+      s"""WITH $dupWindowCtes,
+         |g AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+         |                                       ORDER BY pos) + 8
+         |             THEN 1 ELSE 0 END AS gap
+         |      FROM dw),
+         |i AS (SELECT doc_id, pos,
+         |        sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM g)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |       count(*) AS n_windows
+         |FROM i GROUP BY doc_id, island""".stripMargin,
+    "q_dup_span_removal" ->
+      s"""WITH $dupWindowCtes,
+         |r AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+         |      FROM dw),
+         |rm AS (SELECT doc_id, pos FROM r WHERE rk > 1),
+         |g AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+         |                                       ORDER BY pos) + 8
+         |             THEN 1 ELSE 0 END AS gap
+         |      FROM rm),
+         |i AS (SELECT doc_id, pos,
+         |        sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM g),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |       FROM i GROUP BY doc_id, island),
+         |rp AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos FROM sp),
+         |aff AS (SELECT DISTINCT doc_id FROM rp),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok,
+         |          unnest(generate_series(0, len(toks)-1)) AS tpos
+         |        FROM t WHERE doc_id IN (SELECT doc_id FROM aff)),
+         |keep AS (SELECT tok.doc_id, tok.tpos, tok.tok
+         |         FROM tok LEFT JOIN rp
+         |           ON tok.doc_id = rp.doc_id AND tok.tpos = rp.tpos
+         |         WHERE rp.doc_id IS NULL),
+         |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+         |              md5(string_agg(tok, ' ' ORDER BY tpos)) AS clean_digest
+         |            FROM keep GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(0 AS BIGINT) AS n_removed,
+         |       md5(array_to_string(toks, ' ')) AS clean_digest
+         |FROM t WHERE doc_id NOT IN (SELECT doc_id FROM aff)
+         |UNION ALL
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT),
+         |       CAST(len(t.toks) - r.n_kept AS BIGINT), r.clean_digest
+         |FROM t JOIN rebuilt r USING (doc_id)
+         |UNION ALL
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT),
+         |       CAST(len(t.toks) AS BIGINT), md5('')
+         |FROM t
+         |WHERE doc_id IN (SELECT doc_id FROM aff)
+         |  AND doc_id NOT IN (SELECT doc_id FROM rebuilt)""".stripMargin,
+    "q_mixture_report" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  round(count(*) / (sum(count(*)) OVER ()), 6) AS doc_share,
+         |  round(sum(len(toks)) / (sum(sum(len(toks))) OVER ()), 6)
+         |    AS token_share
+         |FROM (SELECT source, lang, text, $toksSql AS toks FROM documents)
+         |GROUP BY source, lang""".stripMargin,
+    "q_mixture_resample" ->
+      s"""WITH tgt AS (SELECT * FROM (VALUES
+         |    ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+         |    ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)))
+         |  AS v(lang, t)),
+         |d AS (SELECT doc_id, documents.lang, t
+         |      FROM documents JOIN tgt ON documents.lang = tgt.lang),
+         |c AS (SELECT lang, t, count(*) AS c FROM d GROUP BY lang, t),
+         |q AS (SELECT lang,
+         |        CAST(floor(t * (min(c / t) OVER ())) AS BIGINT) AS quota
+         |      FROM c),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang ORDER BY
+         |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+         |                                  1, 15)) AS BIGINT), doc_id) AS rk
+         |      FROM d)
+         |SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+         |FROM r JOIN q USING (lang) WHERE rk <= quota""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |         AS BIGINT) AS hkey
+         |  FROM documents),
+         |o AS (SELECT doc_id, CAST(hkey % 8 AS INT) AS bucket, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY hkey % 8
+         |               ORDER BY hkey, doc_id ROWS UNBOUNDED PRECEDING)
+         |             - n_tokens AS BIGINT) AS start_off
+         |      FROM b)
+         |SELECT doc_id, bucket, CAST(start_off // 256 AS BIGINT) AS seq_id,
+         |       CAST(start_off % 256 AS BIGINT) AS seq_offset, n_tokens
+         |FROM o""".stripMargin,
   )
 
   private val termDocTfSql =
@@ -1698,6 +1820,23 @@ object SparkEntry {
   // mirror of PipelineOps.hash60 over an `event_id` column
   private val hash60Sql =
     "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  // Repeated 8-gram window occurrences (minCount=2), mirroring
+  // CurationOps.duplicateWindows: dw(doc_id, pos, h) with t(doc_id, toks)
+  // kept visible for the removal oracle's rebuild step. Window hash =
+  // 60-bit md5 prefix of the space-joined tokens (ShingleHash64).
+  private val dupWindowCtes =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |w0 AS (SELECT doc_id,
+       |  [CAST(('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')),
+       |                           1, 15)) AS BIGINT)
+       |   FOR i IN generate_series(1, len(toks)-7)] AS hs
+       |  FROM t WHERE len(toks) >= 8),
+       |w AS (SELECT doc_id, unnest(hs) AS h,
+       |        unnest(generate_series(0, len(hs)-1)) AS pos
+       |      FROM w0),
+       |hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+       |dw AS (SELECT w.doc_id, w.pos, w.h FROM w JOIN hot USING (h))""".stripMargin
 
   // Winnowing fingerprint sets (shingleN=4, window=4), mirroring
   // TextAnalysisOps.winnowingFingerprintSets: w(doc_id, fps)
