@@ -111,11 +111,14 @@ object CurationOps {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            k: Int, minCount: Int = 2): DataFrame = {
     val wins = duplicateWindows(df, idCol, textCol, k, minCount)
-    // survivor per hash = first (id, pos); everything ranked behind it is
-    // a removal candidate
-    val byHash = Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))
-    val removals = wins.withColumn("rk", row_number().over(byHash))
-      .where(col("rk") > 1)
+    // survivor per hash = first (id, pos). min(struct) aggregates partially
+    // (map-side combine) where a row_number window over h would pack every
+    // occurrence of one boilerplate k-gram into a single window partition;
+    // the equi-join back on h is AQE-skew-splittable.
+    val keepers = wins.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("keeper"))
+    val removals = wins.join(keepers, "h")
+      .where(struct(col(idCol), col("pos")) =!= col("keeper"))
       .select(col(idCol), col("pos"))
     // disjoint spans -> one row per removed token position
     val rmPos = mergeSpans(removals, idCol, k)
