@@ -236,6 +236,16 @@ object SparkEntry {
       DedupOps.simhashNearDupPairs(
         DedupOps.simhash(docs(s, dir), "doc_id", "text"),
         "id", "simhash", bits = 60, maxDist = 3)),
+    // incremental (cross-snapshot) dedup: even doc_ids play the EXISTING
+    // corpus, odd ids the incoming batch; every incoming doc is classified
+    // exact / near / new against the corpus via a cross-side band join —
+    // the per-snapshot ingestion shape (no corpus self-pairing, no rescan)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.dedupAgainstCorpus(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+    }),
 
     // ---- training-data pipeline: similarity search over embeddings ----
     "q_ann_topk" -> ((s, dir) => {
@@ -273,6 +283,22 @@ object SparkEntry {
         emb.where(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, m = 2, cells = 4, iterations = 2)
     }),
+    // two-stage retrieve-then-refine: the PQ/ADC shortlist (20 deep) is
+    // re-ranked with exact cosine — only shortlist ids' vectors are
+    // re-read (broadcast semi-join fetch, no corpus shuffle)
+    "q_ann_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.pqTopKRerank(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, shortlist = 20, m = 2, cells = 4, iterations = 2)
+    }),
+    // SemDeDup (Abbas et al. 2023): trained-quantizer clustering bounds
+    // the pairwise cosine scan to intra-cell pairs; connected duplicate
+    // groups keep their minimum id. Identical embeddings collapse before
+    // the cell self-join (duplicate safety, same guard as text dedup).
+    "q_semdedup" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", nlist = 8, threshold = 0.45)),
     // hyperplane-LSH bucketed ANN (approximate by construction — no SQL
     // oracle; the driver records a rows-only check)
     "q_ann_lsh" -> ((s, dir) => {
@@ -1102,6 +1128,56 @@ object SparkEntry {
          |    ON x.b = y.b AND x.blkval = y.blkval AND x.doc_id < y.doc_id)
          |SELECT ida, idb, bit_count(xor(sa, sb)) AS dist
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    // incremental dedup: the engine's collapse/expand pre-pass is
+    // invisible to results, so the oracle is the direct formulation —
+    // fingerprint lookup, cross-side band join, jaccard refine, best match
+    "q_dedup_incremental" -> {
+      val mods = DedupOps.minhashMultipliers(12).map(c =>
+        s"list_min([${DedupOps.permuteHashSql("x", c)} FOR x IN hs])")
+        .mkString(",\n|    ")
+      def side(cte: String, pred: String): String =
+        s"""$cte AS (SELECT doc_id, text FROM documents WHERE $pred),
+           |${cte}_sh AS (SELECT doc_id,
+           |  CASE WHEN len(toks) >= 3
+           |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+           |                       FOR i IN generate_series(1, len(toks)-2)])
+           |    ELSE [array_to_string(toks, ' ')] END AS sh
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM $cte)),
+           |${cte}_h AS (SELECT doc_id, $hashListSql AS hs FROM ${cte}_sh),
+           |${cte}_sig AS (SELECT doc_id, [
+           |    $mods
+           |  ] AS sig FROM ${cte}_h),
+           |${cte}_b AS (SELECT doc_id, b,
+           |  md5(b || '|' || array_to_string(sig[b*3+1 : b*3+3], ',')) AS bh
+           |  FROM ${cte}_sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))"""
+      s"""WITH ${side("ex", "doc_id % 2 = 0")},
+         |${side("inc", "doc_id % 2 = 1")},
+         |efp AS (SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
+         |  min(doc_id) AS exact_id FROM ex GROUP BY 1),
+         |ifp AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |  FROM inc),
+         |ehit AS (SELECT ifp.doc_id, efp.exact_id
+         |  FROM ifp LEFT JOIN efp USING (fp)),
+         |cand AS (SELECT DISTINCT i.doc_id AS id, e.doc_id AS eid
+         |  FROM inc_b i JOIN ex_b e ON i.b = e.b AND i.bh = e.bh),
+         |ref AS (SELECT id, eid, $jaccardSql AS jaccard
+         |  FROM cand JOIN inc_h a ON cand.id = a.doc_id
+         |            JOIN ex_h b ON cand.eid = b.doc_id
+         |  WHERE $jaccardSql >= 0.5),
+         |best AS (SELECT id, eid AS near_id, jaccard AS near_jaccard FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id
+         |    ORDER BY jaccard DESC, eid ASC) AS rn FROM ref) WHERE rn = 1)
+         |SELECT e.doc_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+         |       WHEN b.near_id IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS status,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+         |       ELSE b.near_id END AS matched_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(b.near_jaccard, 6) END AS jaccard
+         |FROM ehit e LEFT JOIN best b ON e.doc_id = b.id""".stripMargin
+    },
     "q_ann_topk" ->
       s"""WITH e AS ($embSql),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
@@ -1148,6 +1224,43 @@ object SparkEntry {
     "q_ann_pq" -> pqOracleSql(cells = 4, iters = 2, topK = 5, dim = 64),
     "q_ann_ivf_trained" -> ivfTrainedOracleSql(nlist = 8, iters = 2,
       nprobe = 2, k = 5),
+    // the ADC shortlist is the q_ann_pq pipeline at depth 20 (nested as a
+    // subquery — its WITH scope is self-contained), then exact cosine
+    // re-ranks from the raw vectors
+    "q_ann_rerank" ->
+      s"""WITH cand AS (SELECT query_id, vec_id FROM (
+         |${pqOracleSql(cells = 4, iters = 2, topK = 20, dim = 64)})),
+         |e AS ($embSql),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+         |      WHERE vec_id < 3),
+         |s AS (SELECT c.query_id, c.vec_id,
+         |  round(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 6) AS cos
+         |  FROM cand c JOIN e ON c.vec_id = e.vec_id
+         |              JOIN q ON c.query_id = q.query_id)
+         |SELECT query_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM s) WHERE rn <= 5""".stripMargin,
+    // SemDeDup: unrolled-Lloyd assignment (shared CTEs with
+    // q_ann_ivf_trained), intra-cell cosine pairs at >= 0.45, components
+    // as a recursive transitive closure, min-id canonical per component
+    "q_semdedup" ->
+      s"""WITH RECURSIVE ${ivfTrainCtes(nlist = 8, iters = 2)},
+         |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |        >= 0.45),
+         |g AS (SELECT ida AS u, idb AS v FROM p
+         |      UNION SELECT idb, ida FROM p),
+         |reach AS (SELECT u, v FROM g
+         |          UNION SELECT r.u, g.v FROM reach r JOIN g ON r.v = g.u),
+         |cl AS (SELECT u AS vec_id, least(u, min(v)) AS canonical_id
+         |       FROM reach GROUP BY u)
+         |SELECT a.vec_id, a.cell,
+         |       COALESCE(cl.canonical_id, a.vec_id) AS canonical_id,
+         |       COALESCE(cl.canonical_id, a.vec_id) <> a.vec_id AS is_dup
+         |FROM asg a LEFT JOIN cl USING (vec_id)""".stripMargin,
     "q_ann_lsh" -> lshAnnOracleSql(multiProbe = false),
     "q_ann_lsh_mp" -> lshAnnOracleSql(multiProbe = true),
     "q_embed_neardup" ->
@@ -1944,8 +2057,12 @@ object SparkEntry {
        |WHERE rn <= $topK""".stripMargin
   }
 
-  private def ivfTrainedOracleSql(nlist: Int, iters: Int, nprobe: Int,
-                                  k: Int): String = {
+  /** The shared unrolled-Lloyd training CTEs (e, cents0..N, asg): seeds =
+    * the `nlist` lowest-id vectors, max-cosine assignment with lowest-cell
+    * tie-break, per-iteration 6-decimal mean quantization — ending with
+    * the full-corpus assignment `asg(vec_id, v, nrm, cell)`. Consumed by
+    * the trained-IVF probe oracle and the SemDeDup oracle. */
+  private def ivfTrainCtes(nlist: Int, iters: Int): String = {
     def iteration(i: Int): String =
       s"""asg$i AS (SELECT vec_id, v, nrm, cell FROM (
          |  SELECT e.vec_id, e.v, e.nrm, c.cell,
@@ -1962,7 +2079,7 @@ object SparkEntry {
          |  sqrt(list_dot_product(COALESCE(m$i.cv, c0.cv),
          |                        COALESCE(m$i.cv, c0.cv))) AS cnrm
          |  FROM cents${i - 1} c0 LEFT JOIN m$i USING (cell))""".stripMargin
-    s"""WITH e AS ($embSql),
+    s"""e AS ($embSql),
        |cents0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
        |           WHERE vec_id < $nlist),
        |${(1 to iters).map(iteration).mkString(",\n")},
@@ -1971,7 +2088,12 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)
        |        DESC, c.cell ASC) AS rc
-       |  FROM e CROSS JOIN cents$iters c) WHERE rc = 1),
+       |  FROM e CROSS JOIN cents$iters c) WHERE rc = 1)""".stripMargin
+  }
+
+  private def ivfTrainedOracleSql(nlist: Int, iters: Int, nprobe: Int,
+                                  k: Int): String = {
+    s"""WITH ${ivfTrainCtes(nlist, iters)},
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
        |      WHERE vec_id < 3),
        |probe AS (SELECT query_id, qv, qnrm, cell FROM (

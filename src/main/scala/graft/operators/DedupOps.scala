@@ -489,4 +489,95 @@ object DedupOps {
       .where(col("dist") <= maxDist)
     expandPairs(repPairs, membership, Seq(lit(0).as("dist")))
   }
+
+  /** Incremental (cross-snapshot) dedup: classify every document of an
+    * incoming batch against an EXISTING corpus without re-deduplicating
+    * the corpus — the shape a continuously-ingesting training pipeline
+    * runs on every new crawl snapshot. Each incoming doc gets a status:
+    *
+    *  - `exact`: its bag-of-words fingerprint ([[tokenSetFingerprint]])
+    *    already exists in the corpus; `matched_id` is the lowest matching
+    *    corpus id, `jaccard` 1.0.
+    *  - `near`: no exact hit, but a MinHash band bucket it shares with a
+    *    corpus doc refines to shingle Jaccard >= `threshold`; `matched_id`
+    *    is the best corpus match (highest jaccard, ties -> lowest id).
+    *  - `new`: neither — safe to ingest.
+    *
+    * Scale design: candidates come from a band-bucket EQUI-join between
+    * the two sides (never a self-join of the union — the corpus never
+    * pairs with itself), moving only (band, hash, id); both sides pass
+    * through [[collapseIdentical]] first so duplicate-heavy snapshots
+    * keep candidate generation linear, and decisions computed on
+    * representatives rejoin to members relationally. At 100 TB the
+    * corpus-side shingle/signature relation is exactly what a production
+    * pipeline would persist between snapshots (signatures are pure
+    * md5-derived column functions of the text, so a stored copy and a
+    * recomputation are interchangeable) — the incremental cost per
+    * snapshot is then one pass over the BATCH plus the band join, never a
+    * corpus rescan. The best-match pick is a groupBy max(struct) — a
+    * map-side-combined aggregation, not a window over the batch.
+    *
+    * @return one row per incoming doc: (id, status, matched_id, jaccard)
+    */
+  def dedupAgainstCorpus(existing: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, "k must be divisible by bands")
+    val (eReps, _) = collapseIdentical(
+      existing.select(col(idCol), col(textCol)), idCol, md5(col(textCol)))
+    val (iReps, iMem) = collapseIdentical(
+      incoming.select(col(idCol), col(textCol)), idCol, md5(col(textCol)))
+    // exact membership: corpus fingerprints collapse to (fp, min id). A
+    // rep's id is already its text group's min, so min over reps = global
+    // min per fingerprint.
+    val eFp = eReps.groupBy(tokenSetFingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("exact_id"))
+    val iFp = iReps.select(col(idCol).as("id"),
+      tokenSetFingerprint(col(textCol)).as("fp"))
+    val exactHit = iFp.join(eFp, Seq("fp"), "left_outer")
+      .select(col("id"), col("exact_id"))
+    // near candidates: band join BETWEEN snapshots (a.id from incoming
+    // reps, b.id from corpus reps) — same (band, hash) movement discipline
+    // as minhashNearDupRepPairs, no within-side pairs.
+    def banded(side: DataFrame, outId: String) = {
+      val sh = side.select(col(idCol).as(outId),
+        shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as(s"hs_$outId"))
+        .localCheckpoint()
+      val b = sh.select(col(outId),
+        posexplode(lshBandHashes(
+          minhashSignature64(col(s"hs_$outId"), k), bands, rowsPerBand))
+          .as(Seq("band", "bh")))
+      (sh, b)
+    }
+    val (iSh, iBand) = banded(iReps, "id")
+    val (eSh, eBand) = banded(eReps, "eid")
+    val cands = iBand.join(eBand, Seq("band", "bh"))
+      .select(col("id"), col("eid")).distinct()
+    val refined = cands
+      .join(iSh, "id").join(eSh, "eid")
+      .select(col("id"), col("eid"),
+        call_function("graft_jaccard", col("hs_id"), col("hs_eid")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    // best corpus match per incoming rep: max jaccard, ties -> lowest eid
+    val best = refined.groupBy("id")
+      .agg(max(struct(col("jaccard"), (-col("eid")).as("neg"))).as("b"))
+      .select(col("id"), (-col("b.neg")).as("near_id"),
+        col("b.jaccard").as("near_jaccard"))
+    val repDecision = exactHit.join(best, Seq("id"), "left_outer")
+      .select(col("id").as("rep"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        when(col("exact_id").isNotNull, col("exact_id"))
+          .otherwise(col("near_id")).as("matched_id"),
+        when(col("exact_id").isNotNull, lit(1.0))
+          .otherwise(round(col("near_jaccard"), 6)).as("jaccard"))
+    // members inherit their representative's decision (identical text ->
+    // identical fingerprint, signature, and jaccard by construction)
+    iMem.join(repDecision, "rep")
+      .select(col("id").as(idCol), col("status"), col("matched_id"),
+        col("jaccard"))
+  }
 }

@@ -468,4 +468,105 @@ object SimilarityOps {
         round(score, 6).as("score"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
+
+  /** PQ-ANN with exact re-ranking: [[pqTopK]]'s ADC scan produces a
+    * `shortlist`-deep candidate set per query, then ONLY those candidates'
+    * full vectors are re-read and scored with exact cosine — the standard
+    * two-stage retrieve-then-refine recipe (shortlist quality from the
+    * compressed index, ranking quality from exact math).
+    *
+    * Scale design: the shortlist relation is |queries| × `shortlist` rows
+    * of (query_id, vec_id) — broadcast it against the corpus, so the
+    * refine stage is one corpus scan that materializes vectors for
+    * candidate ids only (a broadcast semi-join fetch, not a corpus
+    * shuffle), followed by a per-query window over ≤ `shortlist` rows.
+    * The ADC stage's determinism (rounded scores, id tie-breaks) makes
+    * the shortlist — and therefore the re-ranked result — hash-stable.
+    */
+  def pqTopKRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, shortlist: Int, m: Int = 2, cells: Int = 4,
+                   iterations: Int = 2,
+                   codebooks: Option[PqCodebook] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      k = shortlist, m = m, cells = cells, iterations = iterations,
+      codebooks = codebooks)
+      .select(col("query_id"), col("vec_id"))
+    val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
+    val q = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
+    val joined = c.join(broadcast(cand), "vec_id").join(broadcast(q), "query_id")
+    val cos = fastDot(joined, col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    joined.select(col("query_id"), col("vec_id"), round(cos, 6).as("cos"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the trained IVF
+    * quantizer, call two documents semantic duplicates when their cosine
+    * within a shared cluster reaches `threshold`, and keep one canonical
+    * doc (minimum id) per connected duplicate group.
+    *
+    * Scale design: the clustering is what bounds the quadratic — pair
+    * generation is an intra-cell self-join, so cost is Σ|cell|², never
+    * n²; `nlist` grows with the corpus to hold expected cell size
+    * constant (the paper's recipe). Exactly-identical embeddings collapse
+    * to one representative BEFORE the self-join
+    * ([[DedupOps.collapseIdentical]] keyed on the vector bytes) — the
+    * same duplicate-safety guard as the fuzzy text dedup family: an
+    * embedding duplicated a million times would otherwise occupy one cell
+    * with a 10¹²-pair join. Members rejoin relationally (identical
+    * vectors are cosine-1 duplicates of their representative by
+    * construction). Components come from the pointer-jumping
+    * [[DedupOps.connectedComponents]] (O(log n) rounds).
+    *
+    * Determinism: trained centroids are coordinate-quantized per
+    * iteration (`roundDecimals`), assignment ties break to the lowest
+    * cell, and the pair threshold applies to the 6-decimal-rounded
+    * cosine, so the result is hash-stable and oracle-comparable.
+    *
+    * @return (vec_id, cell, canonical_id, is_dup) for every corpus row
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, threshold: Double, iterations: Int = 2,
+                    roundDecimals: Option[Int] = Some(6)): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, iterations,
+      roundDecimals)
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("cell", LongType),
+          StructField("canonical_id", LongType),
+          StructField("is_dup", BooleanType))))
+    }
+    val ided = corpus.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v0"))
+    val (reps0, membership) = DedupOps.collapseIdentical(
+      ided, "vec_id", md5(to_json(struct(col("v0")))))
+    val reps = reps0.select(col("vec_id"), col("v0").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val assigned = reps.withColumn("cell",
+      nearestCellFor(reps, cents, col("v"), col("nrm"))).localCheckpoint()
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        round(fastDot(assigned, col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+    val comp = DedupOps.connectedComponents(pairs)
+      .select(col("id").as("rep"), col("cluster_id"))
+    // members inherit their representative's component; reps without any
+    // near pair are their own canonical (and so are their members' —
+    // identical vectors cluster with the rep by construction)
+    membership
+      .join(assigned.select(col("vec_id").as("rep"), col("cell")), "rep")
+      .join(comp, Seq("rep"), "left_outer")
+      .select(col("id").as("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("rep")).as("canonical_id"))
+      .withColumn("is_dup", col("vec_id") =!= col("canonical_id"))
+  }
 }

@@ -372,4 +372,113 @@ class DedupSimSpec extends SparkSpec {
       assert(brute.get(key).forall(_._1 === cos), s"score mismatch at $key")
     }
   }
+
+  test("dedupAgainstCorpus classifies exact / near / new, duplicate-safe") {
+    val existing = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog") // corpus-internal dup
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // byte-exact
+      (3L, "dog lazy the over jumps fox brown quick the"),  // same token SET
+      (5L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
+      (7L, "entirely novel text on manifest committed tables today"), // new
+      (9L, "the quick brown fox jumps over the lazy dog")   // dup of incoming 1
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupAgainstCorpus(existing, incoming, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(out.size === 5, "one decision per incoming doc")
+    assert(out(1L) === (("exact", Some(0L))), "byte-identical -> lowest corpus id")
+    assert(out(3L) === (("exact", Some(0L))), "token-set match is exact")
+    assert(out(5L)._1 === "near")
+    assert(out(5L)._2 === Some(0L), "best corpus match by jaccard")
+    assert(out(7L) === (("new", None)))
+    assert(out(9L) === out(1L), "identical incoming docs share the decision")
+  }
+
+  test("dedupAgainstCorpus never pairs the corpus with itself") {
+    // two corpus docs that are near-dups of EACH OTHER but unlike the batch:
+    // they must not appear in the output at all
+    val existing = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "unrelated words about graph partitioning and shuffles")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupAgainstCorpus(existing, incoming, "doc_id", "text",
+      threshold = 0.3).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L))
+    assert(out.head.getString(1) === "new")
+  }
+
+  test("semanticDedup keeps one canonical per cosine-connected cluster") {
+    // 4-dim vectors: ids 0,1,2 nearly parallel (pairwise cos > 0.99),
+    // id 3 identical to 0 (the collapse path), ids 4,5 mutually orthogonal
+    // and far from everything
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f, 0f, 0f)),
+      (1L, Array(1.0f, 0.02f, 0f, 0f)),
+      (2L, Array(0.99f, 0.03f, 0f, 0f)),
+      (3L, Array(1.0f, 0.01f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1.0f, 0f)),
+      (5L, Array(0f, 0f, 0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedup(vecs, "vec_id", "embedding",
+      nlist = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size === 6, "every vector gets a verdict")
+    assert(out(0L) === ((0L, false)), "min id is canonical")
+    assert(out(1L) === ((0L, true)))
+    assert(out(2L) === ((0L, true)))
+    assert(out(3L) === ((0L, true)), "identical embedding collapses to rep's cluster")
+    assert(out(4L) === ((4L, false)), "isolated vector keeps itself")
+    assert(out(5L) === ((5L, false)))
+  }
+
+  test("semanticDedup on an empty corpus returns an empty typed result") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedup(empty, "vec_id", "embedding",
+      nlist = 4, threshold = 0.9)
+    assert(out.columns.toSeq ===
+      Seq("vec_id", "cell", "canonical_id", "is_dup"))
+    assert(out.count() === 0)
+  }
+
+  test("pqTopKRerank with a full-depth shortlist equals brute-force top-k") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val queries = emb.where(col("vec_id") < 2)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val brute = toMap(SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    // shortlist covers the whole corpus -> the ADC stage cannot lose a
+    // true neighbor, so exact re-ranking must reproduce brute force
+    val rerank = toMap(SimilarityOps.pqTopKRerank(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, shortlist = n,
+      m = 2, cells = 4, iterations = 2))
+    assert(rerank === brute)
+  }
+
+  test("pqTopKRerank scores are exact cosine even on a narrow shortlist") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 2)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rr = SimilarityOps.pqTopKRerank(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, shortlist = 20)
+      .collect()
+    assert(rr.nonEmpty)
+    rr.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.get(key).contains(r.getDouble(2)),
+        s"re-ranked score at $key must be the exact cosine")
+    }
+  }
 }
