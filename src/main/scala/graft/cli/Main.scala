@@ -45,6 +45,8 @@ object Main {
       |       lookup-postings boolean-retrieval pagerank
       |       personalized-pagerank hourly-counts graph-stats
       |       split contamination dedup-clusters sample-exact
+      |       curate (--min-tokens N --benchmark PATH
+      |               --max-contamination F --resample g=w,... --group-col C)
       |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N)
       |       compact compact-manifest vacuum-manifest show-manifest
       |       count-manifest delete-manifest history-manifest
@@ -269,8 +271,10 @@ object Main {
             s"unknown --method '$other' (brute|lsh|ivf|pq)")
         }).write.mode("overwrite").parquet(out)
       case "dedup-clusters" =>
-        // near-dup clustering: (doc_id, cluster_id, is_canonical) — keep
-        // is_canonical rows (or anti-join the rest) to dedup a corpus
+        // near-dup clustering: (doc_id, cluster_id, is_canonical) over the
+        // docs that appear in a near-dup pair. To dedup a corpus, ANTI-join
+        // the non-canonical rows (keeping only is_canonical would drop
+        // every unpaired doc — they are absent from this table)
         DedupOps.nearDupClusters(spark.read.parquet(in),
           opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
           opts.getOrElse("shingle-n", "3").toInt,
@@ -278,6 +282,71 @@ object Main {
           opts.getOrElse("bands", "4").toInt,
           opts.getOrElse("threshold", "0.5").toDouble)
           .write.mode("overwrite").parquet(out)
+      case "curate" =>
+        // end-to-end corpus curation: exact dedup -> near-dup clusters ->
+        // quality floor -> benchmark decontamination -> optional mixture
+        // resample. Survivors land in <out>/docs; <out>/report is a TSV
+        // audit trail (docs surviving each stage) — the number a pipeline
+        // operator reads first when a run looks wrong.
+        val id = opts.getOrElse("id", "doc_id")
+        val text = opts.getOrElse("text", "text")
+        val shingleN = opts.getOrElse("shingle-n", "3").toInt
+        val minhashK = opts.getOrElse("minhash-k", "12").toInt
+        val bands = opts.getOrElse("bands", "4").toInt
+        val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        // each stage materializes once (localCheckpoint) so the audit
+        // count and the next stage share one execution, and the lineage
+        // does not re-run every previous kernel per stage
+        def record(name: String, d: DataFrame): DataFrame = {
+          val kept = d.localCheckpoint()
+          stages += name -> kept.count()
+          kept
+        }
+        var cur = record("input", spark.read.parquet(in))
+        cur = record("exact_dedup",
+          DedupOps.exactDedup(cur, id, md5(col(text)))
+            .where(!col("is_dup")).drop("fp", "canonical_id", "is_dup"))
+        // nearDupClusters labels only docs that appear in a near-dup pair,
+        // so keep = everything minus the non-canonical cluster members
+        // (anti join — an inner join on canonicals would drop every
+        // unpaired doc)
+        val dups = DedupOps.nearDupClusters(cur, id, text,
+            shingleN, minhashK, bands, threshold)
+          .where(!col("is_canonical"))
+          .select(col("doc_id").as("__drop"))
+        cur = record("near_dedup",
+          cur.join(dups, cur(id) === col("__drop"), "left_anti"))
+        opts.get("min-tokens").foreach { mt =>
+          cur = record("quality",
+            cur.where(size(TextOps.tokens(col(text))) >= mt.toInt))
+        }
+        opts.get("benchmark").foreach { b =>
+          val maxContam = opts.getOrElse("max-contamination", "0.5").toDouble
+          val clean = PipelineOps.contamination(cur,
+              spark.read.parquet(b), id, text, shingleN)
+            .where(col("contamination") <= maxContam)
+            .select(col("doc_id").as("__keep"))
+          cur = record("decontaminate",
+            cur.join(clean, cur(id) === col("__keep")).drop("__keep"))
+        }
+        opts.get("resample").foreach { spec =>
+          // --resample src=0.6,web=0.4 [--group-col source]
+          val targets = spec.split(",").map { kv =>
+            val Array(g, w) = kv.split("=")
+            g -> w.toDouble
+          }.toMap
+          val groupCol = opts.getOrElse("group-col", "source")
+          val picked = CurationOps.mixtureResample(cur, id, groupCol, targets)
+            .select(col(id).as("__keep"))
+          cur = record("resample",
+            cur.join(picked, cur(id) === col("__keep")).drop("__keep"))
+        }
+        cur.write.mode("overwrite").parquet(s"$out/docs")
+        import spark.implicits._
+        stages.toSeq.toDF("stage", "n_docs").coalesce(1)
+          .write.option("sep", "\t").mode("overwrite").csv(s"$out/report")
+        stages.foreach { case (s, n) => println(s"$s\t$n") }
       // ---- table-maintenance tools (layout operators) ----
       case "compact" =>
         // posix/HDFS rename-swap compaction; refuses object-store schemes

@@ -246,6 +246,52 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("curate composes dedup, quality, decontamination and resample with an audit report") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cli-curate").toString
+    // 8 docs: 1 byte-dup of 0, 2 near-dup of 0 (token-level), 3 too short,
+    // 4 contaminated by the benchmark, 5-7 clean keepers across two sources
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (1L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog tomorrow", "web"),
+      (3L, "too short", "web"),
+      (4L, "benchmark question about spark shuffles and joins exactly", "web"),
+      (5L, "completely original content about graph partitioning at scale", "books"),
+      (6L, "another unique document describing manifest committed tables", "books"),
+      (7L, "fresh words on sequence packing and mixture resampling", "web")
+    ).toDF("doc_id", "text", "source").write.parquet(s"$base/docs")
+    Seq((100L, "benchmark question about spark shuffles and joins exactly"))
+      .toDF("doc_id", "text").write.parquet(s"$base/bench")
+    Main.run(spark, "curate", Map(
+      "input" -> s"$base/docs", "output" -> s"$base/out",
+      "threshold" -> "0.3", "min-tokens" -> "5",
+      "benchmark" -> s"$base/bench", "max-contamination" -> "0.5"))
+    val kept = spark.read.parquet(s"$base/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 5L, 6L, 7L),
+      "dup, near-dup, short and contaminated docs are gone; originals stay")
+    val report = readTsv(s"$base/out/report").map(_.split("\t"))
+      .map(a => a(0) -> a(1).toLong).toMap
+    assert(report("input") === 8)
+    assert(report("exact_dedup") === 7, "doc 1 dropped")
+    assert(report("near_dedup") === 6, "doc 2 dropped")
+    assert(report("quality") === 5, "doc 3 dropped")
+    assert(report("decontaminate") === 4, "doc 4 dropped")
+    // resample stage: quotas are exact and deterministic
+    Main.run(spark, "curate", Map(
+      "input" -> s"$base/docs", "output" -> s"$base/out2",
+      "threshold" -> "0.3", "min-tokens" -> "5",
+      "resample" -> "web=0.5,books=0.5", "group-col" -> "source"))
+    val out2 = spark.read.parquet(s"$base/out2/docs")
+    // after dedup+quality 5 docs remain (3 web, 2 books); 50/50 quota ->
+    // M = min(3/.5, 2/.5) = 4 -> 2 web + 2 books
+    assert(out2.count() === 4)
+    assert(out2.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("web" -> 2L, "books" -> 2L))
+  }
+
   test("unknown tool raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(spark, "no-such-tool", Map.empty)
