@@ -103,8 +103,8 @@ object PipelineOps {
     * permutations (the MinHash machinery — each is a bijection on [0,2^60))
     * masked to [0, numBits). Deterministic and SQL-expressible, so the
     * bloom semantics are engine-portable. */
-  private[operators] def bloomPositions(h: Column, numBits: Int,
-                                        numHashes: Int): Seq[Column] =
+  private[graft] def bloomPositions(h: Column, numBits: Int,
+                                    numHashes: Int): Seq[Column] =
     DedupOps.minhashMultipliers(numHashes).map(c =>
       DedupOps.permuteHash(h, c).bitwiseAND(lit(numBits - 1L)))
 

@@ -191,4 +191,66 @@ object StreamingOps {
       .foreach(c => r.option("max-generations-per-batch", c.toString))
     r.load()
   }
+
+  /** Streaming incremental dedup: flag each streamed document whose
+    * bag-of-words fingerprint already exists in a STATIC corpus — the live
+    * half of [[graft.operators.DedupOps.dedupAgainstCorpus]] (exact tier
+    * only; fuzzy refinement stays a batch concern).
+    *
+    * Two corpus representations, chosen by `bloomBits`:
+    *
+    *  - `None` (exact): the corpus collapses to a DISTINCT fingerprint
+    *    relation broadcast into every micro-batch — `status` is
+    *    `exact`/`new` with no error. The static side is re-planned per
+    *    batch (Spark's stream-static contract), so corpus updates between
+    *    batches are picked up; the cost is a corpus-side aggregation per
+    *    trigger — fine when the fingerprint relation is broadcastable.
+    *  - `Some(bits)` (bloom): the corpus folds ONCE, at stream-definition
+    *    time, into a fixed `bits`-bit bloom filter that enters the plan as
+    *    a literal array — per-batch work is pure column arithmetic, zero
+    *    joins, zero corpus re-reads; the right shape when the corpus is
+    *    100 TB and the fingerprint set itself cannot broadcast. One-sided
+    *    error: every true duplicate is flagged (`maybe_dup`), a small
+    *    false-hit rate flags fresh docs — downstream either accepts the
+    *    over-drop or confirms against the corpus offline. A frozen model
+    *    by design: rebuild the stream to fold in corpus growth.
+    */
+  def streamingDedupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+                                  textCol: String,
+                                  bloomBits: Option[Int] = None,
+                                  numHashes: Int = 3): DataFrame = {
+    import graft.operators.{DedupOps, PipelineOps}
+    val fp = DedupOps.tokenSetFingerprint(col(textCol))
+    bloomBits match {
+      case None =>
+        val known = corpus.select(fp.as("__fp")).distinct()
+          .withColumn("__known", lit(true))
+        stream.withColumn("__fp", fp)
+          .join(org.apache.spark.sql.functions.broadcast(known),
+            Seq("__fp"), "left_outer")
+          .withColumn("status",
+            when(col("__known"), lit("exact")).otherwise(lit("new")))
+          .drop("__fp", "__known")
+      case Some(bits) =>
+        require(bits > 0 && (bits & (bits - 1)) == 0,
+          s"bloomBits must be a power of two, got $bits")
+        val h = PipelineOps.hash60(fp)
+        val words: Seq[Long] = corpus
+          .select(explode(array(
+            PipelineOps.bloomPositions(h, bits, numHashes): _*)).as("pos"))
+          .agg(graft.functions.BloomSketch.bloomBits(col("pos"), bits)
+            .as("bloom"))
+          .head().getSeq[Long](0)
+        val wordsLit = array(words.map(lit): _*)
+        def bitSet(pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          call_function("shiftright",
+            element_at(wordsLit, shiftright(pos, 6).cast("int") + lit(1)),
+            pos.bitwiseAND(lit(63L)).cast("int"))
+            .bitwiseAND(lit(1L)) === lit(1L)
+        val hit = PipelineOps.bloomPositions(h, bits, numHashes)
+          .map(bitSet).reduce(_ && _)
+        stream.withColumn("status",
+          when(hit, lit("maybe_dup")).otherwise(lit("new")))
+    }
+  }
 }

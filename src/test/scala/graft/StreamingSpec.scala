@@ -154,6 +154,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedupAgainstCorpus: exact path flags fingerprint hits, bloom path has no false negatives") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    def drive(bloomBits: Option[Int], name: String): Map[Long, String] = {
+      val input = MemoryStream[(Long, String)]
+      val out = StreamingOps.streamingDedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpus, "text", bloomBits)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(
+          (10L, "the quick brown fox jumps over the lazy dog"), // byte-exact
+          (11L, "dog lazy the over jumps fox brown quick the"), // same token set
+          (12L, "entirely fresh words never seen in the corpus before"))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getString(2)).toMap
+      } finally q.stop()
+    }
+    val exact = drive(None, "sdc_exact")
+    assert(exact === Map(10L -> "exact", 11L -> "exact", 12L -> "new"))
+    val bloom = drive(Some(1 << 12), "sdc_bloom")
+    // one-sided error: true duplicates MUST be flagged; the fresh doc may
+    // (rarely) false-hit, so only assert the no-false-negative side
+    assert(bloom(10L) === "maybe_dup")
+    assert(bloom(11L) === "maybe_dup")
+  }
+
   test("pipeline column ops run unchanged on a stream (batch/stream unification)") {
     // splitLabel and langId are pure column functions — the SAME expressions
     // drive a readStream plan with no modification, which is the point of
