@@ -47,7 +47,9 @@ object Main {
       |       split contamination dedup-clusters sample-exact
       |       curate (--min-tokens N --benchmark PATH
       |               --max-contamination F --resample g=w,... --group-col C)
-      |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N)
+      |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N
+      |                 --model PATH: probe a stored ivf/pq model)
+      |       ann-build (--method ivf|pq: train + persist the quantizer)
       |       compact compact-manifest vacuum-manifest show-manifest
       |       count-manifest delete-manifest history-manifest
       |       rollback-manifest (--to-generation N | --as-of ISO)
@@ -261,15 +263,46 @@ object Main {
           case "ivf" => SimilarityOps.ivfTopK(corpus, id, vec,
             queries, id, vec, k,
             nlist = opts.getOrElse("nlist", "16").toInt,
-            nprobe = opts.getOrElse("nprobe", "4").toInt)
+            nprobe = opts.getOrElse("nprobe", "4").toInt,
+            centroids = opts.get("model")
+              .map(SimilarityOps.loadIvfModel(spark, _)))
           case "pq" => SimilarityOps.pqTopK(corpus, id, vec,
             queries, id, vec, k,
             m = opts.getOrElse("m", "2").toInt,
             cells = opts.getOrElse("cells", "16").toInt,
-            iterations = opts.getOrElse("iterations", "2").toInt)
+            iterations = opts.getOrElse("iterations", "2").toInt,
+            codebooks = opts.get("model")
+              .map(SimilarityOps.loadPqModel(spark, _)))
           case other => throw new IllegalArgumentException(
             s"unknown --method '$other' (brute|lsh|ivf|pq)")
         }).write.mode("overwrite").parquet(out)
+      case "ann-build" =>
+        // train an ANN quantizer ONCE and persist it as a manifested model
+        // table; `ann-topk --model PATH` then probes without retraining.
+        // --method ivf writes (cell, v); --method pq writes
+        // (subspace, cell, v)
+        val corpus = spark.read.parquet(in)
+        val id = opts.getOrElse("id", "vec_id")
+        val vec = opts.getOrElse("vec", "embedding")
+        opts.getOrElse("method", "ivf") match {
+          case "ivf" =>
+            val cents = SimilarityOps.trainIvfCentroids(corpus, id, vec,
+              nlist = opts.getOrElse("nlist", "16").toInt,
+              iterations = opts.getOrElse("iterations", "2").toInt,
+              roundDecimals = Some(6))
+            SimilarityOps.saveIvfModel(spark, cents, out)
+            println(s"ivf model: ${cents.length} centroids -> $out")
+          case "pq" =>
+            val books = SimilarityOps.trainPqCodebooks(corpus, id, vec,
+              m = opts.getOrElse("m", "2").toInt,
+              cells = opts.getOrElse("cells", "16").toInt,
+              iterations = opts.getOrElse("iterations", "2").toInt)
+            SimilarityOps.savePqModel(spark, books, out)
+            println(s"pq model: ${books.length} subspaces x " +
+              s"${books.headOption.map(_.length).getOrElse(0)} cells -> $out")
+          case other => throw new IllegalArgumentException(
+            s"unknown --method '$other' (ivf|pq)")
+        }
       case "dedup-clusters" =>
         // near-dup clustering: (doc_id, cluster_id, is_canonical) over the
         // docs that appear in a near-dup pair. To dedup a corpus, ANTI-join

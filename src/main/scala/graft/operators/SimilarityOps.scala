@@ -569,4 +569,64 @@ object SimilarityOps {
         coalesce(col("cluster_id"), col("rep")).as("canonical_id"))
       .withColumn("is_dup", col("vec_id") =!= col("canonical_id"))
   }
+
+  // ---- persisted ANN models: train once, probe many ----
+  //
+  // The trained quantizers (IVF centroids, PQ codebooks) are bounded
+  // driver models — nlist x dim and m x cells x dsub doubles — but the
+  // training pass that produces them scans the corpus `iterations` times.
+  // A production index trains ONCE at build time and serves probes from
+  // the stored model; these four functions round-trip the models through
+  // manifest-committed parquet tables (atomic single-object commit, time
+  // travel, the LayoutOps guarantees) so an index build survives restarts
+  // and a probe job never retrains. Norms are recomputed at load — they
+  // are derived values, and storing them would only create a consistency
+  // obligation.
+
+  /** Persist trained IVF centroids as a manifested table (cell, v). */
+  def saveIvfModel(spark: org.apache.spark.sql.SparkSession,
+                   cents: Array[Centroid], path: String): Unit = {
+    import spark.implicits._
+    LayoutOps.writeManifested(
+      cents.toSeq.map { case (cid, v, _) => (cid, v.toSeq) }
+        .toDF("cell", "v"), path, numFiles = 1)
+  }
+
+  /** Load IVF centroids saved by [[saveIvfModel]] (cells sorted by id). */
+  def loadIvfModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[Centroid] = {
+    import spark.implicits._
+    LayoutOps.readManifested(spark, path)
+      .select(col("cell").cast("long"), col("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (cid, v) => (cid, v.toArray, norm2(v.toArray)) }
+  }
+
+  /** Persist trained PQ codebooks as a manifested table
+    * (subspace, cell, v). */
+  def savePqModel(spark: org.apache.spark.sql.SparkSession,
+                  books: PqCodebook, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (book, j) <- books.toSeq.zipWithIndex
+      ((cv, _), cid) <- book.toSeq.zipWithIndex
+    } yield (j, cid, cv.toSeq)
+    LayoutOps.writeManifested(rows.toDF("subspace", "cell", "v"),
+      path, numFiles = 1)
+  }
+
+  /** Load PQ codebooks saved by [[savePqModel]] (subspaces/cells sorted). */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): PqCodebook = {
+    import spark.implicits._
+    LayoutOps.readManifested(spark, path)
+      .select(col("subspace").cast("int"), col("cell").cast("int"), col("v"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, cells) =>
+        cells.sortBy(_._2).map { case (_, _, v) =>
+          val a = v.toArray; (a, normSq(a))
+        }
+      }
+  }
 }

@@ -246,6 +246,31 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("ann-build persists a model that ann-topk --model probes without retraining") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val base = Files.createTempDirectory("graft-cli-annb").toString
+    for (method <- Seq("ivf", "pq")) {
+      Main.run(spark, "ann-build", Map("input" -> emb,
+        "output" -> s"$base/$method-model", "method" -> method,
+        "nlist" -> "8", "cells" -> "4"))
+      Main.run(spark, "ann-topk", Map("input" -> emb,
+        "output" -> s"$base/$method-stored", "method" -> method,
+        "nlist" -> "8", "cells" -> "4", "model" -> s"$base/$method-model"))
+      Main.run(spark, "ann-topk", Map("input" -> emb,
+        "output" -> s"$base/$method-fresh", "method" -> method,
+        "nlist" -> "8", "cells" -> "4"))
+      val stored = spark.read.parquet(s"$base/$method-stored")
+        .collect().map(_.toSeq).toSet
+      val fresh = spark.read.parquet(s"$base/$method-fresh")
+        .collect().map(_.toSeq).toSet
+      // ivf's CLI default trains without per-iteration quantization, so
+      // compare the stored-model probe against the fresh one only in
+      // shape there; pq quantizes deterministically -> exact equality
+      assert(stored.nonEmpty, method)
+      if (method == "pq") assert(stored === fresh, method)
+    }
+  }
+
   test("curate composes dedup, quality, decontamination and resample with an audit report") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-cli-curate").toString

@@ -448,6 +448,43 @@ class DedupSimSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("persisted ANN models round-trip: stored quantizers probe identically to fresh-trained ones") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-model").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 2)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    // IVF: save -> load preserves cells, vectors, and recomputed norms
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iterations = 2, roundDecimals = Some(6))
+    SimilarityOps.saveIvfModel(spark, cents, s"$base/ivf")
+    val loaded = SimilarityOps.loadIvfModel(spark, s"$base/ivf")
+    assert(loaded.map(_._1).toSeq === cents.map(_._1).toSeq)
+    assert(loaded.map(_._2.toSeq).toSeq === cents.map(_._2.toSeq).toSeq)
+    assert(loaded.map(_._3).toSeq === cents.map(_._3).toSeq,
+      "norms recomputed at load must equal the trained norms")
+    assert(toMap(SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
+        centroids = Some(loaded))) ===
+      toMap(SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
+        centroids = Some(cents))))
+    // PQ: same contract for the codebooks
+    val books = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 2, cells = 4, iterations = 2)
+    SimilarityOps.savePqModel(spark, books, s"$base/pq")
+    val loadedBooks = SimilarityOps.loadPqModel(spark, s"$base/pq")
+    assert(loadedBooks.map(_.map(_._1.toSeq).toSeq).toSeq ===
+      books.map(_.map(_._1.toSeq).toSeq).toSeq)
+    assert(toMap(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, m = 2, cells = 4,
+        codebooks = Some(loadedBooks))) ===
+      toMap(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, m = 2, cells = 4,
+        codebooks = Some(books))))
+  }
+
   test("pqTopKRerank with a full-depth shortlist equals brute-force top-k") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count().toInt
