@@ -519,40 +519,70 @@ object DedupOps {
     *
     * @return one row per incoming doc: (id, status, matched_id, jaccard)
     */
+  /** The persisted-index relation for [[dedupAgainstIndex]]: one row per
+    * DISTINCT corpus text — (id = group-min doc id, fp = bag-of-words
+    * fingerprint, hs = 60-bit shingle-hash set). This is what a production
+    * pipeline stores between snapshots instead of re-scanning the corpus:
+    * ~50 bytes + one long per distinct shingle per distinct text, never
+    * the text itself. All three columns are pure md5-derived functions of
+    * the text, so a stored index and a recomputation are interchangeable
+    * ([[dedupAgainstCorpus]] is literally `dedupAgainstIndex` over
+    * `corpusDedupIndex(existing)`). Persist with
+    * `LayoutOps.writeManifested` / append per snapshot. */
+  def corpusDedupIndex(existing: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3): DataFrame = {
+    val (eReps, _) = collapseIdentical(
+      existing.select(col(idCol), col(textCol)), idCol, md5(col(textCol)))
+    eReps.select(col(idCol).as("id"),
+      tokenSetFingerprint(col(textCol)).as("fp"),
+      shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as("hs"))
+  }
+
   def dedupAgainstCorpus(existing: DataFrame, incoming: DataFrame,
                          idCol: String, textCol: String,
                          shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5): DataFrame =
+    // checkpoint the computed index: its shingle kernel feeds two
+    // consumers (band generation + the jaccard refine) — a STORED index
+    // skips this because re-scanning parquet beats materializing it
+    dedupAgainstIndex(
+      corpusDedupIndex(existing, idCol, textCol, shingleN).localCheckpoint(),
+      incoming, idCol, textCol, shingleN, k, bands, threshold)
+
+  /** [[dedupAgainstCorpus]] served from a persisted corpus index
+    * ([[corpusDedupIndex]] — stored or freshly computed): the incremental
+    * cost per snapshot is one pass over the BATCH plus the band join;
+    * the corpus text is never touched. */
+  def dedupAgainstIndex(index: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
-    val (eReps, _) = collapseIdentical(
-      existing.select(col(idCol), col(textCol)), idCol, md5(col(textCol)))
     val (iReps, iMem) = collapseIdentical(
       incoming.select(col(idCol), col(textCol)), idCol, md5(col(textCol)))
-    // exact membership: corpus fingerprints collapse to (fp, min id). A
-    // rep's id is already its text group's min, so min over reps = global
+    // exact membership: index rows collapse to (fp, min id). An index id
+    // is already its text group's min, so min over index rows = global
     // min per fingerprint.
-    val eFp = eReps.groupBy(tokenSetFingerprint(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as("exact_id"))
+    val eFp = index.groupBy(col("fp")).agg(min(col("id")).as("exact_id"))
     val iFp = iReps.select(col(idCol).as("id"),
       tokenSetFingerprint(col(textCol)).as("fp"))
     val exactHit = iFp.join(eFp, Seq("fp"), "left_outer")
       .select(col("id"), col("exact_id"))
     // near candidates: band join BETWEEN snapshots (a.id from incoming
-    // reps, b.id from corpus reps) — same (band, hash) movement discipline
+    // reps, b.id from the index) — same (band, hash) movement discipline
     // as minhashNearDupRepPairs, no within-side pairs.
-    def banded(side: DataFrame, outId: String) = {
-      val sh = side.select(col(idCol).as(outId),
-        shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as(s"hs_$outId"))
-        .localCheckpoint()
-      val b = sh.select(col(outId),
+    def bandsOf(sh: DataFrame, outId: String) =
+      sh.select(col(outId),
         posexplode(lshBandHashes(
           minhashSignature64(col(s"hs_$outId"), k), bands, rowsPerBand))
           .as(Seq("band", "bh")))
-      (sh, b)
-    }
-    val (iSh, iBand) = banded(iReps, "id")
-    val (eSh, eBand) = banded(eReps, "eid")
+    val iSh = iReps.select(col(idCol).as("id"),
+      shingleHashes64(TextOps.tokens(col(textCol)), shingleN).as("hs_id"))
+      .localCheckpoint()
+    val eSh = index.select(col("id").as("eid"), col("hs").as("hs_eid"))
+    val iBand = bandsOf(iSh, "id")
+    val eBand = bandsOf(eSh, "eid")
     val cands = iBand.join(eBand, Seq("band", "bh"))
       .select(col("id"), col("eid")).distinct()
     val refined = cands

@@ -399,6 +399,33 @@ class DedupSimSpec extends SparkSpec {
     assert(out(9L) === out(1L), "identical incoming docs share the decision")
   }
 
+  test("dedupAgainstIndex over a persisted corpus index equals the direct path") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    val existing = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy cat"),
+      (7L, "entirely novel text on manifest committed tables today")
+    ).toDF("doc_id", "text")
+    // persist the index through the manifest table format (the
+    // between-snapshots storage story), then probe from the stored copy
+    graft.operators.LayoutOps.writeManifested(
+      DedupOps.corpusDedupIndex(existing, "doc_id", "text"), s"$base/idx")
+    val stored = graft.operators.LayoutOps.readManifested(spark, s"$base/idx")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val direct = norm(DedupOps.dedupAgainstCorpus(
+      existing, incoming, "doc_id", "text", threshold = 0.3))
+    val viaIndex = norm(DedupOps.dedupAgainstIndex(
+      stored, incoming, "doc_id", "text", threshold = 0.3))
+    assert(viaIndex === direct)
+    assert(direct.nonEmpty)
+  }
+
   test("dedupAgainstCorpus never pairs the corpus with itself") {
     // two corpus docs that are near-dups of EACH OTHER but unlike the batch:
     // they must not appear in the output at all
