@@ -47,6 +47,8 @@ object Main {
       |       split contamination dedup-clusters sample-exact
       |       curate (--min-tokens N --benchmark PATH
       |               --max-contamination F --resample g=w,... --group-col C)
+      |       dedup-index (build the between-snapshots (id, fp, hs) index)
+      |       dedup-incremental (--index DIR | --corpus PATH)
       |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N
       |                 --model PATH: probe a stored ivf/pq model)
       |       ann-build (--method ivf|pq: train + persist the quantizer)
@@ -315,6 +317,38 @@ object Main {
           opts.getOrElse("bands", "4").toInt,
           opts.getOrElse("threshold", "0.5").toDouble)
           .write.mode("overwrite").parquet(out)
+      case "dedup-index" =>
+        // build the between-snapshots dedup index: one (id, fp, hs) row
+        // per distinct corpus text, committed as a manifested table
+        LayoutOps.writeManifested(
+          DedupOps.corpusDedupIndex(spark.read.parquet(in),
+            opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+            opts.getOrElse("shingle-n", "3").toInt), out)
+        println(s"dedup index -> $out")
+      case "dedup-incremental" =>
+        // classify an incoming batch exact/near/new against --index (a
+        // stored dedup-index table) or --corpus (raw docs, index computed
+        // on the fly)
+        val incoming = spark.read.parquet(in)
+        val id = opts.getOrElse("id", "doc_id")
+        val text = opts.getOrElse("text", "text")
+        val shingleN = opts.getOrElse("shingle-n", "3").toInt
+        val k = opts.getOrElse("minhash-k", "12").toInt
+        val bands = opts.getOrElse("bands", "4").toInt
+        val thr = opts.getOrElse("threshold", "0.5").toDouble
+        (opts.get("index"), opts.get("corpus")) match {
+          case (Some(idx), _) =>
+            DedupOps.dedupAgainstIndex(LayoutOps.readManifested(spark, idx),
+              incoming, id, text, shingleN, k, bands, thr)
+              .write.mode("overwrite").parquet(out)
+          case (None, Some(corpus)) =>
+            DedupOps.dedupAgainstCorpus(spark.read.parquet(corpus),
+              incoming, id, text, shingleN, k, bands, thr)
+              .write.mode("overwrite").parquet(out)
+          case _ => throw new IllegalArgumentException(
+            "dedup-incremental needs --index DIR (stored dedup-index) " +
+              s"or --corpus PATH (raw docs)\n$usage")
+        }
       case "curate" =>
         // end-to-end corpus curation: exact dedup -> near-dup clusters ->
         // quality floor -> benchmark decontamination -> optional mixture

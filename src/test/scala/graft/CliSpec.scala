@@ -271,6 +271,34 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("dedup-index + dedup-incremental classify a batch from a stored index") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cli-dinc").toString
+    Seq((0L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines"))
+      .toDF("doc_id", "text").write.parquet(s"$base/corpus")
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "entirely novel text on manifest committed tables"))
+      .toDF("doc_id", "text").write.parquet(s"$base/batch")
+    Main.run(spark, "dedup-index",
+      Map("input" -> s"$base/corpus", "output" -> s"$base/idx"))
+    Main.run(spark, "dedup-incremental", Map("input" -> s"$base/batch",
+      "output" -> s"$base/out", "index" -> s"$base/idx"))
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "exact", 3L -> "new"))
+    // --corpus path (index computed on the fly) agrees
+    Main.run(spark, "dedup-incremental", Map("input" -> s"$base/batch",
+      "output" -> s"$base/out2", "corpus" -> s"$base/corpus"))
+    val got2 = spark.read.parquet(s"$base/out2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 === got)
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "dedup-incremental",
+        Map("input" -> s"$base/batch", "output" -> s"$base/out3"))
+    }
+  }
+
   test("curate composes dedup, quality, decontamination and resample with an audit report") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-cli-curate").toString

@@ -146,6 +146,27 @@ class PlanSpec extends SparkSpec {
     assert(!hashed.toLowerCase.contains("rangepartitioning"), hashed)
   }
 
+  test("incremental dedup: cross-side band join is an equi-join, exact tier broadcasts") {
+    val p = planOf("q_dedup_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cross-snapshot candidate generation degenerated:\n$p")
+    // the fingerprint-membership probe must not shuffle the batch side
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("ANN re-rank: refine stage fetches shortlist vectors via broadcast joins") {
+    val p = planOf("q_ann_rerank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist fetch fell back to a corpus shuffle:\n$p")
+  }
+
+  test("semantic dedup: intra-cell pair scan is a cell equi-join, never all-pairs") {
+    val p = planOf("q_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"intra-cell pair generation degenerated to all-pairs:\n$p")
+  }
+
   test("no gated query plans a Scala UDF — every hot path stays codegen-able") {
     // A ScalaUDF boxes every row and blocks whole-stage codegen; the whole
     // engine is built on native expressions/kernels, so any UDF appearing
