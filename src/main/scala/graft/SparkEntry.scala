@@ -348,6 +348,14 @@ object SparkEntry {
     "q_lm_score_bounded" -> ((s, dir) =>
       TextAnalysisOps.lmQualityScoreBounded(docs(s, dir), "doc_id", "text",
         cmsDepth = 3, cmsWidth = 1 << 18)),
+    // learned quality filter: hashed bag-of-words logistic regression
+    // (full-batch GD, driver-held weights, per-iteration 6-decimal
+    // rounding — the trained-model determinism recipe); labels = lang=en,
+    // the CCNet-style language-filter flavor. Oracle unrolls the same GD
+    // iterations in SQL.
+    "q_quality_classifier" -> ((s, dir) =>
+      ClassifierOps.qualityClassifier(docs(s, dir), "doc_id", "text",
+        col("lang") === "en", dims = 16, iterations = 3)),
     // Gopher-style repetitiveness signal: repeated-shingle fraction
     "q_repetition" -> ((s, dir) =>
       TextAnalysisOps.repetitionRatio(docs(s, dir), "doc_id", "text",
@@ -1372,6 +1380,44 @@ object SparkEntry {
          |  round(avg(sc.lp), 6) AS avg_logp
          |FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |GROUP BY d.doc_id""".stripMargin
+    },
+    // learned quality filter: the same hashed-BoW logistic regression
+    // unrolled — w0 = zeros; each iteration computes per-doc margins from
+    // the previous weights, residuals via the sigmoid, per-bucket
+    // gradients, and the 6-decimal-rounded weight update (the rounding is
+    // what makes a TRAINED float model hash-comparable cross-engine)
+    "q_quality_classifier" -> {
+      val dims = 16
+      val iters = 3
+      def iteration(i: Int): String =
+        s"""z$i AS (SELECT f.doc_id, sum(w.wv * f.x) AS z
+           |  FROM f JOIN w${i - 1} w USING (bucket) GROUP BY f.doc_id),
+           |r$i AS (SELECT z.doc_id, 1.0/(1.0 + exp(-z.z)) - t.y AS r
+           |  FROM z$i z JOIN t USING (doc_id)),
+           |g$i AS (SELECT f.bucket, sum(f.x * r.r) AS g
+           |  FROM f JOIN r$i r USING (doc_id) GROUP BY f.bucket),
+           |w$i AS (SELECT w.bucket,
+           |  round(w.wv - COALESCE(g.g, 0) / (SELECT nn FROM n), 6) AS wv
+           |  FROM w${i - 1} w LEFT JOIN g$i g USING (bucket))""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+         |  CAST(lang = 'en' AS DOUBLE) AS y FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk, len(toks) AS nt FROM t),
+         |f AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(tk), 1, 15)) AS BIGINT) % $dims
+         |      AS bucket,
+         |    count(*)::DOUBLE / max(nt) AS x
+         |  FROM tok GROUP BY doc_id, bucket
+         |  UNION ALL SELECT doc_id, $dims, 1.0 FROM t),
+         |n AS (SELECT count(*)::DOUBLE AS nn FROM t),
+         |w0 AS (SELECT unnest(generate_series(0, $dims)) AS bucket,
+         |       0.0 AS wv),
+         |${(1 to iters).map(iteration).mkString(",\n")},
+         |zf AS (SELECT f.doc_id, sum(w.wv * f.x) AS z
+         |  FROM f JOIN w$iters w USING (bucket) GROUP BY f.doc_id)
+         |SELECT t.doc_id, t.y AS label,
+         |  round(1.0/(1.0 + exp(-zf.z)), 6) AS prob,
+         |  round(1.0/(1.0 + exp(-zf.z)), 6) >= 0.5 AS predicted
+         |FROM t JOIN zf USING (doc_id)""".stripMargin
     },
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

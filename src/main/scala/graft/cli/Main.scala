@@ -49,6 +49,8 @@ object Main {
       |               --max-contamination F --resample g=w,... --group-col C)
       |       dedup-index (build the between-snapshots (id, fp, hs) index)
       |       dedup-incremental (--index DIR | --corpus PATH)
+      |       quality-train (--label '<bool sql>' --dims N --iterations N)
+      |       quality-score (--model DIR)
       |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N
       |                 --model PATH: probe a stored ivf/pq model)
       |       ann-build (--method ivf|pq: train + persist the quantizer)
@@ -316,6 +318,28 @@ object Main {
           opts.getOrElse("minhash-k", "12").toInt,
           opts.getOrElse("bands", "4").toInt,
           opts.getOrElse("threshold", "0.5").toDouble)
+          .write.mode("overwrite").parquet(out)
+      case "quality-train" =>
+        // train the learned quality filter on a labeled seed set
+        // (--label is a boolean SQL expression over the input's columns,
+        // e.g. "lang = 'en'" or "source = 'wiki'") and persist the
+        // weights as a manifested model table
+        val label = opts.getOrElse("label", throw new IllegalArgumentException(
+          s"quality-train needs --label '<boolean sql expr>'\n$usage"))
+        val w = ClassifierOps.trainLogReg(spark.read.parquet(in),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          expr(label), dims = opts.getOrElse("dims", "64").toInt,
+          iterations = opts.getOrElse("iterations", "10").toInt,
+          lr = opts.getOrElse("lr", "1.0").toDouble)
+        ClassifierOps.saveModel(spark, w, out)
+        println(s"quality model: ${w.length - 1} buckets + bias -> $out")
+      case "quality-score" =>
+        // sweep a corpus under a stored quality model: (id, prob)
+        val model = opts.getOrElse("model", throw new IllegalArgumentException(
+          s"quality-score needs --model DIR (from quality-train)\n$usage"))
+        ClassifierOps.scoreLogReg(spark.read.parquet(in),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          ClassifierOps.loadModel(spark, model))
           .write.mode("overwrite").parquet(out)
       case "dedup-index" =>
         // build the between-snapshots dedup index: one (id, fp, hs) row
