@@ -916,6 +916,16 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) =>
       CurationOps.packSequences(docs(s, dir), "doc_id", "text",
         budget = 256, numBuckets = 8)),
+    // the END-TO-END curation composition, hash-gated as one unit: exact
+    // dedup -> near-dup removal -> 20-token floor -> decontamination
+    // against the doc_id%17 slice at <= 0.3 shingle overlap. The oracle
+    // chains the same five relational stages in one SQL statement.
+    "q_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CurationOps.curate(d, "doc_id", "text", minTokens = Some(20),
+        benchmark = Some(d.where(col("doc_id") % 17 === 0)),
+        maxContamination = 0.3)._1.select(col("doc_id"), col("source"))
+    }),
   )
 
   private def graphEdges(s: SparkSession, dir: String): DataFrame =
@@ -1946,6 +1956,68 @@ object SparkEntry {
          |SELECT doc_id, bucket, CAST(start_off // 256 AS BIGINT) AS seq_id,
          |       CAST(start_off % 256 AS BIGINT) AS seq_offset, n_tokens
          |FROM o""".stripMargin,
+    // end-to-end curation: the five stages chained in one statement —
+    // exact dedup (md5 text), minhash near-dup clusters via recursive
+    // closure (non-canonical members dropped), 20-token floor, and
+    // distinct-shingle contamination <= 0.3 vs the doc_id%17 slice
+    "q_curate" -> {
+      val mods = DedupOps.minhashMultipliers(12).map(c =>
+        s"list_min([${DedupOps.permuteHashSql("x", c)} FOR x IN hs])")
+        .mkString(",\n|    ")
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, text, source FROM documents),
+         |e0 AS (SELECT doc_id, text, source, md5(text) AS fp FROM t0),
+         |ec AS (SELECT fp, min(doc_id) AS cid FROM e0 GROUP BY fp),
+         |t1 AS (SELECT e0.doc_id, e0.text, e0.source
+         |       FROM e0 JOIN ec USING (fp) WHERE e0.doc_id = ec.cid),
+         |d1 AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                       FOR i IN generate_series(1, len(toks)-2)])
+         |    ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM t1)),
+         |h1 AS (SELECT doc_id, $hashListSql AS hs FROM d1),
+         |sig AS (SELECT doc_id, [
+         |    $mods
+         |  ] AS sig FROM h1),
+         |bnd AS (SELECT doc_id, b,
+         |  md5(b || '|' || array_to_string(sig[b*3+1 : b*3+3], ',')) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+         |  FROM bnd x JOIN bnd y
+         |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT ida, idb
+         |  FROM cand JOIN h1 a ON cand.ida = a.doc_id
+         |            JOIN h1 b ON cand.idb = b.doc_id
+         |  WHERE $jaccardSql >= 0.5),
+         |g AS (SELECT ida AS u, idb AS v FROM pairs
+         |      UNION SELECT idb, ida FROM pairs),
+         |reach AS (SELECT u, v FROM g
+         |          UNION SELECT r.u, g.v FROM reach r JOIN g ON r.v = g.u),
+         |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM reach GROUP BY u),
+         |t2 AS (SELECT t1.doc_id, t1.text, t1.source FROM t1
+         |  LEFT JOIN cl USING (doc_id)
+         |  WHERE cl.cluster_id IS NULL OR cl.cluster_id = t1.doc_id),
+         |t3 AS (SELECT * FROM t2 WHERE len($toksSql) >= 20),
+         |db AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                       FOR i IN generate_series(1, len(toks)-2)])
+         |    ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM t0
+         |        WHERE doc_id % 17 = 0)),
+         |bh AS (SELECT DISTINCT unnest(hs) AS h
+         |       FROM (SELECT $hashListSql AS hs FROM db)),
+         |ch AS (SELECT h1.doc_id, unnest(h1.hs) AS h
+         |       FROM h1 JOIN t3 USING (doc_id)),
+         |cont AS (SELECT ch.doc_id,
+         |  sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*) AS c
+         |  FROM ch LEFT JOIN bh ON ch.h = bh.h GROUP BY ch.doc_id)
+         |SELECT t3.doc_id, t3.source
+         |FROM t3 JOIN cont USING (doc_id)
+         |WHERE round(cont.c, 6) <= 0.3""".stripMargin
+    },
   )
 
   private val termDocTfSql =

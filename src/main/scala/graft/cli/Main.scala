@@ -379,63 +379,25 @@ object Main {
         // resample. Survivors land in <out>/docs; <out>/report is a TSV
         // audit trail (docs surviving each stage) — the number a pipeline
         // operator reads first when a run looks wrong.
-        val id = opts.getOrElse("id", "doc_id")
-        val text = opts.getOrElse("text", "text")
-        val shingleN = opts.getOrElse("shingle-n", "3").toInt
-        val minhashK = opts.getOrElse("minhash-k", "12").toInt
-        val bands = opts.getOrElse("bands", "4").toInt
-        val threshold = opts.getOrElse("threshold", "0.5").toDouble
-        val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        // each stage materializes once (localCheckpoint) so the audit
-        // count and the next stage share one execution, and the lineage
-        // does not re-run every previous kernel per stage
-        def record(name: String, d: DataFrame): DataFrame = {
-          val kept = d.localCheckpoint()
-          stages += name -> kept.count()
-          kept
-        }
-        var cur = record("input", spark.read.parquet(in))
-        cur = record("exact_dedup",
-          DedupOps.exactDedup(cur, id, md5(col(text)))
-            .where(!col("is_dup")).drop("fp", "canonical_id", "is_dup"))
-        // nearDupClusters labels only docs that appear in a near-dup pair,
-        // so keep = everything minus the non-canonical cluster members
-        // (anti join — an inner join on canonicals would drop every
-        // unpaired doc)
-        val dups = DedupOps.nearDupClusters(cur, id, text,
-            shingleN, minhashK, bands, threshold)
-          .where(!col("is_canonical"))
-          .select(col("doc_id").as("__drop"))
-        cur = record("near_dedup",
-          cur.join(dups, cur(id) === col("__drop"), "left_anti"))
-        opts.get("min-tokens").foreach { mt =>
-          cur = record("quality",
-            cur.where(size(TextOps.tokens(col(text))) >= mt.toInt))
-        }
-        opts.get("benchmark").foreach { b =>
-          val maxContam = opts.getOrElse("max-contamination", "0.5").toDouble
-          val clean = PipelineOps.contamination(cur,
-              spark.read.parquet(b), id, text, shingleN)
-            .where(col("contamination") <= maxContam)
-            .select(col("doc_id").as("__keep"))
-          cur = record("decontaminate",
-            cur.join(clean, cur(id) === col("__keep")).drop("__keep"))
-        }
-        opts.get("resample").foreach { spec =>
-          // --resample src=0.6,web=0.4 [--group-col source]
-          val targets = spec.split(",").map { kv =>
-            val Array(g, w) = kv.split("=")
-            g -> w.toDouble
-          }.toMap
-          val groupCol = opts.getOrElse("group-col", "source")
-          val picked = CurationOps.mixtureResample(cur, id, groupCol, targets)
-            .select(col(id).as("__keep"))
-          cur = record("resample",
-            cur.join(picked, cur(id) === col("__keep")).drop("__keep"))
-        }
-        cur.write.mode("overwrite").parquet(s"$out/docs")
+        val targets = opts.get("resample").map(_.split(",").map { kv =>
+          val Array(g, w) = kv.split("=")
+          g -> w.toDouble
+        }.toMap).getOrElse(Map.empty[String, Double])
+        val (kept, stages) = CurationOps.curate(spark.read.parquet(in),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          minTokens = opts.get("min-tokens").map(_.toInt),
+          benchmark = opts.get("benchmark").map(spark.read.parquet(_)),
+          maxContamination =
+            opts.getOrElse("max-contamination", "0.5").toDouble,
+          resampleTargets = targets,
+          resampleGroupCol = opts.getOrElse("group-col", "source"),
+          shingleN = opts.getOrElse("shingle-n", "3").toInt,
+          minhashK = opts.getOrElse("minhash-k", "12").toInt,
+          bands = opts.getOrElse("bands", "4").toInt,
+          threshold = opts.getOrElse("threshold", "0.5").toDouble)
+        kept.write.mode("overwrite").parquet(s"$out/docs")
         import spark.implicits._
-        stages.toSeq.toDF("stage", "n_docs").coalesce(1)
+        stages.toDF("stage", "n_docs").coalesce(1)
           .write.option("sep", "\t").mode("overwrite").csv(s"$out/report")
         stages.foreach { case (s, n) => println(s"$s\t$n") }
       // ---- table-maintenance tools (layout operators) ----

@@ -233,6 +233,67 @@ object CurationOps {
     * a 2^53 float path would silently lose token positions at real corpus
     * sizes, so the division stays integral (`div`).
     */
+  /** End-to-end curation composition (the `curate` CLI verb's engine and
+    * the q_curate gate): exact dedup → near-dup cluster removal → token
+    * floor → benchmark decontamination → optional mixture resample.
+    *
+    * Returns the surviving rows (all original columns) plus the per-stage
+    * audit counts — the first thing an operator reads when a run looks
+    * wrong. Every stage materializes once (`localCheckpoint`), so the
+    * audit count and the next stage share one execution and the lineage
+    * does not re-run every upstream kernel per stage; at 100 TB each
+    * boundary is also where a real pipeline would persist to storage.
+    * All stages are deterministic (md5-keyed), so the composition is
+    * hash-gated end-to-end against a DuckDB oracle that chains the same
+    * five relational stages.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minTokens: Option[Int] = None,
+             benchmark: Option[DataFrame] = None,
+             maxContamination: Double = 0.5,
+             resampleTargets: Map[String, Double] = Map.empty,
+             resampleGroupCol: String = "source",
+             shingleN: Int = 3, minhashK: Int = 12, bands: Int = 4,
+             threshold: Double = 0.5): (DataFrame, Seq[(String, Long)]) = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def record(name: String, d: DataFrame): DataFrame = {
+      val kept = d.localCheckpoint()
+      stages += name -> kept.count()
+      kept
+    }
+    var cur = record("input", docs)
+    cur = record("exact_dedup",
+      DedupOps.exactDedup(cur, idCol, md5(col(textCol)))
+        .where(!col("is_dup")).drop("fp", "canonical_id", "is_dup"))
+    // nearDupClusters labels only docs appearing in a near-dup pair, so
+    // keep = everything minus the non-canonical members (anti join — an
+    // inner join on canonicals would drop every unpaired doc)
+    val dups = DedupOps.nearDupClusters(cur, idCol, textCol,
+        shingleN, minhashK, bands, threshold)
+      .where(!col("is_canonical"))
+      .select(col("doc_id").as("__drop"))
+    cur = record("near_dedup",
+      cur.join(dups, cur(idCol) === col("__drop"), "left_anti"))
+    minTokens.foreach { mt =>
+      cur = record("quality",
+        cur.where(size(TextOps.tokens(col(textCol))) >= mt))
+    }
+    benchmark.foreach { b =>
+      val clean = PipelineOps.contamination(cur, b, idCol, textCol, shingleN)
+        .where(col("contamination") <= maxContamination)
+        .select(col("doc_id").as("__keep"))
+      cur = record("decontaminate",
+        cur.join(clean, cur(idCol) === col("__keep")).drop("__keep"))
+    }
+    if (resampleTargets.nonEmpty) {
+      val picked = mixtureResample(cur, idCol, resampleGroupCol,
+        resampleTargets).select(col(idCol).as("__keep"))
+      cur = record("resample",
+        cur.join(picked, cur(idCol) === col("__keep")).drop("__keep"))
+    }
+    (cur, stages.toSeq)
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budget: Int, numBuckets: Int): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
