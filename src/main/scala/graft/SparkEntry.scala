@@ -356,6 +356,12 @@ object SparkEntry {
     "q_quality_classifier" -> ((s, dir) =>
       ClassifierOps.qualityClassifier(docs(s, dir), "doc_id", "text",
         col("lang") === "en", dims = 16, iterations = 3)),
+    // subword seed-vocabulary induction: top-200 word substrings (len<=4)
+    // weighted by word frequency — the SentencePiece/BPE seed step,
+    // computed on the distinct-word relation, never corpus-scale rows
+    "q_vocab_induction" -> ((s, dir) =>
+      TextAnalysisOps.vocabInduction(docs(s, dir), "text",
+        maxPieceLen = 4, topK = 200)),
     // Gopher-style repetitiveness signal: repeated-shingle fraction
     "q_repetition" -> ((s, dir) =>
       TextAnalysisOps.repetitionRatio(docs(s, dir), "doc_id", "text",
@@ -1429,6 +1435,19 @@ object SparkEntry {
          |  round(1.0/(1.0 + exp(-zf.z)), 6) >= 0.5 AS predicted
          |FROM t JOIN zf USING (doc_id)""".stripMargin
     },
+    "q_vocab_induction" ->
+      s"""WITH wc AS (SELECT w, count(*) AS wc FROM (
+         |  SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+         |p0 AS (SELECT w, wc,
+         |  unnest(generate_series(1, length(w))) AS i FROM wc),
+         |p1 AS (SELECT w, wc, i,
+         |  unnest(generate_series(1, least(4, length(w) - i + 1))) AS l
+         |  FROM p0),
+         |p AS (SELECT substring(w, i, l) AS piece,
+         |  CAST(sum(wc) AS BIGINT) AS cnt FROM p1 GROUP BY 1)
+         |SELECT piece, cnt, rank FROM (
+         |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC,
+         |    piece ASC) AS rank FROM p) WHERE rank <= 200""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s0 AS (SELECT doc_id,

@@ -46,7 +46,8 @@ object Main {
       |       personalized-pagerank hourly-counts graph-stats
       |       split contamination dedup-clusters sample-exact
       |       curate (--min-tokens N --benchmark PATH
-      |               --max-contamination F --resample g=w,... --group-col C)
+      |               --max-contamination F --resample g=w,... --group-col C
+      |               --quality-model DIR --min-prob F)
       |       dedup-index (build the between-snapshots (id, fp, hs) index)
       |       dedup-incremental (--index DIR | --corpus PATH)
       |       quality-train (--label '<bool sql>' --dims N --iterations N)
@@ -394,7 +395,10 @@ object Main {
           shingleN = opts.getOrElse("shingle-n", "3").toInt,
           minhashK = opts.getOrElse("minhash-k", "12").toInt,
           bands = opts.getOrElse("bands", "4").toInt,
-          threshold = opts.getOrElse("threshold", "0.5").toDouble)
+          threshold = opts.getOrElse("threshold", "0.5").toDouble,
+          qualityModel = opts.get("quality-model").map(m =>
+            (ClassifierOps.loadModel(spark, m),
+              opts.getOrElse("min-prob", "0.5").toDouble)))
         kept.write.mode("overwrite").parquet(s"$out/docs")
         import spark.implicits._
         stages.toDF("stage", "n_docs").coalesce(1)

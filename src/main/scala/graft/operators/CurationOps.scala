@@ -254,7 +254,9 @@ object CurationOps {
              resampleTargets: Map[String, Double] = Map.empty,
              resampleGroupCol: String = "source",
              shingleN: Int = 3, minhashK: Int = 12, bands: Int = 4,
-             threshold: Double = 0.5): (DataFrame, Seq[(String, Long)]) = {
+             threshold: Double = 0.5,
+             qualityModel: Option[(Array[Double], Double)] = None)
+      : (DataFrame, Seq[(String, Long)]) = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def record(name: String, d: DataFrame): DataFrame = {
       val kept = d.localCheckpoint()
@@ -277,6 +279,17 @@ object CurationOps {
     minTokens.foreach { mt =>
       cur = record("quality",
         cur.where(size(TextOps.tokens(col(textCol))) >= mt))
+    }
+    // learned-filter stage: score under a STORED LR model (trained once
+    // on a labeled seed set, [[ClassifierOps.trainLogReg]]) and keep docs
+    // at or above the probability floor
+    qualityModel.foreach { case (weights, minProb) =>
+      val scored = ClassifierOps.scoreLogReg(cur.select(col(idCol),
+          col(textCol)), idCol, textCol, weights)
+        .where(col("prob") >= minProb)
+        .select(col(idCol).as("__keep"))
+      cur = record("quality_model",
+        cur.join(scored, cur(idCol) === col("__keep")).drop("__keep"))
     }
     benchmark.foreach { b =>
       val clean = PipelineOps.contamination(cur, b, idCol, textCol, shingleN)

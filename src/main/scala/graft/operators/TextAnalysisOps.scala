@@ -363,4 +363,38 @@ object TextAnalysisOps {
       .agg(count(col("lp")).as("n_bigrams"),
         round(avg(col("lp")), 6).as("avg_logp"))
   }
+
+  /** Seed-vocabulary induction for subword tokenizers: the `topK` most
+    * frequent word substrings of length <= `maxPieceLen`, each weighted by
+    * its containing word's corpus frequency — SentencePiece/BPE training
+    * starts from exactly this "all frequent substrings" seed before
+    * pruning.
+    *
+    * Scale shape: the substring fan-out runs on the DISTINCT-WORD relation
+    * (bounded by vocabulary size, not corpus size) and multiplies by the
+    * word's count — the corpus itself is touched once, by the word count.
+    * A 100 TB corpus with a 10M-word vocabulary explodes 10M x len x
+    * maxPieceLen substring rows, never corpus-scale rows. Top-K is a
+    * TakeOrdered (two-phase), not a global sort.
+    *
+    * @return (piece, cnt, rank) with rank 1..topK by (cnt desc, piece asc)
+    */
+  def vocabInduction(docs: DataFrame, textCol: String,
+                     maxPieceLen: Int = 4, topK: Int = 1000): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val pieces = words
+      .select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("wc"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("i") + 1))).as("l"))
+      .select(expr("substring(w, i, l)").as("piece"), col("wc"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+    pieces.orderBy(col("cnt").desc, col("piece").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("piece").asc)))
+  }
 }

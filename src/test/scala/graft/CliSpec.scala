@@ -345,6 +345,34 @@ class CliSpec extends SparkSpec {
       Map("web" -> 2L, "books" -> 2L))
   }
 
+  test("curate --quality-model applies a stored learned filter as a stage") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cli-qmodel").toString
+    // seed set: separable good/spam vocabulary
+    (0 until 40).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, "good clean prose with varied useful words number " + i, 1L)
+      else (i.toLong, "spam spam buy buy click click now now offer " + i, 0L)
+    }.toDF("doc_id", "text", "y").write.parquet(s"$base/seed")
+    Main.run(spark, "quality-train", Map("input" -> s"$base/seed",
+      "output" -> s"$base/model", "label" -> "y = 1",
+      "dims" -> "32", "iterations" -> "30", "lr" -> "5.0"))
+    // corpus: two good docs, one spam doc (all unique — dedup stages pass)
+    Seq((100L, "good clean prose with varied useful words number alpha"),
+        (101L, "good clean prose with varied useful words number beta"),
+        (102L, "spam spam buy buy click click now now offer gamma"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Main.run(spark, "curate", Map("input" -> s"$base/docs",
+      "output" -> s"$base/out", "threshold" -> "0.9",
+      "quality-model" -> s"$base/model", "min-prob" -> "0.5"))
+    val kept = spark.read.parquet(s"$base/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(100L, 101L), "the learned filter drops the spam doc")
+    val report = readTsv(s"$base/out/report").map(_.split("\t"))
+      .map(a => a(0) -> a(1).toLong).toMap
+    assert(report("quality_model") === 2)
+  }
+
   test("unknown tool raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(spark, "no-such-tool", Map.empty)

@@ -206,4 +206,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(diffs.max < 0.05, s"score tolerance blown: max diff ${diffs.max}")
     assert(diffs.sum >= 0, "aggregate bias direction must be upward")
   }
+
+  test("vocabInduction counts substrings weighted by word frequency") {
+    import spark.implicits._
+    // "aa" x3, "ab" x1: pieces a=3*2+1=7, aa=3, b=1, ab=1
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.vocabInduction(docs, "text",
+      maxPieceLen = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out === Map("a" -> (7L, 1), "aa" -> (3L, 2),
+      "ab" -> (1L, 3), "b" -> (1L, 4)))
+  }
+
+  test("vocabInduction is deterministic under repartitioning, rank breaks ties by piece") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysisOps.vocabInduction(d, "text", maxPieceLen = 3, topK = 50)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a === b)
+    assert(a.map(_._3) === (1 to 50), "ranks are dense 1..topK")
+    // ties ordered by piece ascending
+    a.sliding(2).foreach { case Seq((p1, c1, _), (p2, c2, _)) =>
+      assert(c1 > c2 || (c1 == c2 && p1 < p2)) }
+  }
 }
