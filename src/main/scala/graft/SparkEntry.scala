@@ -362,6 +362,16 @@ object SparkEntry {
     "q_vocab_induction" -> ((s, dir) =>
       TextAnalysisOps.vocabInduction(docs(s, dir), "text",
         maxPieceLen = 4, topK = 200)),
+    // subword tokenization under the self-induced vocab: greedy
+    // longest-match per DISTINCT word (driver-bounded relational loop),
+    // rejoined to the corpus for per-doc subword counts
+    "q_subword_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysisOps.vocabInduction(d, "text",
+        maxPieceLen = 4, topK = 200)
+      TextAnalysisOps.subwordTokenCounts(d, "doc_id", "text", vocab,
+        maxPieceLen = 4)
+    }),
     // Gopher-style repetitiveness signal: repeated-shingle fraction
     "q_repetition" -> ((s, dir) =>
       TextAnalysisOps.repetitionRatio(docs(s, dir), "doc_id", "text",
@@ -1448,6 +1458,37 @@ object SparkEntry {
          |SELECT piece, cnt, rank FROM (
          |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC,
          |    piece ASC) AS rank FROM p) WHERE rank <= 200""".stripMargin,
+    // greedy longest-match segmentation as SQL: per-(word, pos) steps are
+    // precomputed non-recursively (max matching piece length, 1 = UNK),
+    // then a recursive walk advances each word's cursor; terminal rows
+    // (pos past the word) carry the piece count
+    "q_subword_tokens" ->
+      s"""WITH RECURSIVE wc0 AS (SELECT w, count(*) AS wc FROM (
+         |  SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+         |p0 AS (SELECT w, wc,
+         |  unnest(generate_series(1, length(w))) AS i FROM wc0),
+         |p1 AS (SELECT w, wc, i,
+         |  unnest(generate_series(1, least(4, length(w) - i + 1))) AS l
+         |  FROM p0),
+         |vp AS (SELECT substring(w, i, l) AS piece,
+         |  CAST(sum(wc) AS BIGINT) AS cnt FROM p1 GROUP BY 1),
+         |vocab AS (SELECT piece FROM (
+         |  SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece ASC)
+         |    AS rank FROM vp) WHERE rank <= 200),
+         |sub AS (SELECT w, i AS pos, l, substring(w, i, l) AS piece FROM p1),
+         |steps AS (SELECT sub.w, sub.pos,
+         |  COALESCE(max(CASE WHEN v.piece IS NOT NULL THEN sub.l END), 1)
+         |    AS step
+         |  FROM sub LEFT JOIN vocab v ON sub.piece = v.piece
+         |  GROUP BY sub.w, sub.pos),
+         |seg AS (SELECT w, 1 AS pos, 0 AS n FROM wc0
+         |  UNION ALL SELECT seg.w, seg.pos + st.step, seg.n + 1
+         |  FROM seg JOIN steps st ON st.w = seg.w AND st.pos = seg.pos),
+         |fin AS (SELECT w, max(n) AS n_pieces FROM seg
+         |        WHERE pos > length(w) GROUP BY w),
+         |tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |SELECT tok.doc_id, CAST(sum(fin.n_pieces) AS BIGINT) AS n_subwords
+         |FROM tok JOIN fin USING (w) GROUP BY tok.doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s0 AS (SELECT doc_id,

@@ -397,4 +397,71 @@ object TextAnalysisOps {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("piece").asc)))
   }
+
+  /** Greedy longest-match subword segmentation length for every distinct
+    * word: (w, n_pieces) where n_pieces is the number of vocabulary
+    * pieces the word splits into (an unmatched character advances by one
+    * as an UNK piece — segmentation always terminates).
+    *
+    * Greedy matching is data-dependent iteration, which a single Column
+    * expression cannot express — so it runs as a DRIVER-BOUNDED relational
+    * loop (the PageRank discipline): each round advances every active
+    * word's cursor by its longest matching piece via one explode(1..L) +
+    * one broadcast vocab join + one max-aggregation, with localCheckpoint
+    * keeping the plan O(1). Rounds are bounded by the longest word's
+    * character count, NOT corpus size, and the loop runs on the
+    * DISTINCT-WORD relation — corpus-scale rows never enter it.
+    */
+  def segmentWordCounts(words: DataFrame, vocab: DataFrame,
+                        maxPieceLen: Int = 4): DataFrame = {
+    val spark = words.sparkSession
+    val v = vocab.select(col("piece")).distinct()
+      .withColumn("hit", lit(true)).localCheckpoint()
+    var state = words.select(col("w")).distinct()
+      .where(length(col("w")) > 0)
+      .select(col("w"), lit(1).as("pos"), lit(0L).as("n"))
+      .localCheckpoint()
+    var finished = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_pieces",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    while (!state.isEmpty) {
+      val stepped = state
+        .select(col("w"), col("pos"), col("n"),
+          explode(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("w")) - col("pos") + 1)))
+            .as("l"))
+        .withColumn("piece", expr("substring(w, pos, l)"))
+        .join(broadcast(v), Seq("piece"), "left_outer")
+        .groupBy("w", "pos", "n")
+        .agg(coalesce(max(when(col("hit"), col("l"))), lit(1)).as("step"))
+        .select(col("w"), (col("pos") + col("step")).as("pos"),
+          (col("n") + 1).as("n"))
+        .localCheckpoint()
+      finished = finished.union(
+        stepped.where(col("pos") > length(col("w")))
+          .select(col("w"), col("n"))).localCheckpoint()
+      state = stepped.where(col("pos") <= length(col("w"))).localCheckpoint()
+    }
+    finished.toDF("w", "n_pieces")
+  }
+
+  /** Per-doc subword token count under a piece vocabulary (e.g. the
+    * [[vocabInduction]] seed): segmentation runs once per DISTINCT word,
+    * then rejoins the corpus — the tokenizer-accurate upgrade over
+    * [[tokenCounts]]'s chars/4 approximation. */
+  def subwordTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame,
+                         maxPieceLen: Int = 4): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+    val seg = segmentWordCounts(tokens.select(col("w")), vocab, maxPieceLen)
+    tokens.join(seg, "w")
+      .groupBy("id")
+      .agg(sum(col("n_pieces")).as("n_subwords"))
+      .select(col("id").as(idCol), col("n_subwords"))
+  }
 }

@@ -218,6 +218,30 @@ class TextAnalysisSpec extends SparkSpec {
       "ab" -> (1L, 3), "b" -> (1L, 4)))
   }
 
+  test("segmentWordCounts: greedy longest-match with UNK fallback") {
+    import spark.implicits._
+    val vocab = Seq("ab", "abc", "d").toDF("piece")
+    val words = Seq("abcd", "abd", "xy", "abcabc", "d").toDF("w")
+    val out = TextAnalysisOps.segmentWordCounts(words, vocab, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "abcd" -> 2L,   // abc + d (longest match wins over ab)
+      "abd" -> 2L,    // ab + d
+      "xy" -> 2L,     // UNK x + UNK y
+      "abcabc" -> 2L, // abc + abc
+      "d" -> 1L))
+  }
+
+  test("subwordTokenCounts sums per-word segment counts over each doc") {
+    import spark.implicits._
+    val vocab = Seq("ab", "abc", "d").toDF("piece")
+    val docs = Seq((1L, "abcd abd"), (2L, "xy d d")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.subwordTokenCounts(docs, "doc_id", "text",
+      vocab, maxPieceLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 4L, 2L -> 4L))
+  }
+
   test("vocabInduction is deterministic under repartitioning, rank breaks ties by piece") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def run(d: org.apache.spark.sql.DataFrame) =
