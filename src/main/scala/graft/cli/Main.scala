@@ -52,6 +52,8 @@ object Main {
       |       dedup-incremental (--index DIR | --corpus PATH)
       |       quality-train (--label '<bool sql>' --dims N --iterations N)
       |       quality-score (--model DIR)
+      |       vocab-induce (--max-piece-len N --top-k N)
+      |       subword-count (--vocab DIR)
       |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N
       |                 --model PATH: probe a stored ivf/pq model)
       |       ann-build (--method ivf|pq: train + persist the quantizer)
@@ -319,6 +321,22 @@ object Main {
           opts.getOrElse("minhash-k", "12").toInt,
           opts.getOrElse("bands", "4").toInt,
           opts.getOrElse("threshold", "0.5").toDouble)
+          .write.mode("overwrite").parquet(out)
+      case "vocab-induce" =>
+        // subword seed-vocabulary induction -> (piece, cnt, rank) parquet
+        TextAnalysisOps.vocabInduction(spark.read.parquet(in),
+          opts.getOrElse("text", "text"),
+          maxPieceLen = opts.getOrElse("max-piece-len", "4").toInt,
+          topK = opts.getOrElse("top-k", "1000").toInt)
+          .write.mode("overwrite").parquet(out)
+      case "subword-count" =>
+        // per-doc subword counts under --vocab (a vocab-induce output)
+        val vocab = spark.read.parquet(opts.getOrElse("vocab",
+          throw new IllegalArgumentException(
+            s"subword-count needs --vocab DIR (from vocab-induce)\n$usage")))
+        TextAnalysisOps.subwordTokenCounts(spark.read.parquet(in),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          vocab, maxPieceLen = opts.getOrElse("max-piece-len", "4").toInt)
           .write.mode("overwrite").parquet(out)
       case "quality-train" =>
         // train the learned quality filter on a labeled seed set

@@ -373,6 +373,25 @@ class CliSpec extends SparkSpec {
     assert(report("quality_model") === 2)
   }
 
+  test("vocab-induce + subword-count round-trip through parquet") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cli-vocab").toString
+    Seq((1L, "alpha alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+      .write.parquet(s"$base/docs")
+    Main.run(spark, "vocab-induce", Map("input" -> s"$base/docs",
+      "output" -> s"$base/vocab", "top-k" -> "20"))
+    val vocab = spark.read.parquet(s"$base/vocab")
+    assert(vocab.columns.toSeq === Seq("piece", "cnt", "rank"))
+    assert(vocab.count() === 20)
+    Main.run(spark, "subword-count", Map("input" -> s"$base/docs",
+      "output" -> s"$base/counts", "vocab" -> s"$base/vocab"))
+    val counts = spark.read.parquet(s"$base/counts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set(1L, 2L))
+    assert(counts.values.forall(_ >= 3L),
+      "every word splits into at least one piece")
+  }
+
   test("unknown tool raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(spark, "no-such-tool", Map.empty)
