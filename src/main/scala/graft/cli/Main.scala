@@ -54,6 +54,7 @@ object Main {
       |       quality-score (--model DIR)
       |       vocab-induce (--max-piece-len N --top-k N)
       |       subword-count (--vocab DIR)
+      |       corpus-card (--group-cols a,b: corpus datasheet JSON + mixture)
       |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N
       |                 --model PATH: probe a stored ivf/pq model)
       |       ann-build (--method ivf|pq: train + persist the quantizer)
@@ -322,6 +323,34 @@ object Main {
           opts.getOrElse("bands", "4").toInt,
           opts.getOrElse("threshold", "0.5").toDouble)
           .write.mode("overwrite").parquet(out)
+      case "corpus-card" =>
+        // one-stop corpus report (the "datasheet" a pipeline operator
+        // checks before training): size, token volume, exact-dup rate,
+        // length quantiles, and the source x lang mixture table
+        val d = spark.read.parquet(in)
+        val text = opts.getOrElse("text", "text")
+        val groupCols = opts.get("group-cols").map(_.split(",").toSeq)
+          .getOrElse(Seq("source", "lang").filter(d.columns.contains))
+        val stats = d.agg(
+          count(lit(1)).as("docs"),
+          sum(size(TextOps.tokens(col(text)))).as("tokens"),
+          sum(length(col(text))).as("chars"),
+          countDistinct(md5(col(text))).as("distinct_texts")).head()
+        val docs = stats.getLong(0)
+        val lenQ = d.select(size(TextOps.tokens(col(text))).cast("double")
+            .as("nt"))
+          .stat.approxQuantile("nt", Array(0.1, 0.5, 0.9), 0.001)
+        if (groupCols.nonEmpty && docs > 0)
+          CurationOps.mixtureReport(d, text, groupCols)
+            .write.mode("overwrite").parquet(s"$out/mixture")
+        val dupRate =
+          if (docs == 0) 0.0 else 1.0 - stats.getLong(3).toDouble / docs
+        def q(i: Int): Double = if (lenQ.length > i) lenQ(i) else 0.0
+        val tokens = if (docs == 0) 0L else stats.getLong(1)
+        val chars = if (docs == 0) 0L else stats.getLong(2)
+        println(s"""{"docs":$docs,"tokens":$tokens,"chars":$chars,""" +
+          f""""exact_dup_rate":$dupRate%.6f,""" +
+          s""""len_p10":${q(0)},"len_p50":${q(1)},"len_p90":${q(2)}}""")
       case "vocab-induce" =>
         // subword seed-vocabulary induction -> (piece, cnt, rank) parquet
         TextAnalysisOps.vocabInduction(spark.read.parquet(in),

@@ -392,6 +392,28 @@ class CliSpec extends SparkSpec {
       "every word splits into at least one piece")
   }
 
+  test("corpus-card prints the datasheet JSON and writes the mixture table") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cli-card").toString
+    Seq((1L, "one two three", "web", "en"),
+        (2L, "one two three", "web", "en"),   // exact dup
+        (3L, "quatre cinq", "books", "fr"))
+      .toDF("doc_id", "text", "source", "lang").write.parquet(s"$base/docs")
+    val outStream = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outStream)) {
+      Main.run(spark, "corpus-card",
+        Map("input" -> s"$base/docs", "output" -> s"$base/card"))
+    }
+    val json = outStream.toString.linesIterator
+      .find(_.startsWith("{")).getOrElse("")
+    assert(json.contains("\"docs\":3"))
+    assert(json.contains("\"tokens\":8"))
+    assert(json.contains("\"exact_dup_rate\":0.333333"))
+    val mix = spark.read.parquet(s"$base/card/mixture")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mix === Map(("web", "en") -> 2L, ("books", "fr") -> 1L))
+  }
+
   test("unknown tool raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(spark, "no-such-tool", Map.empty)
