@@ -51,8 +51,15 @@ object Bench {
     val noisyGraphQueries = Set("q_pagerank", "q_pagerank_log",
       "q_pagerank_hub", "q_pagerank_range", "q_pagerank_conv",
       "q_ppr_hub", "q_ppr_topk")
+    // the train-loop queries (k-means / GD / curate's staged checkpoints)
+    // are in the same multi-second driver-iteration class — same 5-run
+    // noise floor so round-over-round medians stay comparable
+    val noisyTrainQueries = Set("q_ann_ivf_trained", "q_ann_pq",
+      "q_ann_rerank", "q_semdedup", "q_quality_classifier", "q_curate")
     def runsFor(name: String): Int =
-      if (noisyGraphQueries(name)) math.max(runs, 5) else runs
+      if (noisyGraphQueries(name) || noisyTrainQueries(name))
+        math.max(runs, 5)
+      else runs
     def median(xs: Seq[Double]): Double = {
       val v = xs.sorted
       if (v.size % 2 == 1) v(v.size / 2) else (v(v.size / 2 - 1) + v(v.size / 2)) / 2
@@ -101,7 +108,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val overrides = noisyGraphQueries.toSeq.sorted
+    val overrides = (noisyGraphQueries ++ noisyTrainQueries).toSeq.sorted
       .filter(n => only.forall(_.contains(n)) && runsFor(n) != runs)
       .map(n => "\"" + n + "\":" + runsFor(n)).mkString("{", ",", "}")
     val calAfter = calibrate()

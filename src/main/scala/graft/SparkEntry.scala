@@ -283,6 +283,16 @@ object SparkEntry {
         emb.where(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, m = 2, cells = 4, iterations = 2)
     }),
+    // IVF-PQ (the FAISS-style billion-scale shape): trained coarse cells
+    // + product-quantized RESIDUALS; probe top-2 cells, score by
+    // dot(q,centroid) + residual ADC — both quantizers' training unrolled
+    // in the oracle
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, m = 2, cells = 4, iterations = 2)
+    }),
     // two-stage retrieve-then-refine: the PQ/ADC shortlist (20 deep) is
     // re-ranked with exact cosine — only shortlist ids' vectors are
     // re-read (broadcast semi-join fetch, no corpus shuffle)
@@ -1258,6 +1268,8 @@ object SparkEntry {
     "q_ann_pq" -> pqOracleSql(cells = 4, iters = 2, topK = 5, dim = 64),
     "q_ann_ivf_trained" -> ivfTrainedOracleSql(nlist = 8, iters = 2,
       nprobe = 2, k = 5),
+    "q_ann_ivfpq" -> ivfPqOracleSql(nlist = 8, iters = 2, nprobe = 2,
+      cells = 4, k = 5, dim = 64),
     // the ADC shortlist is the q_ann_pq pipeline at depth 20 (nested as a
     // subquery — its WITH scope is self-contained), then exact cosine
     // re-ranks from the raw vectors
@@ -2187,11 +2199,16 @@ object SparkEntry {
     * per iteration, empty cells keep their centroid) unrolled in SQL for
     * TWO subspaces, then ADC scoring — the PQ twin of
     * [[ivfTrainedOracleSql]]. */
-  private def pqOracleSql(cells: Int, iters: Int, topK: Int,
-                          dim: Int): String = {
+  /** Per-subspace Lloyd training CTEs for TWO subspaces over `src`'s
+    * `vcol` vector column: produces sub0/sub1, c0_N/c1_N (final
+    * codebooks) and code0/code1 (per-vector cell codes). Shared by the
+    * flat-PQ oracle (src = the embedding CTE) and the IVF-PQ oracle
+    * (src = the residual CTE). */
+  private def pqTrainCtes(cells: Int, iters: Int, dim: Int,
+                          src: String, vcol: String): String = {
     val dsub = dim / 2
     def svExpr(j: Int) =
-      if (j == 0) s"v[1:$dsub]" else s"v[${dsub + 1}:$dim]"
+      if (j == 0) s"$vcol[1:$dsub]" else s"$vcol[${dsub + 1}:$dim]"
     def assignFrom(j: Int, centsCte: String): String =
       s"""(SELECT s.vec_id, s.sv, c.cell,
          |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
@@ -2209,7 +2226,7 @@ object SparkEntry {
            |  GROUP BY cell, d) GROUP BY cell),
            |c${j}_$i AS (SELECT c0.cell, COALESCE(m${j}_$i.cv, c0.cv) AS cv
            |  FROM c${j}_${i - 1} c0 LEFT JOIN m${j}_$i USING (cell))"""
-      s"""sub$j AS (SELECT vec_id, ${svExpr(j)} AS sv FROM e),
+      s"""sub$j AS (SELECT vec_id, ${svExpr(j)} AS sv FROM $src),
          |c${j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |  sv AS cv FROM (SELECT vec_id, sv FROM sub$j ORDER BY vec_id
          |                 LIMIT $cells)),
@@ -2217,9 +2234,15 @@ object SparkEntry {
          |code$j AS (SELECT vec_id, cell FROM
          |  ${assignFrom(j, s"c${j}_$iters")} WHERE rc = 1)"""
     }
+    s"""${train(0)},
+       |${train(1)}""".stripMargin
+  }
+
+  private def pqOracleSql(cells: Int, iters: Int, topK: Int,
+                          dim: Int): String = {
+    val dsub = dim / 2
     s"""WITH e AS ($embSql),
-       |${train(0)},
-       |${train(1)},
+       |${pqTrainCtes(cells, iters, dim, "e", "v")},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
        |sc AS (SELECT q.query_id, code0.vec_id,
        |  round(list_dot_product(q.qv[1:$dsub], cf0.cv) +
@@ -2233,6 +2256,45 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, vec_id ASC) AS rn FROM sc)
        |WHERE rn <= $topK""".stripMargin
+  }
+
+  /** The q_ann_ivfpq oracle: coarse unrolled-Lloyd training (shared with
+    * q_ann_ivf_trained), per-vector residuals against the final
+    * centroids, per-subspace Lloyd codebooks over the RESIDUALS (shared
+    * CTE builder with q_ann_pq), then probe + inner-product
+    * decomposition scoring dot(q,c) + residual ADC. */
+  private def ivfPqOracleSql(nlist: Int, iters: Int, nprobe: Int,
+                             cells: Int, k: Int, dim: Int): String = {
+    val dsub = dim / 2
+    s"""WITH ${ivfTrainCtes(nlist, iters)},
+       |res AS (SELECT a.vec_id, a.cell AS ccell,
+       |  [a.v[i] - c.cv[i] FOR i IN generate_series(1, $dim)] AS rv
+       |  FROM asg a JOIN cents$iters c ON a.cell = c.cell),
+       |${pqTrainCtes(cells, iters, dim, "res", "rv")},
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+       |      WHERE vec_id < 3),
+       |probe AS (SELECT query_id, qv, cell, qdotc FROM (
+       |  SELECT q.query_id, q.qv, c.cell,
+       |    list_dot_product(q.qv, c.cv) AS qdotc,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm)
+       |        DESC, c.cell ASC) AS rc
+       |  FROM q CROSS JOIN cents$iters c) WHERE rc <= $nprobe),
+       |sc AS (SELECT probe.query_id, code0.vec_id,
+       |  round(probe.qdotc +
+       |        list_dot_product(probe.qv[1:$dsub], cf0.cv) +
+       |        list_dot_product(probe.qv[${dsub + 1}:$dim], cf1.cv), 6)
+       |    AS score
+       |  FROM code0 JOIN code1 USING (vec_id)
+       |  JOIN res ON res.vec_id = code0.vec_id
+       |  JOIN probe ON probe.cell = res.ccell
+       |  JOIN c0_$iters cf0 ON cf0.cell = code0.cell
+       |  JOIN c1_$iters cf1 ON cf1.cell = code1.cell
+       |  WHERE code0.vec_id <> probe.query_id)
+       |SELECT query_id, vec_id, score, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id ASC) AS rn FROM sc)
+       |WHERE rn <= $k""".stripMargin
   }
 
   /** The shared unrolled-Lloyd training CTEs (e, cents0..N, asg): seeds =

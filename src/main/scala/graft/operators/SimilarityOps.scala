@@ -570,6 +570,87 @@ object SimilarityOps {
       .withColumn("is_dup", col("vec_id") =!= col("canonical_id"))
   }
 
+  /** IVF-PQ — the standard billion-scale ANN index shape: the trained
+    * coarse quantizer partitions the corpus into `nlist` cells, each
+    * vector's RESIDUAL (v − centroid) is product-quantized into m codes,
+    * and queries probe the top-`nprobe` cells scoring candidates by the
+    * inner-product decomposition dot(q,v) ≈ dot(q, c_cell) + Σ_j
+    * dot(q_j, book_j[code_j]).
+    *
+    * Residual quantization is what separates this from flat PQ: residuals
+    * are centered near zero, so the same codebook budget carries far more
+    * precision. Scale shape: the index-build pass reduces each corpus row
+    * to (cell, m codes); the scoring scan ships (id, cell, codes) through
+    * a cell equi-join against the broadcast probe set — centroids and
+    * codebooks are LITERAL arrays (the model IS the plan, codegen'd), and
+    * the corpus never shuffles. Determinism: both quantizers train with
+    * per-iteration 6-decimal rounding, residual subtraction is exact FP,
+    * and scores round to 6 — hash-stable and oracle-reproducible.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, nlist: Int = 8, nprobe: Int = 2, m: Int = 2,
+                cells: Int = 4, iterations: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    def emptyResult: DataFrame = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("vec_id", LongType),
+          StructField("score", DoubleType), StructField("rn", IntegerType))))
+    }
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, iterations,
+      roundDecimals = Some(6))
+    if (cents.isEmpty) return emptyResult
+    val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
+    val assigned = c.withColumn("cell",
+      nearestCellFor(c, cents, col("v"), col("nrm")))
+    def centLit(cv: Array[Double]) = array(cv.map(lit).toIndexedSeq: _*)
+    // the cell's centroid as a literal, selected by a when-chain over the
+    // (bounded) cell ids — codegen'd, no join against a centroid table
+    val centFor = cents.tail.foldLeft(
+      when(col("cell") === cents.head._1, centLit(cents.head._2))) {
+      case (acc, (cid, cv, _)) => acc.when(col("cell") === cid, centLit(cv))
+    }
+    val resid = assigned.select(col("vec_id"), col("cell"),
+      zip_with(col("v"), centFor, (a, b) => a - b).as("rv"))
+      .localCheckpoint()
+    val books = trainPqCodebooks(resid, "vec_id", "rv", m, cells, iterations)
+    if (books.isEmpty || books.exists(_.isEmpty)) return emptyResult
+    val dsub = books.head.head._1.length
+    val coded = resid.select(col("vec_id") +: col("cell") +:
+      (0 until m).map(j => nearestPqCellFor(resid, books(j),
+        slice(col("rv"), j * dsub + 1, dsub)).as(s"code$j")): _*)
+    // probe: top-nprobe cells by cosine (ivfTopK's rule), carrying
+    // dot(qv, centroid) forward for the scoring decomposition
+    val q0 = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
+    val qScored = q0.withColumn("sc", explode(array(
+      cents.toSeq.map { case (cid, cv, cnrm) =>
+        val d = fastDot(q0, col("qv"), centLit(cv))
+        struct((d / (lit(cnrm) * col("qnrm"))).as("cos"),
+          d.as("qdotc"), lit(cid).as("cell"))
+      }.toIndexedSeq: _*)))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc.cos").desc, col("sc.cell").asc)
+    val q = qScored.withColumn("rc", row_number().over(wProbe))
+      .where(col("rc") <= nprobe)
+      .select(col("query_id"), col("qv"), col("sc.cell").as("cell"),
+        col("sc.qdotc").as("qdotc"))
+    val joined = coded.join(broadcast(q),
+      coded("cell") === q("cell") && col("vec_id") =!= col("query_id"))
+    val residScore = (0 until m).map { j =>
+      val bookLit = array(books(j).map(e =>
+        array(e._1.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      fastDot(joined, slice(col("qv"), j * dsub + 1, dsub),
+        element_at(bookLit, col(s"code$j") + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    joined.select(col("query_id"), col("vec_id"),
+        round(col("qdotc") + residScore, 6).as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
   // ---- persisted ANN models: train once, probe many ----
   //
   // The trained quantizers (IVF centroids, PQ codebooks) are bounded

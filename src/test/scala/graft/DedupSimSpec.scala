@@ -475,6 +475,38 @@ class DedupSimSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("IVF-PQ: deterministic, and residual ADC under exhaustive probe is no worse than flat PQ") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 2)
+    def run() = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
+      m = 2, cells = 4, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val a = run()
+    assert(a.sameElements(run()), "training + scoring must be run-to-run deterministic")
+    assert(a.nonEmpty && a.map(_._1).distinct.length === 2)
+    // residual quantization quality: with an EXHAUSTIVE probe (candidate
+    // pools equal), IVF-PQ's brute-force overlap must be at least flat
+    // PQ's at the identical m x cells budget — residuals are centered, so
+    // the same codebooks carry more precision (allow a 1-hit edge wobble
+    // on this 50-vector fixture)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hitsOf(rows: Array[(Long, Long)]): Int = rows.count(brute.contains)
+    val ivfpq = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
+      m = 2, cells = 4, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val flat = SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, m = 2, cells = 4,
+      iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (hi, hf) = (hitsOf(ivfpq), hitsOf(flat))
+    info(s"recall@5 of 10: ivfpq=$hi flatpq=$hf")
+    assert(hi >= hf - 1, s"residual ADC regressed: ivfpq=$hi flatpq=$hf")
+  }
+
   test("persisted ANN models round-trip: stored quantizers probe identically to fresh-trained ones") {
     val base = java.nio.file.Files.createTempDirectory("graft-ann-model").toString
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -232,6 +232,33 @@ class TextAnalysisSpec extends SparkSpec {
       "d" -> 1L))
   }
 
+  test("segmentWordCounts matches an in-driver greedy reference on random words") {
+    import spark.implicits._
+    // small alphabet so random pieces actually hit random words
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 200).map(_ =>
+      (0 until (1 + rnd.nextInt(10))).map(_ => "abc"(rnd.nextInt(3))).mkString)
+      .distinct
+    val pieces = (0 until 40).map(_ =>
+      (0 until (1 + rnd.nextInt(4))).map(_ => "abc"(rnd.nextInt(3))).mkString)
+      .distinct
+    val pieceSet = pieces.toSet
+    def ref(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val maxL = math.min(4, w.length - pos)
+        val l = (maxL to 1 by -1)
+          .find(l => pieceSet.contains(w.substring(pos, pos + l))).getOrElse(1)
+        pos += l; n += 1
+      }
+      n
+    }
+    val got = TextAnalysisOps.segmentWordCounts(
+      words.toDF("w"), pieces.toDF("piece"), maxPieceLen = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === words.map(w => w -> ref(w)).toMap)
+  }
+
   test("subwordTokenCounts sums per-word segment counts over each doc") {
     import spark.implicits._
     val vocab = Seq("ab", "abc", "d").toDF("piece")
