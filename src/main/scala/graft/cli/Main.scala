@@ -55,9 +55,9 @@ object Main {
       |       vocab-induce (--max-piece-len N --top-k N)
       |       subword-count (--vocab DIR)
       |       corpus-card (--group-cols a,b: corpus datasheet JSON + mixture)
-      |       ann-topk (--method brute|lsh|ivf|pq --queries PATH --k N
-      |                 --model PATH: probe a stored ivf/pq model)
-      |       ann-build (--method ivf|pq: train + persist the quantizer)
+      |       ann-topk (--method brute|lsh|ivf|pq|ivfpq --queries PATH --k N
+      |                 --model PATH: probe a stored model)
+      |       ann-build (--method ivf|pq|ivfpq: train + persist quantizers)
       |       compact compact-manifest vacuum-manifest show-manifest
       |       count-manifest delete-manifest history-manifest
       |       rollback-manifest (--to-generation N | --as-of ISO)
@@ -281,8 +281,19 @@ object Main {
             iterations = opts.getOrElse("iterations", "2").toInt,
             codebooks = opts.get("model")
               .map(SimilarityOps.loadPqModel(spark, _)))
+          case "ivfpq" => SimilarityOps.ivfPqTopK(corpus, id, vec,
+            queries, id, vec, k,
+            nlist = opts.getOrElse("nlist", "8").toInt,
+            nprobe = opts.getOrElse("nprobe", "2").toInt,
+            m = opts.getOrElse("m", "2").toInt,
+            cells = opts.getOrElse("cells", "4").toInt,
+            iterations = opts.getOrElse("iterations", "2").toInt,
+            centroids = opts.get("model")
+              .map(m => SimilarityOps.loadIvfModel(spark, s"$m/ivf")),
+            codebooks = opts.get("model")
+              .map(m => SimilarityOps.loadPqModel(spark, s"$m/pq")))
           case other => throw new IllegalArgumentException(
-            s"unknown --method '$other' (brute|lsh|ivf|pq)")
+            s"unknown --method '$other' (brute|lsh|ivf|pq|ivfpq)")
         }).write.mode("overwrite").parquet(out)
       case "ann-build" =>
         // train an ANN quantizer ONCE and persist it as a manifested model
@@ -308,8 +319,24 @@ object Main {
             SimilarityOps.savePqModel(spark, books, out)
             println(s"pq model: ${books.length} subspaces x " +
               s"${books.headOption.map(_.length).getOrElse(0)} cells -> $out")
+          case "ivfpq" =>
+            // both quantizers: coarse centroids under <out>/ivf, residual
+            // codebooks under <out>/pq — exactly what ann-topk
+            // --method ivfpq --model <out> loads
+            val iters = opts.getOrElse("iterations", "2").toInt
+            val cents = SimilarityOps.trainIvfCentroids(corpus, id, vec,
+              nlist = opts.getOrElse("nlist", "8").toInt,
+              iterations = iters, roundDecimals = Some(6))
+            SimilarityOps.saveIvfModel(spark, cents, s"$out/ivf")
+            val books = SimilarityOps.trainPqResidualCodebooks(corpus, id,
+              vec, cents, m = opts.getOrElse("m", "2").toInt,
+              cells = opts.getOrElse("cells", "4").toInt,
+              iterations = iters)
+            SimilarityOps.savePqModel(spark, books, s"$out/pq")
+            println(s"ivfpq model: ${cents.length} cells + " +
+              s"${books.length} subspace codebooks -> $out")
           case other => throw new IllegalArgumentException(
-            s"unknown --method '$other' (ivf|pq)")
+            s"unknown --method '$other' (ivf|pq|ivfpq)")
         }
       case "dedup-clusters" =>
         // near-dup clustering: (doc_id, cluster_id, is_canonical) over the

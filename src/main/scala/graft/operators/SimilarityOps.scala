@@ -587,10 +587,41 @@ object SimilarityOps {
     * per-iteration 6-decimal rounding, residual subtraction is exact FP,
     * and scores round to 6 — hash-stable and oracle-reproducible.
     */
+  /** Per-vector residuals (vec_id, cell, rv) against trained coarse
+    * centroids: the cell's centroid enters as a literal selected by a
+    * when-chain over the (bounded) cell ids — codegen'd, no join against
+    * a centroid table. */
+  private def residualsFor(corpus: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[Centroid]): DataFrame = {
+    val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
+    val assigned = c.withColumn("cell",
+      nearestCellFor(c, cents, col("v"), col("nrm")))
+    def centLit(cv: Array[Double]) = array(cv.map(lit).toIndexedSeq: _*)
+    val centFor = cents.tail.foldLeft(
+      when(col("cell") === cents.head._1, centLit(cents.head._2))) {
+      case (acc, (cid, cv, _)) => acc.when(col("cell") === cid, centLit(cv))
+    }
+    assigned.select(col("vec_id"), col("cell"),
+      zip_with(col("v"), centFor, (a, b) => a - b).as("rv"))
+  }
+
+  /** Train the residual PQ codebooks for an IVF-PQ index under
+    * already-trained coarse centroids (the `ann-build --method ivfpq`
+    * path — [[ivfPqTopK]] trains the same way when not given models). */
+  def trainPqResidualCodebooks(corpus: DataFrame, idCol: String,
+                               vecCol: String, cents: Array[Centroid],
+                               m: Int, cells: Int,
+                               iterations: Int = 2): PqCodebook =
+    trainPqCodebooks(
+      residualsFor(corpus, idCol, vecCol, cents).localCheckpoint(),
+      "vec_id", "rv", m, cells, iterations)
+
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int, nlist: Int = 8, nprobe: Int = 2, m: Int = 2,
-                cells: Int = 4, iterations: Int = 2): DataFrame = {
+                cells: Int = 4, iterations: Int = 2,
+                centroids: Option[Array[Centroid]] = None,
+                codebooks: Option[PqCodebook] = None): DataFrame = {
     val spark = corpus.sparkSession
     def emptyResult: DataFrame = {
       import org.apache.spark.sql.types._
@@ -599,24 +630,15 @@ object SimilarityOps {
           StructField("vec_id", LongType),
           StructField("score", DoubleType), StructField("rn", IntegerType))))
     }
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, iterations,
-      roundDecimals = Some(6))
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, idCol, vecCol, nlist, iterations,
+        roundDecimals = Some(6)))
     if (cents.isEmpty) return emptyResult
-    val c = withNorms(corpus, idCol, vecCol, "vec_id", "v", "nrm")
-    val assigned = c.withColumn("cell",
-      nearestCellFor(c, cents, col("v"), col("nrm")))
-    def centLit(cv: Array[Double]) = array(cv.map(lit).toIndexedSeq: _*)
-    // the cell's centroid as a literal, selected by a when-chain over the
-    // (bounded) cell ids — codegen'd, no join against a centroid table
-    val centFor = cents.tail.foldLeft(
-      when(col("cell") === cents.head._1, centLit(cents.head._2))) {
-      case (acc, (cid, cv, _)) => acc.when(col("cell") === cid, centLit(cv))
-    }
-    val resid = assigned.select(col("vec_id"), col("cell"),
-      zip_with(col("v"), centFor, (a, b) => a - b).as("rv"))
-      .localCheckpoint()
-    val books = trainPqCodebooks(resid, "vec_id", "rv", m, cells, iterations)
+    val resid = residualsFor(corpus, idCol, vecCol, cents).localCheckpoint()
+    val books = codebooks.getOrElse(
+      trainPqCodebooks(resid, "vec_id", "rv", m, cells, iterations))
     if (books.isEmpty || books.exists(_.isEmpty)) return emptyResult
+    def centLit(cv: Array[Double]) = array(cv.map(lit).toIndexedSeq: _*)
     val dsub = books.head.head._1.length
     val coded = resid.select(col("vec_id") +: col("cell") +:
       (0 until m).map(j => nearestPqCellFor(resid, books(j),

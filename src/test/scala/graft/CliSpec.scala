@@ -269,6 +269,23 @@ class CliSpec extends SparkSpec {
       assert(stored.nonEmpty, method)
       if (method == "pq") assert(stored === fresh, method)
     }
+    // ivfpq persists BOTH quantizers (<model>/ivf + <model>/pq), and both
+    // train with the rounded deterministic recipe -> stored == fresh
+    Main.run(spark, "ann-build", Map("input" -> emb,
+      "output" -> s"$base/ivfpq-model", "method" -> "ivfpq",
+      "nlist" -> "8", "cells" -> "4"))
+    Main.run(spark, "ann-topk", Map("input" -> emb,
+      "output" -> s"$base/ivfpq-stored", "method" -> "ivfpq",
+      "nlist" -> "8", "cells" -> "4", "model" -> s"$base/ivfpq-model"))
+    Main.run(spark, "ann-topk", Map("input" -> emb,
+      "output" -> s"$base/ivfpq-fresh", "method" -> "ivfpq",
+      "nlist" -> "8", "cells" -> "4"))
+    val stored = spark.read.parquet(s"$base/ivfpq-stored")
+      .collect().map(_.toSeq).toSet
+    val fresh = spark.read.parquet(s"$base/ivfpq-fresh")
+      .collect().map(_.toSeq).toSet
+    assert(stored === fresh)
+    assert(stored.nonEmpty)
   }
 
   test("dedup-index + dedup-incremental classify a batch from a stored index") {
