@@ -398,6 +398,44 @@ object SparkEntry {
       MultimodalOps.extractMeta(
         MultimodalOps.asAssets(docs(s, dir), "doc_id", "text", "text/plain"))
         .toDF()),
+    // REAL media decode, gated: each doc's md5 bytes render a 4x4 gray8
+    // PNG (ImageIO ENCODE), the decode kernel (ImageIO DECODE, raw raster
+    // samples) reads dimensions + pixel mean back, and DuckDB verifies
+    // the mean straight from the same md5 hex — lossless roundtrip
+    "q_image_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+      val assets = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .map { case (id, h) => MultimodalOps.MediaAsset(id, "image/png",
+          MultimodalOps.grayPng(MultimodalOps.hexBytes(h), 4, 4)) }
+      MultimodalOps.decodeImages(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+          round(col("mean_pixel"), 6).as("mean_pixel"))
+    }),
+    // same contract for audio: md5 bytes -> 8 signed 16-bit PCM samples
+    // -> WAV (AudioSystem ENCODE) -> parse rate/channels/frames + sample
+    // mean back (AudioSystem DECODE); DuckDB recomputes from the hex
+    "q_audio_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+      val assets = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .map { case (id, h) =>
+          val b = MultimodalOps.hexBytes(h)
+          val samples = Array.tabulate(8)(i =>
+            (((b(2 * i) << 8) | b(2 * i + 1)) & 0xffff).toShort)
+          MultimodalOps.MediaAsset(id, "audio/wav",
+            MultimodalOps.pcm16Wav(samples, 8000f)) }
+      MultimodalOps.decodeAudio(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("sample_rate"),
+          col("channels"), col("n_frames"),
+          round(col("mean_sample"), 6).as("mean_sample"))
+    }),
 
     // ---- training-data pipeline: contamination / sampling / sketches ----
     // benchmark-overlap check: docs 0-99 act as the "eval set"
@@ -1536,6 +1574,34 @@ object SparkEntry {
         |  CAST(('0x' || substring(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+    // the engine PNG-encodes each doc's md5 bytes as 4x4 gray8 and
+    // decodes them back with ImageIO; gray8 PNG is lossless, so the
+    // decoded pixel mean must equal the mean of the digest bytes
+    "q_image_roundtrip" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id,
+        |  avg(CAST(('0x' || substring(h, 2*i+1, 2)) AS INT)) AS m
+        |  FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS i
+        |        FROM d)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, 4 AS width, 4 AS height,
+        |       round(m, 6) AS mean_pixel FROM b""".stripMargin,
+    // WAV PCM16 roundtrip: the engine's samples are consecutive md5 byte
+    // pairs as signed big-endian shorts; AudioSystem parse must recover
+    // rate/channels/frames and the exact sample mean
+    "q_audio_roundtrip" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(('0x' || substring(h, 4*i+1, 2)) AS INT) * 256
+        |    + CAST(('0x' || substring(h, 4*i+3, 2)) AS INT) AS u
+        |  FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS i
+        |        FROM d)),
+        |sg AS (SELECT doc_id,
+        |  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s)
+        |SELECT doc_id, CAST(8000.0 AS DOUBLE) AS sample_rate,
+        |       1 AS channels, CAST(8 AS BIGINT) AS n_frames,
+        |       round(avg(v), 6) AS mean_sample
+        |FROM sg GROUP BY doc_id""".stripMargin,
     // mirrors MultimodalOps.frameFeatures' md5 stub kernel: feature[j] =
     // first 24 bits of md5(md5(content) || ':' || frame || ':' || j) / 2^24
     "q_frame_features" -> {

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * video travel as opaque `binary` columns with typed metadata, and the
   * decode / feature-extract kernels run per-partition in batches.
   *
-  * The Spark-side plumbing here — schemas, binary columns, partition-local
-  * batching, deterministic output shape — is real and tested. The media
-  * kernels themselves are STUBS (this environment has no image/audio
-  * libraries): `stubDecodeMeta` derives deterministic fake dimensions from
-  * an md5 of the bytes, and `stubFrameFeatures` emits fixed-length
-  * deterministic vectors. Swapping in a real decoder changes ONLY the
-  * marked kernel bodies; every plan around them is production-shaped.
+  * IMAGE and AUDIO decode are REAL: [[decodeImages]] runs
+  * `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — JDK codecs, no external
+  * library) and [[decodeAudio]] runs `javax.sound.sampled` (WAV/AIFF
+  * PCM), both inside the bounded-batch mapPartitions shape, with the
+  * encode side ([[grayPng]], [[pcm16Wav]]) exercised by an
+  * encode→decode→DuckDB-verified roundtrip gate (q_image_roundtrip /
+  * q_audio_roundtrip). VIDEO remains the only stubbed modality (the JDK
+  * ships no video codec): `extractMeta`'s md5-derived dimensions and
+  * [[frameFeatures]]'s deterministic fake vectors stand in for a
+  * frame-decode library, with every plan around them production-shaped.
   */
 object MultimodalOps {
 
@@ -84,4 +87,132 @@ object MultimodalOps {
 
   private def md5Hex(b: Array[Byte]): String =
     md5Bytes(b).map(x => f"$x%02x").mkString
+
+  // ---- REAL decode kernels (JDK codecs — no external libraries) ----
+  //
+  // The "no media libs in this sandbox" constraint only applies to
+  // third-party decoders: the JDK itself ships ImageIO (PNG/JPEG/BMP/GIF)
+  // and javax.sound.sampled (WAV/AIFF PCM). The kernels below are REAL
+  // decode paths — bytes in, parsed dimensions/samples out — run in the
+  // same bounded-batch mapPartitions shape as the stub kernels. Video
+  // remains the only stubbed modality (the JDK has no video codec).
+
+  case class DecodedImage(asset_id: Long, width: Int, height: Int,
+                          mean_pixel: Double)
+
+  case class DecodedAudio(asset_id: Long, sample_rate: Double, channels: Int,
+                          n_frames: Long, mean_sample: Double)
+
+  /** Decode image bytes with `javax.imageio.ImageIO` and emit dimensions
+    * plus the mean raster sample of band 0 (raw sample access — no color
+    * management, so a gray8 PNG round-trips bit-exactly). Undecodable
+    * payloads yield (-1, -1, NaN) rather than failing the batch — the
+    * behavior a 100 TB crawl needs (corrupt bytes are data, not errors).
+    */
+  def decodeImages(assets: Dataset[MediaAsset],
+                   batchSize: Int = 64): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { a =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.content))
+          if (img == null) DecodedImage(a.asset_id, -1, -1, Double.NaN)
+          else {
+            val r = img.getRaster
+            var s = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += r.getSample(x, y, 0); x += 1
+              }
+              y += 1
+            }
+            DecodedImage(a.asset_id, img.getWidth, img.getHeight,
+              s / (img.getWidth.toLong * img.getHeight))
+          }
+        } catch { case _: Exception =>
+          DecodedImage(a.asset_id, -1, -1, Double.NaN)
+        }
+      })
+    }
+  }
+
+  /** Parse audio bytes with `javax.sound.sampled.AudioSystem` (WAV/AIFF
+    * PCM): sample rate, channels, frame count, and the mean signed sample
+    * of channel 0 (16-bit PCM). Unparseable payloads yield a -1 row. */
+  def decodeAudio(assets: Dataset[MediaAsset],
+                  batchSize: Int = 64): Dataset[DecodedAudio] = {
+    implicit val enc = Encoders.product[DecodedAudio]
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { a =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.content))
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          val bytes = ais.readAllBytes()
+          val bps = f.getSampleSizeInBits / 8
+          require(f.getSampleSizeInBits == 16, "kernel reads 16-bit PCM")
+          var s = 0.0
+          var i = 0
+          val stride = f.getFrameSize
+          while (i + bps <= bytes.length) {
+            val sample =
+              if (f.isBigEndian)
+                ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            s += sample
+            i += stride // channel 0 of each frame
+          }
+          DecodedAudio(a.asset_id, f.getSampleRate.toDouble, f.getChannels,
+            frames, if (frames == 0) Double.NaN else s / frames)
+        } catch { case _: Exception =>
+          DecodedAudio(a.asset_id, -1.0, -1, -1L, Double.NaN)
+        }
+      })
+    }
+  }
+
+  /** Render a gray8 PNG of the given width x height from `pixels`
+    * (row-major, 0-255) — real `ImageIO` ENCODE, used by the roundtrip
+    * gate and tests to manufacture valid media deterministically. */
+  def grayPng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      r.setSample(i % width, i / width, 0, pixels(i)); i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Render a mono 16-bit little-endian PCM WAV at `sampleRate` from
+    * signed samples — real `AudioSystem` ENCODE. */
+  def pcm16Wav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, 1, 2, sampleRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Hex md5 digest -> its 16 bytes as ints 0-255. */
+  def hexBytes(hex: String): Array[Int] =
+    Array.tabulate(16)(i => Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16))
 }

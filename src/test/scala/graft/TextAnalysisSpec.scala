@@ -121,6 +121,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r.contains(4L), "zero-token doc emits no row, not entropy 0")
   }
 
+  test("multimodal: real JDK decode — PNG and WAV roundtrip exactly, corrupt bytes degrade to sentinel rows") {
+    import spark.implicits._
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+    // image: known 2x3 gray pixels survive the PNG encode/decode exactly
+    val px = Array(0, 255, 7, 19, 128, 200)
+    val img = MultimodalOps.MediaAsset(1L, "image/png",
+      MultimodalOps.grayPng(px, 2, 3))
+    val junk = MultimodalOps.MediaAsset(2L, "image/png",
+      Array[Byte](1, 2, 3, 4))
+    val di = MultimodalOps.decodeImages(Seq(img, junk).toDS())
+      .collect().map(d => d.asset_id -> d).toMap
+    assert(di(1L).width === 2 && di(1L).height === 3)
+    assert(di(1L).mean_pixel === px.sum / 6.0)
+    assert(di(2L).width === -1 && di(2L).mean_pixel.isNaN,
+      "corrupt image bytes degrade, not fail")
+    // audio: signed PCM16 samples survive the WAV encode/parse exactly
+    val samples = Array[Short](100, -200, 32767, -32768, 0, 5, -5, 1000)
+    val wav = MultimodalOps.MediaAsset(3L, "audio/wav",
+      MultimodalOps.pcm16Wav(samples, 16000f))
+    val junkA = MultimodalOps.MediaAsset(4L, "audio/wav",
+      Array[Byte](9, 9, 9))
+    val da = MultimodalOps.decodeAudio(Seq(wav, junkA).toDS())
+      .collect().map(d => d.asset_id -> d).toMap
+    assert(da(3L).sample_rate === 16000.0 && da(3L).channels === 1)
+    assert(da(3L).n_frames === 8L)
+    assert(da(3L).mean_sample === samples.map(_.toDouble).sum / 8.0)
+    assert(da(4L).n_frames === -1L && da(4L).mean_sample.isNaN)
+  }
+
   test("multimodal: meta is deterministic, frame features batch-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val assets = MultimodalOps.asAssets(docs, "doc_id", "text", "text/plain")
