@@ -215,4 +215,84 @@ object MultimodalOps {
   /** Hex md5 digest -> its 16 bytes as ints 0-255. */
   def hexBytes(hex: String): Array[Int] =
     Array.tabulate(16)(i => Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16))
+
+  /** REAL image features: decode, resize to `side` x `side` grayscale
+    * with `Graphics2D` bilinear scaling, emit the normalized pixel vector
+    * in [0,1] — the classic thumbnail embedding, directly consumable by
+    * the [[SimilarityOps]] ANN stack (brute/LSH/IVF/PQ over an
+    * `Array[Float]` column). Undecodable bytes emit no row (a feature
+    * pipeline drops, metadata pipelines keep sentinels — different jobs).
+    * Deterministic for a given JDK; scale-interpolation is
+    * implementation-defined, so these gate via specs, not DuckDB. */
+  def imageThumbnailFeatures(assets: Dataset[MediaAsset], side: Int = 8,
+                             batchSize: Int = 64): Dataset[FrameFeature] = {
+    implicit val enc = Encoders.product[FrameFeature]
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.content))
+          if (img == null) Iterator.empty
+          else {
+            val thumb = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g = thumb.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, side, side, null)
+            g.dispose()
+            val r = thumb.getRaster
+            val feat = Array.tabulate(side * side)(i =>
+              r.getSample(i % side, i / side, 0) / 255.0f)
+            Iterator.single(FrameFeature(a.asset_id, 0, feat))
+          }
+        } catch { case _: Exception => Iterator.empty }
+      })
+    }
+  }
+
+  /** REAL audio features: windowed RMS energy over 16-bit PCM channel 0 —
+    * `windows` equal slices of the clip, each reduced to its
+    * root-mean-square amplitude normalized by Short.MaxValue. The
+    * loudness envelope a silence/clipping filter needs. Unparseable
+    * bytes emit no row. */
+  def audioEnergyFeatures(assets: Dataset[MediaAsset], windows: Int = 8,
+                          batchSize: Int = 64): Dataset[FrameFeature] = {
+    implicit val enc = Encoders.product[FrameFeature]
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.content))
+          val f = ais.getFormat
+          require(f.getSampleSizeInBits == 16, "kernel reads 16-bit PCM")
+          val bytes = ais.readAllBytes()
+          val stride = f.getFrameSize
+          val n = bytes.length / stride
+          if (n == 0) Iterator.empty
+          else {
+            val samples = Array.tabulate(n) { i =>
+              val o = i * stride
+              (if (f.isBigEndian)
+                 ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+               else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort).toDouble
+            }
+            val feat = Array.tabulate(windows) { w =>
+              val lo = (w.toLong * n / windows).toInt
+              val hi = ((w + 1).toLong * n / windows).toInt
+              if (hi <= lo) 0.0f
+              else {
+                var s = 0.0
+                var i = lo
+                while (i < hi) { s += samples(i) * samples(i); i += 1 }
+                (math.sqrt(s / (hi - lo)) / Short.MaxValue).toFloat
+              }
+            }
+            Iterator.single(FrameFeature(a.asset_id, 0, feat))
+          }
+        } catch { case _: Exception => Iterator.empty }
+      })
+    }
+  }
 }

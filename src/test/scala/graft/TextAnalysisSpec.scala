@@ -151,6 +151,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(da(4L).n_frames === -1L && da(4L).mean_sample.isNaN)
   }
 
+  test("multimodal: real feature kernels — thumbnail embedding feeds ANN, RMS envelope tracks loudness") {
+    import spark.implicits._
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+    // two visually near-identical 16x16 gradients and one inverted one:
+    // the thumbnail embeddings must rank the near-duplicate first
+    def gradient(flip: Boolean, jitter: Int): Array[Int] =
+      Array.tabulate(256) { i =>
+        val v = (i % 16) * 16 + jitter
+        math.min(255, math.max(0, if (flip) 255 - v else v))
+      }
+    val imgs = Seq(
+      MultimodalOps.MediaAsset(1L, "image/png",
+        MultimodalOps.grayPng(gradient(flip = false, 0), 16, 16)),
+      MultimodalOps.MediaAsset(2L, "image/png",
+        MultimodalOps.grayPng(gradient(flip = false, 3), 16, 16)),
+      MultimodalOps.MediaAsset(3L, "image/png",
+        MultimodalOps.grayPng(gradient(flip = true, 0), 16, 16))).toDS()
+    val feats = MultimodalOps.imageThumbnailFeatures(imgs, side = 8).toDF()
+      .select(col("asset_id").as("vec_id"), col("feature").as("embedding"))
+    val nn = graft.operators.SimilarityOps.bruteForceTopK(feats, "vec_id", "embedding",
+      feats.where(col("vec_id") === 1), "vec_id", "embedding", k = 2)
+      .orderBy("rn").collect().map(_.getLong(1))
+    assert(nn.head === 2L, "the jittered twin must outrank the inverted image")
+    // audio: first half silence, second half loud -> RMS envelope steps up
+    val samples = Array.tabulate(1600)(i =>
+      if (i < 800) 0.toShort else 20000.toShort)
+    val wav = Seq(MultimodalOps.MediaAsset(9L, "audio/wav",
+      MultimodalOps.pcm16Wav(samples, 16000f))).toDS()
+    val env = MultimodalOps.audioEnergyFeatures(wav, windows = 4)
+      .collect().head.feature
+    assert(env.length === 4)
+    assert(env(0) === 0.0f && env(1) === 0.0f, "silent half is zero energy")
+    assert(env(2) > 0.5f && env(3) > 0.5f, "loud half tracks amplitude")
+  }
+
   test("multimodal: meta is deterministic, frame features batch-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val assets = MultimodalOps.asAssets(docs, "doc_id", "text", "text/plain")
