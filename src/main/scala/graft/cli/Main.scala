@@ -55,6 +55,8 @@ object Main {
       |       vocab-induce (--max-piece-len N --top-k N)
       |       subword-count (--vocab DIR)
       |       corpus-card (--group-cols a,b: corpus datasheet JSON + mixture)
+      |       media-features (--kind image|audio --bytes COL: JDK decode
+      |                       -> thumbnail embeddings / RMS envelopes)
       |       ann-topk (--method brute|lsh|ivf|pq|ivfpq --queries PATH --k N
       |                 --model PATH: probe a stored model)
       |       ann-build (--method ivf|pq|ivfpq: train + persist quantizers)
@@ -349,6 +351,23 @@ object Main {
           opts.getOrElse("minhash-k", "12").toInt,
           opts.getOrElse("bands", "4").toInt,
           opts.getOrElse("threshold", "0.5").toDouble)
+          .write.mode("overwrite").parquet(out)
+      case "media-features" =>
+        // REAL JDK decode -> feature parquet: --kind image emits 8x8
+        // thumbnail embeddings (ANN-ready), --kind audio emits windowed
+        // RMS loudness envelopes; undecodable rows are dropped
+        val assets = MultimodalOps.asAssets(spark.read.parquet(in),
+          opts.getOrElse("id", "asset_id"),
+          opts.getOrElse("bytes", "content"),
+          opts.getOrElse("kind", "image"))
+        (opts.getOrElse("kind", "image") match {
+          case "image" => MultimodalOps.imageThumbnailFeatures(assets,
+            side = opts.getOrElse("side", "8").toInt)
+          case "audio" => MultimodalOps.audioEnergyFeatures(assets,
+            windows = opts.getOrElse("windows", "8").toInt)
+          case other => throw new IllegalArgumentException(
+            s"unknown --kind '$other' (image|audio)")
+        }).toDF().select(col("asset_id"), col("feature"))
           .write.mode("overwrite").parquet(out)
       case "corpus-card" =>
         // one-stop corpus report (the "datasheet" a pipeline operator

@@ -431,6 +431,24 @@ class CliSpec extends SparkSpec {
     assert(mix === Map(("web", "en") -> 2L, ("books", "fr") -> 1L))
   }
 
+  test("media-features decodes real PNGs into ANN-ready feature parquet") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    val base = Files.createTempDirectory("graft-cli-media").toString
+    Seq(
+      (1L, MultimodalOps.grayPng(Array.fill(64)(128), 8, 8)),
+      (2L, MultimodalOps.grayPng(Array.fill(64)(0), 8, 8)),
+      (3L, Array[Byte](1, 2, 3)) // corrupt -> dropped
+    ).toDF("asset_id", "content").write.parquet(s"$base/imgs")
+    Main.run(spark, "media-features", Map("input" -> s"$base/imgs",
+      "output" -> s"$base/feats", "kind" -> "image"))
+    val feats = spark.read.parquet(s"$base/feats")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.keySet === Set(1L, 2L), "corrupt asset dropped")
+    assert(feats(1L).forall(v => math.abs(v - 128 / 255.0f) < 1e-6))
+    assert(feats(2L).forall(_ === 0.0f))
+  }
+
   test("unknown tool raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(spark, "no-such-tool", Map.empty)
