@@ -426,6 +426,42 @@ class DedupSimSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("incremental dedup loop: accepted batches append to the stored index and dedupe the NEXT snapshot") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-loop").toString
+    val snapshot0 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    graft.operators.LayoutOps.writeManifested(
+      DedupOps.corpusDedupIndex(snapshot0, "doc_id", "text"), s"$base/idx")
+    // snapshot 1: one new doc survives; its signature row is APPENDED to
+    // the manifested index (the lakehouse commit a production loop runs)
+    val batch1 = Seq(
+      (10L, "a brand new document about sequence packing today")
+    ).toDF("doc_id", "text")
+    val d1 = DedupOps.dedupAgainstIndex(
+      graft.operators.LayoutOps.readManifested(spark, s"$base/idx"),
+      batch1, "doc_id", "text", threshold = 0.3).collect()
+    assert(d1.map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(10L -> "new"))
+    graft.operators.LayoutOps.appendManifested(
+      DedupOps.corpusDedupIndex(batch1, "doc_id", "text"), s"$base/idx")
+    // snapshot 2: a dup of the doc accepted in snapshot 1 must now be
+    // caught WITHOUT ever re-touching snapshot-0/1 text
+    val batch2 = Seq(
+      (20L, "a brand new document about sequence packing today"),
+      (21L, "still more unseen words with no overlap anywhere")
+    ).toDF("doc_id", "text")
+    val d2 = DedupOps.dedupAgainstIndex(
+      graft.operators.LayoutOps.readManifested(spark, s"$base/idx"),
+      batch2, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(d2(20L) === (("exact", Some(10L))),
+      "the appended generation's signatures dedupe the next snapshot")
+    assert(d2(21L)._1 === "new")
+  }
+
   test("dedupAgainstCorpus never pairs the corpus with itself") {
     // two corpus docs that are near-dups of EACH OTHER but unlike the batch:
     // they must not appear in the output at all
