@@ -637,7 +637,25 @@ class LayoutOpsSpec extends SparkSpec {
         val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt, bounds)
         if (kept.size < total) anyPruned = true
       }
-      assert(anyPruned, "bloom must prune for at least some present values")
+      // pruning odds per probe depend on the file layout, and
+      // repartitionByRange SAMPLES its boundaries (run-order-dependent
+      // seed), so a pathological layout can survive the 30 probes above
+      // (seen once in a full-suite run). Sweep the rest of the domain
+      // before concluding, and if genuinely nothing prunes, fail with the
+      // layout that produced it.
+      var v = 30L
+      while (!anyPruned && v < 997L) {
+        val (kept, total) = LayoutOps.manifestSkipFiles(spark, mt,
+          Seq(ColBounds("k", Some(v), Some(v))))
+        if (kept.size < total) anyPruned = true
+        v += 1
+      }
+      if (!anyPruned) {
+        val perFile = full.groupBy(input_file_name())
+          .agg(count(lit(1)), countDistinct(col("k"))).collect()
+          .map(r => s"${r.getLong(1)} rows/${r.getLong(2)} distinct k")
+        fail("no k value pruned any file; layout: " + perFile.mkString("; "))
+      }
 
       // absent value: bloom prunes (essentially) everything, result empty
       val absent = Seq(ColBounds("k", Some(999999L), Some(999999L)))
