@@ -109,4 +109,45 @@ class EdgeCasesSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(base))
   }
+
+  test("round-7 operators on empty inputs return empty or full-pass results, not errors") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    // incremental dedup: an empty corpus classifies everything "new";
+    // an empty batch yields no decisions
+    val vsEmpty = graft.operators.DedupOps
+      .dedupAgainstCorpus(emptyDocs, someDocs, "doc_id", "text").collect()
+    assert(vsEmpty.map(_.getString(1)).toSeq === Seq("new"))
+    assert(graft.operators.DedupOps
+      .dedupAgainstCorpus(someDocs, emptyDocs, "doc_id", "text")
+      .count() === 0)
+    // curate on an empty corpus: every stage records zero, output is empty
+    val (kept, stages) = graft.operators.CurationOps.curate(
+      emptyDocs, "doc_id", "text", minTokens = Some(1))
+    assert(kept.count() === 0)
+    assert(stages.map(_._2).forall(_ === 0L))
+    // vocab induction / segmentation on empties
+    assert(graft.operators.TextAnalysisOps
+      .vocabInduction(emptyDocs, "text").count() === 0)
+    assert(graft.operators.TextAnalysisOps.segmentWordCounts(
+      Seq.empty[String].toDF("w"), Seq("ab").toDF("piece")).count() === 0)
+    assert(graft.operators.TextAnalysisOps.subwordTokenCounts(
+      emptyDocs, "doc_id", "text", Seq("ab").toDF("piece")).count() === 0)
+    // IVF-PQ on an empty corpus returns the typed empty contract
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ivfpq = graft.operators.SimilarityOps.ivfPqTopK(
+      e, "vec_id", "embedding", e, "vec_id", "embedding", k = 3)
+    assert(ivfpq.columns.toSeq === Seq("query_id", "vec_id", "score", "rn"))
+    assert(ivfpq.count() === 0)
+    // media kernels on zero assets
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[graft.operators.MultimodalOps.MediaAsset]
+    val noAssets =
+      Seq.empty[graft.operators.MultimodalOps.MediaAsset].toDS()
+    assert(graft.operators.MultimodalOps.decodeImages(noAssets).count() === 0)
+    assert(graft.operators.MultimodalOps.decodeAudio(noAssets).count() === 0)
+    assert(graft.operators.MultimodalOps
+      .imageThumbnailFeatures(noAssets).count() === 0)
+  }
 }
