@@ -474,8 +474,19 @@ object Main {
         // audit trail (docs surviving each stage) — the number a pipeline
         // operator reads first when a run looks wrong.
         val targets = opts.get("resample").map(_.split(",").map { kv =>
-          val Array(g, w) = kv.split("=")
-          g -> w.toDouble
+          kv.split("=", 2) match {
+            case Array(g, w) if g.nonEmpty && w.nonEmpty =>
+              val wd = try w.toDouble catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"--resample weight '$w' in '$kv' is not a number" +
+                      s"\n$usage")
+              }
+              g -> wd
+            case _ => throw new IllegalArgumentException(
+              s"--resample expects group=weight[,group=weight...], " +
+                s"got '$kv'\n$usage")
+          }
         }.toMap).getOrElse(Map.empty[String, Double])
         val (kept, stages) = CurationOps.curate(spark.read.parquet(in),
           opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),

@@ -72,8 +72,13 @@ object ClassifierOps {
                   labelCol: Column, dims: Int = 64, iterations: Int = 5,
                   lr: Double = 1.0): Array[Double] = {
     val feats = features(docs, idCol, textCol, dims).localCheckpoint()
+    // Drop null-labeled docs BEFORE counting n: a label expression like
+    // `lang = 'en'` evaluates to NULL on null lang, and a null label would
+    // both inflate n with zero-gradient rows and poison sum(x*r) to NULL
+    // for any bucket touched only by such docs (NPE at the collect).
     val labels = docs.select(col(idCol).as("id"),
-      labelCol.cast("double").as("y")).localCheckpoint()
+      labelCol.cast("double").as("y"))
+      .where(col("y").isNotNull).localCheckpoint()
     val n = labels.count().toDouble
     var w = Array.fill(dims + 1)(0.0)
     if (n == 0) return w

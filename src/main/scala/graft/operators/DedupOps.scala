@@ -382,9 +382,19 @@ object DedupOps {
     * baseline; minhash LSH is the full-corpus path.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
+                        shingleN: Int = 3, threshold: Double = 0.3,
+                        maxBruteRows: Long = 100000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Enforce the bounded-baseline contract (see cosineNearDupPairs): an
+    // uncapped collect is a silent driver OOM; past the cap the answer is
+    // the banded-LSH path, not a bigger cap.
+    val nRows = docs.count()
+    require(nRows <= maxBruteRows,
+      s"ngramJaccardPairs is the BOUNDED brute-force baseline: corpus has " +
+        s"$nRows rows > maxBruteRows=$maxBruteRows. Use the banded-LSH " +
+        "path (DedupOps.minhashNearDupPairs) for full corpora, or raise " +
+        "maxBruteRows if the driver heap allows.")
     val sh = docs.select(col(idCol).as("id"),
       array_sort(shingleHashes64(TextOps.tokens(col(textCol)), shingleN)).as("hs"))
     val side = sh.as[(Long, Seq[Long])].collect()

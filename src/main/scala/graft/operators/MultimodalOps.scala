@@ -156,6 +156,7 @@ object MultimodalOps {
           val bps = f.getSampleSizeInBits / 8
           require(f.getSampleSizeInBits == 16, "kernel reads 16-bit PCM")
           var s = 0.0
+          var n = 0L
           var i = 0
           val stride = f.getFrameSize
           while (i + bps <= bytes.length) {
@@ -164,10 +165,17 @@ object MultimodalOps {
                 ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
               else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
             s += sample
+            n += 1
             i += stride // channel 0 of each frame
           }
-          DecodedAudio(a.asset_id, f.getSampleRate.toDouble, f.getChannels,
-            frames, if (frames == 0) Double.NaN else s / frames)
+          // Divide by the samples actually READ, not the header-declared
+          // frame length: getFrameLength can be NOT_SPECIFIED (-1) for
+          // some stream types, and a truncated payload carries fewer
+          // frames than its header claims — either would corrupt the
+          // mean. frames<0 (unknown length) degrades to the sentinel row.
+          if (frames < 0) DecodedAudio(a.asset_id, -1.0, -1, -1L, Double.NaN)
+          else DecodedAudio(a.asset_id, f.getSampleRate.toDouble,
+            f.getChannels, frames, if (n == 0) Double.NaN else s / n)
         } catch { case _: Exception =>
           DecodedAudio(a.asset_id, -1.0, -1, -1L, Double.NaN)
         }

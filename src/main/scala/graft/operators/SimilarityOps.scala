@@ -65,7 +65,8 @@ object SimilarityOps {
   /** All near-duplicate pairs by cosine >= threshold (brute-force; the
     * LSH-bucketed variant below is the scale path). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         maxBruteRows: Long = 100000L): DataFrame = {
     // Broadcast one side as primitive arrays and scan pairs in a
     // mapPartitions kernel: a row-join materializing O(n²) boxed vector
     // pairs measured ~10x slower. mapPartitions is justified here exactly
@@ -74,6 +75,16 @@ object SimilarityOps {
     // BOUNDED brute-force baseline; LSH bucketing is the full-corpus path.
     val spark = corpus.sparkSession
     import spark.implicits._
+    // ENFORCE the bound, don't document it: collecting an uncapped corpus
+    // is a silent driver OOM. The cap is overridable for callers that know
+    // their driver heap; past it, the answer is the LSH path, not a bigger
+    // cap.
+    val nRows = corpus.count()
+    require(nRows <= maxBruteRows,
+      s"cosineNearDupPairs is the BOUNDED brute-force baseline: corpus has " +
+        s"$nRows rows > maxBruteRows=$maxBruteRows. Use the LSH-bucketed " +
+        "path (SimilarityOps.lshTopK) or SemDeDup (semDedup) for full " +
+        "corpora, or raise maxBruteRows if the driver heap allows.")
     val c = withNorms(corpus, idCol, vecCol, "id", "v", "nrm")
     val side = c.select(col("id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)].collect()
@@ -367,6 +378,32 @@ object SimilarityOps {
   /** Argmin-L2 cell for a subvector via a least() struct fold — ties →
     * lowest cell. ||s−c||² ranks identically to (||c||² − 2·s·c) because
     * ||s||² is constant per row, so the fold never materializes it. */
+  /** Effective PQ subspace count. A STORED model defines its own layout:
+    * the number of codebooks it was trained with wins over the caller's
+    * `m` parameter (the CLI `ann-topk --model` path always passes its
+    * default m=2), and the layout must tile the embedding width — a
+    * mismatched m would otherwise silently score only a prefix of each
+    * vector, or read past the stored subspaces. Validated against the
+    * query vectors (already broadcast-small) so the failure is an
+    * actionable driver-side error, not a wrong answer. */
+  private def pqModelM(books: PqCodebook, stored: Boolean,
+                       queries: DataFrame, qvecCol: String): Int = {
+    val mEff = books.length
+    if (stored) {
+      val dsub = books.head.head._1.length
+      val dims = queries.select(size(asDouble(col(qvecCol))).cast("int"))
+        .take(1)
+      dims.headOption.foreach { r =>
+        val dim = r.getInt(0)
+        require(mEff * dsub == dim,
+          s"stored PQ model layout (m=$mEff x dsub=$dsub) does not tile " +
+          s"query vector dim=$dim; the model was trained for a different " +
+          "embedding width — rebuild it with `ann-build`")
+      }
+    }
+    mEff
+  }
+
   private def nearestPqCellFor(df: DataFrame,
       book: Array[(Array[Double], Double)], sv: Column): Column = {
     val scored = book.zipWithIndex.map { case ((cv, cn2), cid) =>
@@ -448,15 +485,16 @@ object SimilarityOps {
           StructField("score", DoubleType), StructField("rn", IntegerType))))
     }
     val dsub = books.head.head._1.length
+    val mEff = pqModelM(books, codebooks.isDefined, queries, qvecCol)
     val c = corpus.select(col(idCol).cast("long").as("vec_id"),
       asDouble(col(vecCol)).as("v"))
-    val coded = c.select(col("vec_id") +: (0 until m).map(j =>
+    val coded = c.select(col("vec_id") +: (0 until mEff).map(j =>
       nearestPqCellFor(c, books(j),
         slice(col("v"), j * dsub + 1, dsub)).as(s"code$j")): _*)
     val q = queries.select(col(qidCol).cast("long").as("query_id"),
       asDouble(col(qvecCol)).as("qv"))
     val joined = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
-    val score = (0 until m).map { j =>
+    val score = (0 until mEff).map { j =>
       val bookLit = array(books(j).map(e =>
         array(e._1.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
       fastDot(joined, slice(col("qv"), j * dsub + 1, dsub),
@@ -640,8 +678,9 @@ object SimilarityOps {
     if (books.isEmpty || books.exists(_.isEmpty)) return emptyResult
     def centLit(cv: Array[Double]) = array(cv.map(lit).toIndexedSeq: _*)
     val dsub = books.head.head._1.length
+    val mEff = pqModelM(books, codebooks.isDefined, queries, qvecCol)
     val coded = resid.select(col("vec_id") +: col("cell") +:
-      (0 until m).map(j => nearestPqCellFor(resid, books(j),
+      (0 until mEff).map(j => nearestPqCellFor(resid, books(j),
         slice(col("rv"), j * dsub + 1, dsub)).as(s"code$j")): _*)
     // probe: top-nprobe cells by cosine (ivfTopK's rule), carrying
     // dot(qv, centroid) forward for the scoring decomposition
@@ -660,7 +699,7 @@ object SimilarityOps {
         col("sc.qdotc").as("qdotc"))
     val joined = coded.join(broadcast(q),
       coded("cell") === q("cell") && col("vec_id") =!= col("query_id"))
-    val residScore = (0 until m).map { j =>
+    val residScore = (0 until mEff).map { j =>
       val bookLit = array(books(j).map(e =>
         array(e._1.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
       fastDot(joined, slice(col("qv"), j * dsub + 1, dsub),

@@ -232,8 +232,9 @@ object StreamingOps {
             when(col("__known"), lit("exact")).otherwise(lit("new")))
           .drop("__fp", "__known")
       case Some(bits) =>
-        require(bits > 0 && (bits & (bits - 1)) == 0,
-          s"bloomBits must be a power of two, got $bits")
+        require(bits >= 64 && (bits & (bits - 1)) == 0,
+          s"bloomBits must be a power of two >= 64 (one long word), " +
+            s"got $bits")
         val h = PipelineOps.hash60(fp)
         val words: Seq[Long] = corpus
           .select(explode(array(

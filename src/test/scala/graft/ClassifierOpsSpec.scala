@@ -75,6 +75,26 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(viaCli.nonEmpty)
   }
 
+  test("null labels are dropped from training, not counted or propagated") {
+    // a label expression like `lang = 'en'` is NULL on null lang — such
+    // docs must neither inflate n nor poison a gradient bucket to NULL
+    val base = Seq(
+      (1L, "good clean text about spark", "en"),
+      (2L, "aaa bbb ccc ddd", "fr"),
+      (3L, "more good text about engines", "en"),
+      (4L, "xxx yyy zzz", "fr")).toDF("doc_id", "text", "lang")
+    val withNulls = base.union(Seq(
+      (5L, "unlabeled doc with its own rare vocabulary qqqq wwww", null: String),
+      (6L, "another unlabeled zzzzz doc", null: String))
+      .toDF("doc_id", "text", "lang"))
+    val wClean = ClassifierOps.trainLogReg(base, "doc_id", "text",
+      col("lang") === "en", dims = 16, iterations = 3)
+    val wNulls = ClassifierOps.trainLogReg(withNulls, "doc_id", "text",
+      col("lang") === "en", dims = 16, iterations = 3)
+    assert(wNulls.toSeq === wClean.toSeq,
+      "null-labeled docs must be invisible to training")
+  }
+
   test("empty corpus trains a zero model and scores nothing") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val w = ClassifierOps.trainLogReg(empty, "doc_id", "text",

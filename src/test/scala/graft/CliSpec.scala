@@ -360,6 +360,17 @@ class CliSpec extends SparkSpec {
     assert(out2.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("web" -> 2L, "books" -> 2L))
+
+    // malformed --resample follows the CLI's usage-error convention, not
+    // an opaque MatchError
+    for (bad <- Seq("web", "web=", "=0.5", "web=abc")) {
+      val e = intercept[IllegalArgumentException] {
+        Main.run(spark, "curate", Map(
+          "input" -> s"$base/docs", "output" -> s"$base/out3",
+          "resample" -> bad))
+      }
+      assert(e.getMessage.contains("--resample"), s"input '$bad': $e")
+    }
   }
 
   test("curate --quality-model applies a stored learned filter as a stage") {

@@ -90,6 +90,29 @@ class DedupSimSpec extends SparkSpec {
     assert(brute.subsetOf(lsh) && lsh.subsetOf(brute))
   }
 
+  test("brute-force kernels enforce their row cap and name the LSH sibling") {
+    // the bounded-oracle contract: past maxBruteRows the kernel must fail
+    // fast with an actionable error, not collect its way to a driver OOM
+    val e1 = intercept[IllegalArgumentException] {
+      DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxBruteRows = 2L).collect()
+    }
+    assert(e1.getMessage.contains("minhashNearDupPairs"))
+    assert(e1.getMessage.contains("maxBruteRows=2"))
+
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.5, maxBruteRows = 2L).collect()
+    }
+    assert(e2.getMessage.contains("lshTopK"))
+
+    // at or under the cap both kernels still run
+    assert(SimilarityOps.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.5, maxBruteRows = 3L).count() >= 1)
+  }
+
   test("connectedComponents: min-label propagation finds exact components") {
     // two components (a 4-chain that needs >1 propagation round, and a
     // triangle) — labels must converge to the component minimum
@@ -578,6 +601,44 @@ class DedupSimSpec extends SparkSpec {
       toMap(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5, m = 2, cells = 4,
         codebooks = Some(books))))
+  }
+
+  test("stored PQ model defines its own m; a wrong-width model fails fast") {
+    // the CLI `ann-topk --model` path always passes its default m=2 — the
+    // stored model's codebook count must win, not the caller's parameter
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 2)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val books4 = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 4, cells = 4, iterations = 2)
+    // probing an m=4 model with the caller default m=2 must score all 4
+    // stored subspaces (identical to asking for m=4 explicitly)
+    assert(toMap(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, m = 2,
+        codebooks = Some(books4))) ===
+      toMap(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, m = 4,
+        codebooks = Some(books4))))
+    // a model trained for a different embedding width is an error, not a
+    // silently-truncated score
+    val narrow = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val booksNarrow = SimilarityOps.trainPqCodebooks(narrow, "vec_id",
+      "embedding", m = 2, cells = 4, iterations = 2)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, m = 2,
+        codebooks = Some(booksNarrow)).collect()
+    }
+    assert(e.getMessage.contains("does not tile"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5,
+        codebooks = Some(booksNarrow)).collect()
+    }
+    assert(e2.getMessage.contains("does not tile"))
   }
 
   test("pqTopKRerank with a full-depth shortlist equals brute-force top-k") {

@@ -186,6 +186,21 @@ class StreamingSpec extends SparkSpec {
     assert(bloom(11L) === "maybe_dup")
   }
 
+  test("bloom path rejects sub-word bit counts up front") {
+    // bits < 64 passes a bare power-of-two check but allocates ZERO long
+    // words in the sketch — the failure must be a driver-side require, not
+    // an ArrayIndexOutOfBounds inside the executor aggregator
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((0L, "some corpus text")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.streamingDedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpus, "text", Some(32))
+    }
+    assert(e.getMessage.contains(">= 64"))
+  }
+
   test("pipeline column ops run unchanged on a stream (batch/stream unification)") {
     // splitLabel and langId are pure column functions — the SAME expressions
     // drive a readStream plan with no modification, which is the point of

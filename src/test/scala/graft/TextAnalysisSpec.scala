@@ -149,6 +149,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(da(3L).n_frames === 8L)
     assert(da(3L).mean_sample === samples.map(_.toDouble).sum / 8.0)
     assert(da(4L).n_frames === -1L && da(4L).mean_sample.isNaN)
+    // a truncated payload carries fewer frames than its header declares:
+    // the mean must be over the samples actually read, not the header count
+    val full = MultimodalOps.pcm16Wav(samples, 16000f)
+    val cut = MultimodalOps.MediaAsset(5L, "audio/wav",
+      full.take(full.length - 8)) // drop the last 4 samples
+    val dc = MultimodalOps.decodeAudio(Seq(cut).toDS()).collect().head
+    assert(dc.mean_sample === samples.take(4).map(_.toDouble).sum / 4.0,
+      "mean divides by samples read, not header-declared frames")
   }
 
   test("multimodal: real feature kernels — thumbnail embedding feeds ANN, RMS envelope tracks loudness") {
