@@ -436,6 +436,33 @@ object SparkEntry {
           col("channels"), col("n_frames"),
           round(col("mean_sample"), 6).as("mean_sample"))
     }),
+    // video container metadata: each doc's md5 bytes pick the parameters
+    // of a minimal VALID MP4 (ISO-BMFF ENCODE), the box-walk kernel reads
+    // duration/timescale/tracks/codec/dimensions back, and DuckDB
+    // re-derives every field straight from the hex — a real parse of the
+    // exact surface a pipeline filters video on before decoding
+    "q_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+      val assets = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .map { case (id, h) =>
+          val b = MultimodalOps.hexBytes(h)
+          MultimodalOps.MediaAsset(id, "video/mp4", MultimodalOps.tinyMp4(
+            timescale = 1000L + b(0),
+            duration = b(1) * 256L + b(2),
+            width = 16 * (1 + b(3) % 16),
+            height = 16 * (1 + b(4) % 16),
+            fourcc = Seq("avc1", "hvc1", "vp09", "av01")(b(5) % 4),
+            nTracks = 1 + b(6) % 3)) }
+      MultimodalOps.videoContainerMeta(assets).toDF()
+        .select(col("asset_id").as("doc_id"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          col("timescale"), col("n_tracks"), col("codec"),
+          col("width"), col("height"))
+    }),
 
     // ---- training-data pipeline: contamination / sampling / sketches ----
     // benchmark-overlap check: docs 0-99 act as the "eval set"
@@ -1602,6 +1629,29 @@ object SparkEntry {
         |       1 AS channels, CAST(8 AS BIGINT) AS n_frames,
         |       round(avg(v), 6) AS mean_sample
         |FROM sg GROUP BY doc_id""".stripMargin,
+    // the engine builds a minimal MP4 from each doc's md5 bytes and
+    // box-walks it back; the container fields must equal the md5-derived
+    // parameters they were encoded from
+    "q_video_meta" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id,
+        |  CAST(('0x' || substring(h, 1, 2)) AS INT) AS b0,
+        |  CAST(('0x' || substring(h, 3, 2)) AS INT) AS b1,
+        |  CAST(('0x' || substring(h, 5, 2)) AS INT) AS b2,
+        |  CAST(('0x' || substring(h, 7, 2)) AS INT) AS b3,
+        |  CAST(('0x' || substring(h, 9, 2)) AS INT) AS b4,
+        |  CAST(('0x' || substring(h, 11, 2)) AS INT) AS b5,
+        |  CAST(('0x' || substring(h, 13, 2)) AS INT) AS b6
+        |  FROM d)
+        |SELECT doc_id,
+        |  round((b1 * 256 + b2) * 1000.0 / (1000 + b0), 6) AS duration_ms,
+        |  CAST(1000 + b0 AS BIGINT) AS timescale,
+        |  1 + b6 % 3 AS n_tracks,
+        |  CASE b5 % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+        |    WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec,
+        |  16 * (1 + b3 % 16) AS width,
+        |  16 * (1 + b4 % 16) AS height
+        |FROM b""".stripMargin,
     // mirrors MultimodalOps.frameFeatures' md5 stub kernel: feature[j] =
     // first 24 bits of md5(md5(content) || ':' || frame || ':' || j) / 2^24
     "q_frame_features" -> {

@@ -57,6 +57,8 @@ object Main {
       |       corpus-card (--group-cols a,b: corpus datasheet JSON + mixture)
       |       media-features (--kind image|audio --bytes COL: JDK decode
       |                       -> thumbnail embeddings / RMS envelopes)
+      |       video-meta (--bytes COL: ISO-BMFF box walk -> duration/
+      |                   tracks/codec/dimensions container metadata)
       |       ann-topk (--method brute|lsh|ivf|pq|ivfpq --queries PATH --k N
       |                 --model PATH: probe a stored model)
       |       ann-build (--method ivf|pq|ivfpq: train + persist quantizers)
@@ -369,6 +371,15 @@ object Main {
             s"unknown --kind '$other' (image|audio)")
         }).toDF().select(col("asset_id"), col("feature"))
           .write.mode("overwrite").parquet(out)
+      case "video-meta" =>
+        // REAL ISO-BMFF box walk -> container metadata parquet: the
+        // duration/tracks/codec/dimensions a pipeline filters video on
+        // before decoding; corrupt payloads keep sentinel rows
+        MultimodalOps.videoContainerMeta(
+          MultimodalOps.asAssets(spark.read.parquet(in),
+            opts.getOrElse("id", "asset_id"),
+            opts.getOrElse("bytes", "content"), "video/mp4"))
+          .toDF().write.mode("overwrite").parquet(out)
       case "corpus-card" =>
         // one-stop corpus report (the "datasheet" a pipeline operator
         // checks before training): size, token volume, exact-dup rate,

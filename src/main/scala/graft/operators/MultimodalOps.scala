@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * PCM), both inside the bounded-batch mapPartitions shape, with the
   * encode side ([[grayPng]], [[pcm16Wav]]) exercised by an
   * encode→decode→DuckDB-verified roundtrip gate (q_image_roundtrip /
-  * q_audio_roundtrip). VIDEO remains the only stubbed modality (the JDK
-  * ships no video codec): `extractMeta`'s md5-derived dimensions and
-  * [[frameFeatures]]'s deterministic fake vectors stand in for a
-  * frame-decode library, with every plan around them production-shaped.
+  * q_audio_roundtrip). VIDEO container METADATA is REAL too:
+  * [[videoContainerMeta]] box-walks ISO-BMFF (MP4) for duration, track
+  * count, codec fourcc and dimensions — the fields a pipeline filters on
+  * before ever decoding. Only video frame DECODE stays stubbed (the JDK
+  * ships no video codec): [[frameFeatures]]'s deterministic fake vectors
+  * stand in for a codec library, with every plan around them
+  * production-shaped.
   */
 object MultimodalOps {
 
@@ -94,8 +97,9 @@ object MultimodalOps {
   // third-party decoders: the JDK itself ships ImageIO (PNG/JPEG/BMP/GIF)
   // and javax.sound.sampled (WAV/AIFF PCM). The kernels below are REAL
   // decode paths — bytes in, parsed dimensions/samples out — run in the
-  // same bounded-batch mapPartitions shape as the stub kernels. Video
-  // remains the only stubbed modality (the JDK has no video codec).
+  // same bounded-batch mapPartitions shape as the stub kernels. For
+  // video, container metadata is real (the ISO-BMFF walk below); only
+  // frame decode stays stubbed (the JDK has no video codec).
 
   case class DecodedImage(asset_id: Long, width: Int, height: Int,
                           mean_pixel: Double)
@@ -302,5 +306,198 @@ object MultimodalOps {
         } catch { case _: Exception => Iterator.empty }
       })
     }
+  }
+
+  // ---- REAL video container metadata: ISO-BMFF (MP4) box walk ----
+  //
+  // Full video DECODE stays out of reach JDK-only (no codec ships with
+  // the JDK), but container METADATA does not: an MP4 is a tree of
+  // length-prefixed boxes, and the fields a training-data pipeline
+  // filters on before ever decoding — duration, track count, codec
+  // fourcc, display dimensions — live in `moov/mvhd`, `moov/trak/tkhd`
+  // and `moov/trak/mdia/minf/stbl/stsd`. This is pure byte parsing, the
+  // same shape as the WAV header parse in [[decodeAudio]]. The encode
+  // side ([[tinyMp4]]) manufactures minimal valid files for the
+  // roundtrip gate, mirroring [[grayPng]]/[[pcm16Wav]].
+
+  /** Container-level video metadata: duration in ms (duration/timescale
+    * from `mvhd`), track count, first track's sample-entry fourcc and
+    * 16.16 fixed-point display dimensions from `tkhd`. */
+  case class VideoMeta(asset_id: Long, duration_ms: Double, timescale: Long,
+                       n_tracks: Int, codec: String, width: Int, height: Int)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  /** Children of a box span as (type, payloadStart, payloadEnd). Handles
+    * the three ISO-BMFF size encodings: normal 32-bit, size==1 (64-bit
+    * largesize follows the type), size==0 (box extends to container end).
+    * A box overrunning its container is corruption — throw, the caller
+    * degrades to the sentinel row. */
+  private def childBoxes(b: Array[Byte], start: Int,
+                         end: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var off = start
+    while (off + 8 <= end) {
+      val sz0 = be32(b, off)
+      val typ = new String(b, off + 4, 4, "ISO-8859-1")
+      var payload = off + 8
+      val boxEnd: Long =
+        if (sz0 == 1L) {
+          require(off + 16 <= end, s"box $typ: truncated largesize")
+          payload = off + 16
+          off + be64(b, off + 8)
+        } else if (sz0 == 0L) end.toLong
+        else off.toLong + sz0
+      require(boxEnd >= payload && boxEnd <= end,
+        s"box $typ overruns its container")
+      out += ((typ, payload, boxEnd.toInt))
+      off = boxEnd.toInt
+    }
+    out.toSeq
+  }
+
+  private def findBox(boxes: Seq[(String, Int, Int)],
+                      typ: String): Option[(Int, Int)] =
+    boxes.collectFirst { case (`typ`, s, e) => (s, e) }
+
+  /** Parse one MP4's container metadata; throws on non-BMFF bytes. */
+  private[operators] def parseMp4Meta(id: Long, b: Array[Byte]): VideoMeta = {
+    val top = childBoxes(b, 0, b.length)
+    require(top.exists(_._1 == "ftyp"), "not ISO-BMFF: no ftyp box")
+    val (ms, me) = findBox(top, "moov").getOrElse(
+      throw new IllegalArgumentException("no moov box"))
+    val moov = childBoxes(b, ms, me)
+    val (hs, _) = findBox(moov, "mvhd").getOrElse(
+      throw new IllegalArgumentException("no mvhd box"))
+    // mvhd v0 packs timescale/duration as 32-bit at +12/+16; v1 widens
+    // creation/modification to 64-bit, shifting them to +20 (32-bit
+    // timescale) and +24 (64-bit duration)
+    val (timescale, duration) =
+      if ((b(hs) & 0xff) == 1) (be32(b, hs + 20), be64(b, hs + 24))
+      else (be32(b, hs + 12), be32(b, hs + 16))
+    require(timescale > 0, "mvhd timescale must be positive")
+    val traks = moov.filter(_._1 == "trak")
+    var width = -1
+    var height = -1
+    var codec = ""
+    traks.headOption.foreach { case (_, ts, te) =>
+      val trak = childBoxes(b, ts, te)
+      findBox(trak, "tkhd").foreach { case (ks, _) =>
+        // tkhd: after version/flags+times+ids+duration+reserved fields,
+        // the 36-byte matrix, then width/height as 16.16 fixed point —
+        // +76/+80 for v0, +88/+92 for v1 (64-bit times and duration)
+        val wOff = if ((b(ks) & 0xff) == 1) ks + 88 else ks + 76
+        width = (be32(b, wOff) >> 16).toInt
+        height = (be32(b, wOff + 4) >> 16).toInt
+      }
+      for {
+        (mds, mde) <- findBox(trak, "mdia")
+        (mns, mne) <- findBox(childBoxes(b, mds, mde), "minf")
+        (sts, ste) <- findBox(childBoxes(b, mns, mne), "stbl")
+        (sds, sde) <- findBox(childBoxes(b, sts, ste), "stsd")
+      } {
+        // stsd payload: version/flags(4) entry_count(4), then the first
+        // sample entry — an ordinary box whose TYPE is the codec fourcc
+        if (be32(b, sds + 4) > 0 && sds + 16 <= sde)
+          codec = new String(b, sds + 12, 4, "ISO-8859-1")
+      }
+    }
+    VideoMeta(id, duration * 1000.0 / timescale, timescale, traks.length,
+      codec, width, height)
+  }
+
+  /** Batched container-metadata kernel over video assets. Corrupt or
+    * non-BMFF payloads degrade to a sentinel row (NaN/-1/"") — corrupt
+    * bytes are data in a 100 TB crawl, not errors. */
+  def videoContainerMeta(assets: Dataset[MediaAsset],
+                         batchSize: Int = 64): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { a =>
+        try parseMp4Meta(a.asset_id, a.content)
+        catch { case _: Exception =>
+          VideoMeta(a.asset_id, Double.NaN, -1L, -1, "", -1, -1)
+        }
+      })
+    }
+  }
+
+  // ---- encode side: minimal valid MP4, for gates and tests ----
+
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def bmffBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    u32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+  }
+
+  /** The identity transform matrix every tkhd/mvhd carries. */
+  private val unityMatrix: Array[Byte] =
+    u32(0x10000L) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x10000L) ++
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000L)
+
+  /** Build a minimal VALID ISO-BMFF file: ftyp + moov(mvhd + `nTracks`
+    * traks, each with tkhd dimensions and an stsd sample entry typed
+    * `fourcc`) + mdat. Real encode for the metadata surface — the same
+    * deterministic-fixture role [[grayPng]]/[[pcm16Wav]] play for
+    * image/audio. */
+  def tinyMp4(timescale: Long, duration: Long, width: Int, height: Int,
+              fourcc: String, nTracks: Int = 1,
+              mdat: Array[Byte] = Array[Byte](0, 1, 2, 3)): Array[Byte] = {
+    require(fourcc.length == 4, "fourcc must be 4 chars")
+    require(nTracks >= 1, "need at least one track")
+    val mvhd = bmffBox("mvhd",
+      u32(0), u32(0), u32(0), u32(timescale), u32(duration),
+      u32(0x10000L), u16(0x0100), u16(0), u32(0), u32(0),
+      unityMatrix, Array.fill(24)(0.toByte), u32(nTracks + 1L))
+    def sampleEntry: Array[Byte] = bmffBox(fourcc,
+      Array.fill(6)(0.toByte), u16(1), // reserved + data_reference_index
+      u16(0), u16(0), Array.fill(12)(0.toByte), // predefined/reserved
+      u16(width), u16(height),
+      u32(0x480000L), u32(0x480000L), // 72 dpi horiz/vert resolution
+      u32(0), u16(1), // reserved, frame_count
+      Array.fill(32)(0.toByte), // compressorname
+      u16(0x18), u16(0xffff)) // depth, pre_defined = -1
+    def trak(trackId: Int): Array[Byte] = {
+      val tkhd = bmffBox("tkhd",
+        u32(7), u32(0), u32(0), u32(trackId.toLong), u32(0), u32(duration),
+        u32(0), u32(0), u16(0), u16(0), u16(0), u16(0),
+        unityMatrix, u32(width.toLong << 16), u32(height.toLong << 16))
+      val mdhd = bmffBox("mdhd", u32(0), u32(0), u32(0),
+        u32(timescale), u32(duration), u16(0x55c4), u16(0)) // lang "und"
+      val hdlr = bmffBox("hdlr", u32(0), u32(0),
+        "vide".getBytes("ISO-8859-1"), Array.fill(12)(0.toByte),
+        Array(0.toByte))
+      val stbl = bmffBox("stbl",
+        bmffBox("stsd", u32(0), u32(1), sampleEntry),
+        bmffBox("stts", u32(0), u32(0)),
+        bmffBox("stsc", u32(0), u32(0)),
+        bmffBox("stsz", u32(0), u32(0), u32(0)),
+        bmffBox("stco", u32(0), u32(0)))
+      val minf = bmffBox("minf",
+        bmffBox("vmhd", u32(1), u16(0), u16(0), u16(0), u16(0)),
+        bmffBox("dinf", bmffBox("dref", u32(0), u32(1),
+          bmffBox("url ", u32(1)))),
+        stbl)
+      bmffBox("trak", tkhd, bmffBox("mdia", mdhd, hdlr, minf))
+    }
+    val ftyp = bmffBox("ftyp", "isom".getBytes("ISO-8859-1"), u32(0x200),
+      "isom".getBytes("ISO-8859-1"), "iso2".getBytes("ISO-8859-1"))
+    val moov = bmffBox("moov",
+      mvhd +: (1 to nTracks).map(trak): _*)
+    ftyp ++ moov ++ bmffBox("mdat", mdat)
   }
 }

@@ -159,6 +159,74 @@ class TextAnalysisSpec extends SparkSpec {
       "mean divides by samples read, not header-declared frames")
   }
 
+  test("multimodal: MP4 container metadata round-trips through the box walk") {
+    import spark.implicits._
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+    val good = MultimodalOps.MediaAsset(1L, "video/mp4",
+      MultimodalOps.tinyMp4(timescale = 1200L, duration = 36000L,
+        width = 640, height = 360, fourcc = "avc1", nTracks = 2))
+    val junk = MultimodalOps.MediaAsset(2L, "video/mp4",
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    // a WAV is valid bytes but not ISO-BMFF — must degrade, not misparse
+    val wav = MultimodalOps.MediaAsset(3L, "video/mp4",
+      MultimodalOps.pcm16Wav(Array[Short](1, 2, 3, 4), 8000f))
+    val vm = MultimodalOps.videoContainerMeta(Seq(good, junk, wav).toDS())
+      .collect().map(v => v.asset_id -> v).toMap
+    assert(vm(1L).duration_ms === 30000.0) // 36000 / 1200 * 1000
+    assert(vm(1L).timescale === 1200L)
+    assert(vm(1L).n_tracks === 2)
+    assert(vm(1L).codec === "avc1")
+    assert(vm(1L).width === 640 && vm(1L).height === 360)
+    assert(vm(2L).timescale === -1L && vm(2L).duration_ms.isNaN &&
+      vm(2L).codec === "", "corrupt bytes degrade to the sentinel row")
+    assert(vm(3L).n_tracks === -1, "non-BMFF bytes degrade too")
+  }
+
+  test("multimodal: box walk handles largesize, to-end and v1 boxes; truncation degrades") {
+    import spark.implicits._
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u64(v: Long) = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+    def box(t: String, p: Array[Byte]*) = {
+      val body = p.flatten.toArray
+      u32(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
+    }
+    // version-1 mvhd (64-bit times/duration) and v1 tkhd (width at +88)
+    val mvhd1 = box("mvhd", Array(1.toByte, 0, 0, 0), u64(0), u64(0),
+      u32(48000L), u64(960000L), u32(0x10000L), u16(0x100), u16(0),
+      u32(0), u32(0), Array.fill(36)(0.toByte), Array.fill(24)(0.toByte),
+      u32(2))
+    val tkhd1 = box("tkhd", Array(1.toByte, 0, 0, 7), u64(0), u64(0),
+      u32(1), u32(0), u64(960000L), u32(0), u32(0),
+      u16(0), u16(0), u16(0), u16(0), Array.fill(36)(0.toByte),
+      u32(1920L << 16), u32(1080L << 16))
+    val moov = box("moov", mvhd1, box("trak", tkhd1))
+    val ftyp = box("ftyp", "isom".getBytes, u32(0), "isom".getBytes)
+    // mdat #1 uses the size==1 largesize form; mdat #2 uses size==0
+    // (extends to end of file)
+    val mdatLarge = u32(1) ++ "mdat".getBytes ++ u64(20L) ++ u32(0xdeadL)
+    val mdatToEnd = u32(0) ++ "mdat".getBytes ++ Array[Byte](1, 2, 3)
+    val bytes = ftyp ++ moov ++ mdatLarge ++ mdatToEnd
+    val v = MultimodalOps.videoContainerMeta(
+      Seq(MultimodalOps.MediaAsset(7L, "video/mp4", bytes)).toDS())
+      .collect().head
+    assert(v.timescale === 48000L)
+    assert(v.duration_ms === 20000.0) // 960000 / 48000 * 1000
+    assert(v.n_tracks === 1)
+    assert(v.width === 1920 && v.height === 1080)
+    assert(v.codec === "", "no stsd -> empty codec, not a failure")
+    // a box whose declared size overruns the file is corruption
+    val overrun = ftyp ++ u32(1L << 30) ++ "moov".getBytes
+    val bad = MultimodalOps.videoContainerMeta(
+      Seq(MultimodalOps.MediaAsset(8L, "video/mp4", overrun)).toDS())
+      .collect().head
+    assert(bad.timescale === -1L && bad.duration_ms.isNaN)
+  }
+
   test("multimodal: real feature kernels — thumbnail embedding feeds ANN, RMS envelope tracks loudness") {
     import spark.implicits._
     implicit val enc =
