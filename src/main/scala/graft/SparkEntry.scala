@@ -325,6 +325,48 @@ object SparkEntry {
         emb.where(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, planes = 4, probeBits = 4)
     }),
+    // ANN recall@k harness: the sizing number an index user needs —
+    // recall of each approximate shortlist vs the exact brute-force
+    // top-k, across the tunable that governs each method (probeBits for
+    // LSH, nprobe for IVF, quantization for PQ). Every approximate
+    // result set AND the brute reference are re-derived by DuckDB (the
+    // same unrolled-training oracles as the individual q_ann_* gates),
+    // so the recall numbers themselves are hash-gated.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 3)
+      def pairs(df: DataFrame) = df.select("query_id", "vec_id")
+      val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+        "embedding", nlist = 8, iterations = 2, roundDecimals = Some(6))
+      def ivfAt(nprobe: Int) = SimilarityOps.ivfTopK(emb, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 5, nlist = 8,
+        nprobe = nprobe, centroids = Some(cents))
+      val variants: Seq[(String, DataFrame)] = Seq(
+        "lsh_p4" -> SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, planes = 4),
+        "lsh_p4_mp" -> SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, planes = 4, probeBits = 4),
+        "ivf_np1" -> ivfAt(1),
+        "ivf_np2" -> ivfAt(2),
+        "ivf_np4" -> ivfAt(4),
+        "pq_m2c4" -> SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, m = 2, cells = 4,
+          iterations = 2),
+        "ivfpq_np2" -> SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
+          m = 2, cells = 4, iterations = 2, centroids = Some(cents)))
+      val brute = pairs(SimilarityOps.bruteForceTopK(emb, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 5))
+        .withColumn("hit", lit(1))
+      val union = variants.map { case (n, df) =>
+        pairs(df).withColumn("method", lit(n)) }.reduce(_ unionByName _)
+      union.join(broadcast(brute), Seq("query_id", "vec_id"), "left_outer")
+        .groupBy("method")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("total"))))
+        .select(col("method"), col("hits"), col("total"),
+          round(col("hits").cast("double") / col("total"), 6).as("recall"))
+    }),
     // brute-force O(n²) pair scan — bounded to the first 2000 vectors; the
     // hyperplane-LSH bucketing in SimilarityOps is the full-corpus path
     "q_embed_neardup" -> ((s, dir) =>
@@ -1372,6 +1414,54 @@ object SparkEntry {
          |       COALESCE(cl.canonical_id, a.vec_id) AS canonical_id,
          |       COALESCE(cl.canonical_id, a.vec_id) <> a.vec_id AS is_dup
          |FROM asg a LEFT JOIN cl USING (vec_id)""".stripMargin,
+    // recall@5 of every approximate method vs exact brute force: DuckDB
+    // re-derives BOTH result sets (the same unrolled-training oracles as
+    // the per-method gates, each nested as a CTE) and recomputes the
+    // overlap ratio — the recall numbers are themselves hash-verified
+    "q_ann_recall" -> {
+      val bruteSql =
+        s"""WITH e AS ($embSql),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+           |      WHERE vec_id < 3),
+           |s AS (SELECT query_id, vec_id,
+           |        round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cos
+           |      FROM e CROSS JOIN q WHERE vec_id <> query_id)
+           |SELECT query_id, vec_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |                               ORDER BY cos DESC, vec_id ASC) AS rn
+           |  FROM s) WHERE rn <= 5""".stripMargin
+      val variants = Seq(
+        "lsh_p4" -> lshAnnOracleSql(multiProbe = false),
+        "lsh_p4_mp" -> lshAnnOracleSql(multiProbe = true),
+        "ivf_np1" -> ivfTrainedOracleSql(nlist = 8, iters = 2,
+          nprobe = 1, k = 5),
+        "ivf_np2" -> ivfTrainedOracleSql(nlist = 8, iters = 2,
+          nprobe = 2, k = 5),
+        "ivf_np4" -> ivfTrainedOracleSql(nlist = 8, iters = 2,
+          nprobe = 4, k = 5),
+        "pq_m2c4" -> pqOracleSql(cells = 4, iters = 2, topK = 5, dim = 64),
+        "ivfpq_np2" -> ivfPqOracleSql(nlist = 8, iters = 2, nprobe = 2,
+          cells = 4, k = 5, dim = 64))
+      val ctes = variants.map { case (n, sql) => s"v_$n AS (\n$sql\n)" }
+      val union = variants.map { case (n, _) =>
+        s"SELECT '$n' AS method, query_id, vec_id FROM v_$n" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH brute AS (
+         |$bruteSql
+         |),
+         |${ctes.mkString(",\n")},
+         |u AS (
+         |  $union),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM brute)
+         |SELECT u.method,
+         |  CAST(count(b.query_id) AS BIGINT) AS hits,
+         |  (SELECT total FROM t) AS total,
+         |  round(CAST(count(b.query_id) AS DOUBLE) / (SELECT total FROM t),
+         |        6) AS recall
+         |FROM u LEFT JOIN brute b
+         |  ON u.query_id = b.query_id AND u.vec_id = b.vec_id
+         |GROUP BY u.method""".stripMargin
+    },
     "q_ann_lsh" -> lshAnnOracleSql(multiProbe = false),
     "q_ann_lsh_mp" -> lshAnnOracleSql(multiProbe = true),
     "q_embed_neardup" ->
