@@ -887,13 +887,14 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("total"),
           max(col("o_orderkey")).as("max_key"))
     }),
-    // streaming manifested ingest: a MemoryStream feeds a known split of
-    // orders through the foreachBatch manifest sink — one token-committed
-    // generation per micro-batch (exactly-once under replay, proven in
-    // LayoutOpsSpec) — and the settled table must equal the oracle's plain
-    // filter over the raw table. The driver-side collect is the bounded
-    // gate FIXTURE (MemoryStream is fed from the driver by design), not
-    // an operator shape: production ingest reads a real source.
+    // streaming manifested ingest: a FILE stream source (public API — no
+    // internal MemoryStream seam in the gated plan) discovers three
+    // staged parquet drops of a known orders split and feeds them through
+    // the foreachBatch manifest sink — one token-committed generation per
+    // micro-batch (exactly-once under replay, proven in LayoutOpsSpec) —
+    // and the settled table must equal the oracle's plain filter over the
+    // raw table. Staged-drop feeding is exactly how production ingest
+    // lands: files appear, the stream picks them up.
     // the change-feed SOURCE (CDC read side): a manifested table built in
     // three generations is consumed as a stream — snapshot batch + one
     // batch per append, offsets = generations; the union of all delivered
@@ -922,27 +923,34 @@ object SparkEntry {
           max(col("o_orderkey")).as("max_key"))
     }),
     "q_manifest_stream" -> ((s, dir) => {
-      import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft-mstr").toString
       val tbl = base + "/orders"
-      val rows = Tables.orders(s, dir).where(col("o_orderkey") <= 6000)
+      val staging = new java.io.File(base, "staging")
+      staging.mkdirs()
+      val ord = Tables.orders(s, dir).where(col("o_orderkey") <= 6000)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .as[(Long, String, Double)].collect()
-      implicit val sqlCtx = s.sqlContext
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Double)]
-      val q = input.toDF().toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      val q = s.readStream.schema(ord.schema).parquet(staging.toString)
         .writeStream
         .option("checkpointLocation", base + "/_ckpt")
         .foreachBatch(graft.streaming.StreamingOps.manifestedBatchSink(tbl,
           statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey")))
         .outputMode("append").start()
       try {
-        // three micro-batches, each settled before the next is fed
-        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-          input.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-        }
+        // three staged drops, each settled before the next lands: write
+        // the chunk aside, then move its part-files into the watched dir
+        // (the file source only ever sees complete files)
+        Seq((Long.MinValue, 2000L), (2000L, 4000L), (4000L, 6000L))
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            val tmp = new java.io.File(base, s"tmp$i")
+            ord.where(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+              .coalesce(1).write.parquet(tmp.toString)
+            tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+              .zipWithIndex.foreach { case (f, j) =>
+                java.nio.file.Files.move(f.toPath,
+                  new java.io.File(staging, s"drop$i-$j.parquet").toPath)
+              }
+            q.processAllAvailable()
+          }
       } finally q.stop()
       LayoutOps.readManifested(s, tbl)
         .groupBy("o_orderstatus")
