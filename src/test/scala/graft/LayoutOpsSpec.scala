@@ -1363,6 +1363,62 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-writer commit soak: concurrent appenders lose nothing and " +
+      "generations stay contiguous under BOTH arbiters") {
+    // N real threads x M commits each against one table, on a faux store
+    // whose commit primitives are genuinely atomic (HDFS-semantics rename,
+    // S3-If-None-Match-semantics conditional PUT) — so every race is
+    // decided by the PROTOCOL (retry, re-target, read-back), not by a
+    // local-FS accident. The invariant under soak: zero lost rows, zero
+    // duplicates, one generation per commit with no gaps.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fauxcommit.impl",
+      classOf[FauxAtomicCommitFileSystem].getName)
+    def soak(arbiter: LayoutOps.CommitArbiter, writers: Int,
+             commits: Int): Unit = {
+      val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
+      val mt = s"fauxcommit://$base/t"
+      val prev = LayoutOps.commitArbiter
+      LayoutOps.commitArbiter = arbiter
+      try {
+        LayoutOps.writeManifested(Seq(-1L).toDF("id"), mt, numFiles = 1)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val tasks = (0 until writers).map { w =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                for (c <- 0 until commits)
+                  LayoutOps.appendManifested(
+                    Seq(w * 1000L + c).toDF("id"), mt, numFiles = 1,
+                    maxCommitRetries = 500)
+              } catch { case t: Throwable => errs.add(t) }
+          })
+        }
+        tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+        pool.shutdown()
+        assert(errs.isEmpty,
+          s"soak writers failed: ${errs.toArray.mkString("; ")}")
+        val got = LayoutOps.readManifested(spark, mt)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val want = (-1L +: (for {
+          w <- 0 until writers; c <- 0 until commits
+        } yield w * 1000L + c)).sorted
+        assert(got === want, "zero lost rows, zero duplicates")
+        val gens = LayoutOps.historyManifested(spark, mt)
+          .map(_.trim.split("\\s+")(1).toLong)
+        assert(gens === (0L to (writers * commits).toLong),
+          s"one generation per commit, contiguous: $gens")
+      } finally {
+        LayoutOps.commitArbiter = prev
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
+    }
+    soak(LayoutOps.RenameCommitArbiter, writers = 4, commits = 5)
+    soak(LayoutOps.ConditionalPutCommitArbiter, writers = 4, commits = 5)
+  }
+
   test("inherited stats columns exclude the __rows key and bloom-only columns") {
     val entries = Seq(
       "a.parquet\t" +
