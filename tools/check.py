@@ -20,6 +20,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Optional cap for huge-fixture sweeps (e.g. the 100x scale point), where a
+# single unrolled oracle (ANN distance expansions, Lloyd iterations) can
+# otherwise grow past physical RAM. Unset => DuckDB default (80% of RAM),
+# identical to the driver's gate.
+if os.environ.get("GRAFT_CHECK_MEMLIMIT"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_CHECK_MEMLIMIT']}'")
 for t in TABLES:
     p = f"{sf_dir}/{t}.parquet"
     if os.path.exists(p):
