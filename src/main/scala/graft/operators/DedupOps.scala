@@ -362,14 +362,39 @@ object DedupOps {
 
   /** Near-duplicate clusters end-to-end: MinHash+LSH pairs -> connected
     * components -> (doc_id, cluster_id, is_canonical). Docs with no
-    * near-duplicate don't appear (their cluster is themselves). */
+    * near-duplicate don't appear (their cluster is themselves).
+    *
+    * CC runs on REPRESENTATIVE pairs, not expanded member pairs: a
+    * duplicate group enters the cluster graph as ONE vertex and its
+    * members are attached to the rep's cluster with a single join
+    * afterwards. Running CC on the expanded pair set is quadratic in
+    * copy count for no semantic gain (clusters are per-doc, not
+    * per-pair): on a Zipf-skew fixture whose hottest group has ~5k
+    * exact copies the expanded graph carries ~12M edges from that one
+    * group and CC measured 31 s vs 2.8 s on a uniform fixture of the
+    * same volume; at a 100x uniform duplication it is ~250M edges and
+    * an executor OOM. Bit-identical output: the rep is its group's
+    * MINIMUM id (collapseIdentical), so min-over-rep-component equals
+    * min-over-member-component, and a multi-member group with no
+    * external rep pair still clusters (members are pairwise identical
+    * pairs in the uncollapsed graph) via the `__n >= 2` branch. */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame =
-    connectedComponents(
-      minhashNearDupPairs(docs, idCol, textCol, shingleN, k, bands, threshold))
+                      threshold: Double = 0.5): DataFrame = {
+    val (_, membership, repPairs) =
+      minhashNearDupRepPairs(docs, idCol, textCol, shingleN, k, bands, threshold)
+    val repLabels = connectedComponents(repPairs)
+    // reps in scope: any rep with a surviving rep pair (labelled by CC),
+    // plus any multi-member group (its members pair with each other even
+    // when no OTHER group is near) — its cluster is the rep itself
+    val repCluster = membership.groupBy(col("rep")).agg(count(lit(1)).as("__n"))
+      .join(repLabels, col("rep") === col("id"), "left_outer")
+      .where(col("__n") >= 2 || col("cluster_id").isNotNull)
+      .select(col("rep"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+    membership.join(repCluster, "rep")
       .select(col("id").as("doc_id"), col("cluster_id"),
         (col("id") === col("cluster_id")).as("is_canonical"))
+  }
 
   /** Brute-force all-pairs n-gram Jaccard >= threshold — O(n²) oracle for
     * [[minhashNearDupPairs]]; small corpora only.

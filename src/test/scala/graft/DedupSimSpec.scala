@@ -147,6 +147,25 @@ class DedupSimSpec extends SparkSpec {
     assert(!clusters.contains(4L), "doc with no near-dup is not in the pair graph")
   }
 
+  test("nearDupClusters: an isolated identical group still forms a cluster") {
+    // CC runs on representative pairs; a byte-identical group with NO
+    // near-dup outside itself has no rep pair at all, yet its members are
+    // pairwise jaccard-1 duplicates and must cluster (the membership-size
+    // branch, not the CC labels, carries this case)
+    import spark.implicits._
+    val iso = Seq(
+      (10L, "zebra quokka axolotl wombat narwhal pangolin"),
+      (11L, "zebra quokka axolotl wombat narwhal pangolin"),
+      (12L, "completely different words about astrophysics and turbines")
+    ).toDF("doc_id", "text")
+    val clusters = DedupOps.nearDupClusters(iso, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters(10L) === ((10L, true)))
+    assert(clusters(11L) === ((10L, false)))
+    assert(!clusters.contains(12L), "singleton stays out of the cluster relation")
+  }
+
   test("simhash: identical docs collide, near-dups are close, others far") {
     val sh = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

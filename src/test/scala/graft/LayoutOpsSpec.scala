@@ -1405,7 +1405,21 @@ class LayoutOpsSpec extends SparkSpec {
         val want = (-1L +: (for {
           w <- 0 until writers; c <- 0 until commits
         } yield w * 1000L + c)).sorted
-        assert(got === want, "zero lost rows, zero duplicates")
+        if (got != want) {
+          // soak diagnostics: dump the store so a failure names the broken
+          // invariant (missing manifest? short head? double-win?)
+          val md = new java.io.File(s"$base/t/_manifests")
+          val names = md.listFiles().map(_.getName).sorted
+          System.err.println(s"[soak-diag] arbiter=$arbiter manifests=" +
+            names.mkString(","))
+          names.filter(_.endsWith(".manifest")).foreach { n =>
+            val src = scala.io.Source.fromFile(new java.io.File(md, n))
+            val entries = try src.getLines().filterNot(_.startsWith("#")).size
+                          finally src.close()
+            System.err.println(s"[soak-diag] $n entries=$entries")
+          }
+        }
+        assert(got === want, s"zero lost rows, zero duplicates ($arbiter)")
         val gens = LayoutOps.historyManifested(spark, mt)
           .map(_.trim.split("\\s+")(1).toLong)
         assert(gens === (0L to (writers * commits).toLong),
