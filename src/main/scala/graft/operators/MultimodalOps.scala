@@ -146,12 +146,69 @@ object MultimodalOps {
   /** Parse audio bytes with `javax.sound.sampled.AudioSystem` (WAV/AIFF
     * PCM): sample rate, channels, frame count, and the mean signed sample
     * of channel 0 (16-bit PCM). Unparseable payloads yield a -1 row. */
+  /** Direct RIFF/WAVE walk for the dominant case (mono-to-N-channel
+    * 16-bit PCM little-endian WAV): byte arithmetic only, no
+    * `AudioSystem` call. The SPI path costs a provider-chain walk plus
+    * several stream wrappers PER ROW — JVM-global work that measured
+    * 21.5x (vs ~4x for the ImageIO twin) on the 100x fixture's 5M rows
+    * because it scales with allocation pressure, not data. Same output
+    * contract as the `javax.sound` path below: frames = declared data
+    * size / block align (the header's claim, matching
+    * `AudioInputStream.getFrameLength`), mean over channel-0 samples
+    * actually PRESENT (a truncated payload contributes only what it
+    * carries). Returns None for anything that isn't a plain PCM16 WAV —
+    * the caller falls back to `AudioSystem`, so AIFF and exotic WAV
+    * variants behave exactly as before. */
+  private def parseWavPcm16(a: MediaAsset): Option[DecodedAudio] = {
+    val b = a.content
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmtOk = false
+    var channels = 0; var sampleRate = 0L; var blockAlign = 0
+    while (pos + 8 <= b.length) {
+      val id = tag(pos); val sz = u32(pos + 4)
+      if (sz > Int.MaxValue || pos + 8 + sz > Int.MaxValue) return None
+      val payload = pos + 8
+      if (id == "fmt ") {
+        if (sz < 16 || payload + 16 > b.length) return None
+        val codec = u16(payload)
+        val bits = u16(payload + 14)
+        if (codec != 1 || bits != 16) return None // non-PCM16: SPI path
+        channels = u16(payload + 2)
+        sampleRate = u32(payload + 4)
+        blockAlign = u16(payload + 12)
+        if (channels <= 0 || blockAlign <= 0) return None
+        fmtOk = true
+      } else if (id == "data") {
+        if (!fmtOk) return None // data before fmt: let the SPI path judge
+        val declared = sz.toInt
+        val avail = math.min(declared.toLong, (b.length - payload).toLong).toInt
+        var s = 0.0; var n = 0L; var i = 0
+        while (i + 2 <= avail) {
+          s += ((b(payload + i + 1) << 8) | (b(payload + i) & 0xff)).toShort
+          n += 1
+          i += blockAlign // channel 0 of each frame
+        }
+        return Some(DecodedAudio(a.asset_id, sampleRate.toDouble, channels,
+          declared.toLong / blockAlign, if (n == 0) Double.NaN else s / n))
+      }
+      pos = payload + sz.toInt + (sz.toInt & 1) // chunks are even-padded
+    }
+    None
+  }
+
   def decodeAudio(assets: Dataset[MediaAsset],
                   batchSize: Int = 64): Dataset[DecodedAudio] = {
     implicit val enc = Encoders.product[DecodedAudio]
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.iterator.map { a =>
-        try {
+        try parseWavPcm16(a).getOrElse {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(a.content))
           val f = ais.getFormat
