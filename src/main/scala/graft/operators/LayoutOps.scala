@@ -157,6 +157,24 @@ object LayoutOps {
   private val manifestsDirName = "_manifests"
   private val manifestSuffix = ".manifest"
 
+  /** Every committed manifest/checkpoint payload ends with this trailer
+    * line. It exists to DETECT stores that violate the arbiter contract's
+    * all-or-nothing visibility: Hadoop's `RawLocalFileSystem.rename`
+    * silently degrades to a non-atomic `FileUtil.copy` when
+    * `File.renameTo` fails (observed once under heavy box I/O pressure),
+    * and a concurrent reader then sees a TRUNCATED manifest head. An
+    * appender that based its next commit on that short head would
+    * permanently drop every file missing from it — so a read whose last
+    * line is not the trailer is treated as an in-flight object: retried
+    * briefly, then failed LOUDLY instead of silently losing data. */
+  private[graft] val manifestEof = "#eof"
+
+  /** Test seam: reproduction specs set this false to read manifests the
+    * pre-trailer way (no truncation check), demonstrating the silent
+    * short-head loss the trailer exists to prevent. Always true in
+    * production. */
+  @volatile private[graft] var manifestReadValidation = true
+
   /** Commit-protocol seam: how one new manifest object becomes visible
     * atomically. The contract: `tryCommit` makes `payload` readable at
     * `target` all-or-nothing, returns true iff THIS caller won the
@@ -303,11 +321,29 @@ object LayoutOps {
 
   private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
-    val in = fs.open(p)
-    val content =
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-    content.split("\n").toSeq.filter(_.nonEmpty)
+    var attempt = 0
+    while (true) {
+      val in = fs.open(p)
+      val content =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+      // a complete manifest ends with the [[manifestEof]] trailer; a tail
+      // without it is a partial object exposed mid-materialization (e.g.
+      // local rename degraded to copy) — wait for the copy to finish, and
+      // if it never does, refuse: committing on a short head silently
+      // drops every file missing from it
+      if (!manifestReadValidation || lines.lastOption.contains(manifestEof))
+        return lines
+      attempt += 1
+      if (attempt > 8) throw new java.io.IOException(
+        s"$p is truncated — missing the $manifestEof trailer after " +
+          s"$attempt reads. The store exposed a partial manifest object " +
+          "(non-atomic rename, e.g. RawLocalFileSystem's copy fallback). " +
+          "Refusing to read a short head.")
+      Thread.sleep(25L << math.min(attempt, 5))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Raw manifest entry lines (header/comment lines skipped). An entry is
@@ -465,8 +501,8 @@ object LayoutOps {
         .filter(g => g > prevGen && g <= gen)
         .flatMap(_ => manifestToken(fs, s.getPath))
     }
-    val payload = ((prevTokens ++ fresh).toSeq.sorted.mkString("\n") + "\n")
-      .getBytes("UTF-8")
+    val payload = (((prevTokens ++ fresh).toSeq.sorted :+ manifestEof)
+      .mkString("\n") + "\n").getBytes("UTF-8")
     val target = new org.apache.hadoop.fs.Path(md, f"$gen%020d$checkpointSuffix")
     commitArbiter.tryCommit(fs, target, payload): Unit
   }
@@ -526,7 +562,8 @@ object LayoutOps {
       (if (zOrderCols.nonEmpty) s"#zorder=${zOrderCols.mkString(",")}\n"
        else "") +
       (if (op.nonEmpty) s"#op=$op\n" else "")
-    val payload = (header + files.mkString("\n") + "\n").getBytes("UTF-8")
+    val payload = (header + (files :+ manifestEof).mkString("\n") + "\n")
+      .getBytes("UTF-8")
     val target = new org.apache.hadoop.fs.Path(md, f"$gen%020d$manifestSuffix")
     if (!commitArbiter.tryCommit(fs, target, payload))
       throw new java.io.IOException(

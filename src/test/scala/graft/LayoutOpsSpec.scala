@@ -937,6 +937,7 @@ class LayoutOpsSpec extends SparkSpec {
           s"""{"__rows":10,"id":{"t":"l","min":"${i * 10L}","max":"${i * 10L + 9}","n":0}}""" +
           "\n")
       }
+      sb.append("#eof\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$mt/_manifests/${"0" * 20}.manifest"),
         sb.toString.getBytes("UTF-8"))
@@ -1323,7 +1324,7 @@ class LayoutOpsSpec extends SparkSpec {
       for (g <- 0 until 500) {
         val w = new java.io.FileWriter(new java.io.File(md, f"$g%020d.manifest"))
         try w.write(s"#token=tok$g\n#ts=${1700000000000L + g}\n" +
-          "#schema=id BIGINT\n#op=append\n")
+          "#schema=id BIGINT\n#op=append\n#eof\n")
         finally w.close()
       }
       // first append commits gen 500 (an interval multiple): it pays the
@@ -1374,10 +1375,12 @@ class LayoutOpsSpec extends SparkSpec {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.fauxcommit.impl",
       classOf[FauxAtomicCommitFileSystem].getName)
+    conf.set("fs.fauxcopy.impl",
+      classOf[CopyFallbackFauxFileSystem].getName)
     def soak(arbiter: LayoutOps.CommitArbiter, writers: Int,
-             commits: Int): Unit = {
+             commits: Int, scheme: String = "fauxcommit"): Unit = {
       val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
-      val mt = s"fauxcommit://$base/t"
+      val mt = s"$scheme://$base/t"
       val prev = LayoutOps.commitArbiter
       LayoutOps.commitArbiter = arbiter
       try {
@@ -1429,8 +1432,152 @@ class LayoutOpsSpec extends SparkSpec {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       }
     }
-    soak(LayoutOps.RenameCommitArbiter, writers = 4, commits = 5)
-    soak(LayoutOps.ConditionalPutCommitArbiter, writers = 4, commits = 5)
+    // env knobs for the out-of-band ELEVATED soak (e.g. 8 writers x 50
+    // commits x N repeats, with and without injected commit latency):
+    //   GRAFT_SOAK_WRITERS / _COMMITS / _REPEATS / _LATENCY_MS
+    val w = sys.env.get("GRAFT_SOAK_WRITERS").map(_.toInt).getOrElse(4)
+    val c = sys.env.get("GRAFT_SOAK_COMMITS").map(_.toInt).getOrElse(5)
+    val r = sys.env.get("GRAFT_SOAK_REPEATS").map(_.toInt).getOrElse(1)
+    val lat = sys.env.get("GRAFT_SOAK_LATENCY_MS").map(_.toInt).getOrElse(0)
+    FauxAtomicCommitFileSystem.injectLatencyMs = lat
+    try for (i <- 0 until r) {
+      info(s"soak repeat ${i + 1}/$r (writers=$w commits=$c latency=${lat}ms)")
+      soak(LayoutOps.RenameCommitArbiter, writers = w, commits = c)
+      soak(LayoutOps.ConditionalPutCommitArbiter, writers = w, commits = c)
+    } finally FauxAtomicCommitFileSystem.injectLatencyMs = 0
+  }
+
+  test("multi-writer soak on the DEGRADED store (rename falls back to a " +
+      "visible trickled copy, like RawLocalFileSystem under I/O pressure): " +
+      "short heads are detected and waited out, zero rows lost") {
+    // This is the store defect behind the one r8 soak anomaly: Hadoop's
+    // RawLocalFileSystem.rename silently falls through to a non-atomic
+    // FileUtil.copy when File.renameTo fails, so a concurrent reader can
+    // observe a truncated manifest. The #eof trailer + read validation
+    // turn that from a silent early-row loss into a brief wait.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fauxcopy.impl", classOf[CopyFallbackFauxFileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-soakd").toString
+    val mt = s"fauxcopy://$base/t"
+    val prev = LayoutOps.commitArbiter
+    LayoutOps.commitArbiter = LayoutOps.RenameCommitArbiter
+    try {
+      import spark.implicits._
+      LayoutOps.writeManifested(Seq(-1L).toDF("id"), mt, numFiles = 1)
+      val writers = 4; val commits = 5
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try {
+              for (c <- 0 until commits)
+                LayoutOps.appendManifested(
+                  Seq(w * 1000L + c).toDF("id"), mt, numFiles = 1,
+                  maxCommitRetries = 500)
+            } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errs.isEmpty, s"writers failed: ${errs.toArray.mkString("; ")}")
+      val got = LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = (-1L +: (for {
+        w <- 0 until writers; c <- 0 until commits
+      } yield w * 1000L + c)).sorted
+      assert(got === want,
+        "zero lost rows under degraded (copy-fallback) rename visibility")
+    } finally {
+      LayoutOps.commitArbiter = prev
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("short-head reproduction: a manifest truncated mid-copy silently " +
+      "loses rows WITHOUT the trailer check, is waited out WITH it, and " +
+      "fails loudly when the truncation never heals") {
+    import spark.implicits._
+    def mkTable(dir: String): String = {
+      val mt = s"$dir/t"
+      LayoutOps.writeManifested(Seq(1L, 2L).toDF("id"), mt, numFiles = 1)
+      LayoutOps.appendManifested(Seq(3L).toDF("id"), mt, numFiles = 1)
+      mt
+    }
+    // the r8 anomaly surfaced on a RawLocalFileSystem-backed store (no
+    // CRC sidecars); editing bytes under checksummed file:// would trip
+    // ChecksumException instead of a silent short read, so the sidecar is
+    // dropped whenever the spec plays the role of the degraded copier
+    def dropCrc(mt: String): Unit = {
+      val crc = new java.io.File(s"$mt/_manifests",
+        f".${1L}%020d.manifest.crc")
+      if (crc.exists()) crc.delete(): Unit
+    }
+    def truncate(mt: String): Array[Byte] = {
+      val p = java.nio.file.Paths.get(s"$mt/_manifests", f"${1L}%020d.manifest")
+      val full = java.nio.file.Files.readAllBytes(p)
+      val lines = new String(full, "UTF-8").split("\n")
+      // drop the final entry line AND the #eof trailer — exactly what a
+      // reader polling a half-finished FileUtil.copy observes
+      java.nio.file.Files.write(p,
+        (lines.dropRight(2).mkString("\n") + "\n").getBytes("UTF-8"))
+      dropCrc(mt)
+      full
+    }
+    def restore(mt: String, full: Array[Byte]): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$mt/_manifests", f"${1L}%020d.manifest"),
+        full)
+      dropCrc(mt)
+    }
+
+    // (a) the r8 anomaly, reproduced deterministically: pre-trailer read
+    // behavior (validation off) commits the short head and rows silently
+    // vanish from every later generation
+    val baseA = java.nio.file.Files.createTempDirectory("graft-shorthead").toString
+    try {
+      val mt = mkTable(baseA)
+      truncate(mt)
+      LayoutOps.manifestReadValidation = false
+      try LayoutOps.appendManifested(Seq(4L).toDF("id"), mt, numFiles = 1)
+      finally LayoutOps.manifestReadValidation = true
+      val got = LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got !== Seq(1L, 2L, 3L, 4L),
+        "without validation the short head MUST lose rows (the named bug)")
+      assert(got.contains(4L) && !got.contains(3L),
+        s"the truncated tail's file is the one that vanishes: $got")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(baseA))
+
+    // (b) with validation: the reader waits out the "copy"; a fixer
+    // thread completes the object and nothing is lost
+    val baseB = java.nio.file.Files.createTempDirectory("graft-shorthead").toString
+    try {
+      val mt = mkTable(baseB)
+      val full = truncate(mt)
+      val fixer = new Thread(() => { Thread.sleep(300); restore(mt, full) })
+      fixer.start()
+      LayoutOps.appendManifested(Seq(4L).toDF("id"), mt, numFiles = 1)
+      fixer.join()
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+        "validation waits out the partial copy; zero rows lost")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(baseB))
+
+    // (c) a truncation that never heals fails LOUDLY, naming the defect
+    val baseC = java.nio.file.Files.createTempDirectory("graft-shorthead").toString
+    try {
+      val mt = mkTable(baseC)
+      truncate(mt)
+      val e = intercept[java.io.IOException] {
+        LayoutOps.readManifested(spark, mt).collect()
+      }
+      assert(e.getMessage.contains("truncated"),
+        s"must name the truncation: ${e.getMessage}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(baseC))
   }
 
   test("inherited stats columns exclude the __rows key and bloom-only columns") {
