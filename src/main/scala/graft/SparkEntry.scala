@@ -19,6 +19,28 @@ object SparkEntry {
     RelationalOps.revenueByNation(spark, "/root/testdata/sf0.001")
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** Gate-scratch temp dirs, recursively deleted at JVM exit. Gate
+    * lambdas return LAZY DataFrames over these paths (the driver
+    * materializes them after the lambda returns), so eager deletion
+    * inside the lambda would break the read; the exit hook keeps
+    * repeated Verify/Bench runs from accumulating table copies in
+    * /tmp across processes. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private lazy val scratchHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(d)): Unit)))
+    true
+  }
+  private def scratchDir(prefix: String): String = {
+    require(scratchHookInstalled)
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratchDirs.add(d)
+    d
+  }
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -334,7 +356,10 @@ object SparkEntry {
     // so the recall numbers themselves are hash-gated.
     "q_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.where(col("vec_id") < 3)
+      // the 3-row query set and the brute-force reference are shared by
+      // every method in the sweep: checkpoint each ONCE (tiny relations)
+      // so the seven variant plans don't re-derive them per method
+      val queries = emb.where(col("vec_id") < 3).localCheckpoint()
       def pairs(df: DataFrame) = df.select("query_id", "vec_id")
       val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
         "embedding", nlist = 8, iterations = 2, roundDecimals = Some(6))
@@ -357,7 +382,7 @@ object SparkEntry {
           m = 2, cells = 4, iterations = 2, centroids = Some(cents)))
       val brute = pairs(SimilarityOps.bruteForceTopK(emb, "vec_id",
         "embedding", queries, "vec_id", "embedding", k = 5))
-        .withColumn("hit", lit(1))
+        .withColumn("hit", lit(1)).localCheckpoint()
       val union = variants.map { case (n, df) =>
         pairs(df).withColumn("method", lit(n)) }.reduce(_ unionByName _)
       union.join(broadcast(brute), Seq("query_id", "vec_id"), "left_outer")
@@ -458,8 +483,10 @@ object SparkEntry {
           round(col("mean_pixel"), 6).as("mean_pixel"))
     }),
     // same contract for audio: md5 bytes -> 8 signed 16-bit PCM samples
-    // -> WAV (AudioSystem ENCODE) -> parse rate/channels/frames + sample
-    // mean back (AudioSystem DECODE); DuckDB recomputes from the hex
+    // -> WAV (RIFF byte-walk ENCODE, spec-proven byte-identical to the
+    // independent AudioSystem codec) -> parse rate/channels/frames +
+    // sample mean back (byte-walk DECODE with AudioSystem fallback);
+    // DuckDB recomputes from the hex
     "q_audio_roundtrip" -> ((s, dir) => {
       import s.implicits._
       implicit val enc =
@@ -472,7 +499,7 @@ object SparkEntry {
           val samples = Array.tabulate(8)(i =>
             (((b(2 * i) << 8) | b(2 * i + 1)) & 0xffff).toShort)
           MultimodalOps.MediaAsset(id, "audio/wav",
-            MultimodalOps.pcm16Wav(samples, 8000f)) }
+            MultimodalOps.pcm16WavBytes(samples, 8000f)) }
       MultimodalOps.decodeAudio(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("sample_rate"),
           col("channels"), col("n_frames"),
@@ -504,6 +531,32 @@ object SparkEntry {
           round(col("duration_ms"), 6).as("duration_ms"),
           col("timescale"), col("n_tracks"), col("codec"),
           col("width"), col("height"))
+    }),
+    // video FRAME decode: each doc becomes a 2-frame MPNG-in-AVI (PNG
+    // stills in a RIFF container — lossless, so the decoded pixels are
+    // SQL-recomputable; the lossy MJPG sibling rides the identical walk
+    // and is spec-gated instead). Frame 0's 4x4 gray pixels are md5(text)
+    // bytes, frame 1's are md5(md5(text)) bytes; the kernel walks the
+    // movi list, ImageIO-decodes each chunk, and DuckDB re-derives every
+    // frame's mean straight from the hex.
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+      val assets = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h0"),
+          md5(md5(col("text"))).as("h1"))
+        .as[(Long, String, String)]
+        .map { case (id, h0, h1) =>
+          MultimodalOps.MediaAsset(id, "video/x-msvideo",
+            MultimodalOps.framesAvi(Seq(
+              MultimodalOps.grayPng(MultimodalOps.hexBytes(h0), 4, 4),
+              MultimodalOps.grayPng(MultimodalOps.hexBytes(h1), 4, 4)),
+              width = 4, height = 4, fps = 10, fourcc = "MPNG")) }
+      MultimodalOps.decodeVideoFrames(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("frame_idx"),
+          col("width"), col("height"),
+          round(col("mean_pixel"), 6).as("mean_pixel"))
     }),
 
     // ---- training-data pipeline: contamination / sampling / sketches ----
@@ -671,8 +724,7 @@ object SparkEntry {
     // [min,max] cannot match are skipped without opening them — and must
     // still equal the plain filtered table the oracle computes
     "q_manifest_skip" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mskip").toString + "/orders"
+      val tbl = scratchDir("graft-mskip") + "/orders"
       LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
         statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
       LayoutOps.readManifestedWhere(s, tbl,
@@ -687,8 +739,7 @@ object SparkEntry {
     // latest must be exactly the appended rows — verified against the
     // oracle recomputing the same split from the raw table
     "q_manifest_changes" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mchg").toString + "/orders"
+      val tbl = scratchDir("graft-mchg") + "/orders"
       val ord = Tables.orders(s, dir)
       LayoutOps.writeManifested(
         ord.where(col("o_orderkey") <= 3000), tbl, numFiles = 2)
@@ -704,8 +755,7 @@ object SparkEntry {
     // original table lacked; old files read it back as NULL through the
     // recorded union schema — the oracle reproduces that with a CASE
     "q_manifest_evolve" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mevo").toString + "/orders"
+      val tbl = scratchDir("graft-mevo") + "/orders"
       val ord = Tables.orders(s, dir)
       LayoutOps.writeManifested(ord.where(col("o_orderkey") <= 3000)
         .select(col("o_orderkey"), col("o_orderstatus")), tbl, numFiles = 2)
@@ -719,8 +769,7 @@ object SparkEntry {
     // metadata-only COUNT: files fully inside the range are counted from
     // the manifest's recorded row counts; only boundary files are scanned
     "q_manifest_count" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mcnt").toString + "/orders"
+      val tbl = scratchDir("graft-mcnt") + "/orders"
       LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
         statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
       val (inRange, _) = LayoutOps.countManifestedWhere(s, tbl,
@@ -736,8 +785,7 @@ object SparkEntry {
     // manifest blooms can prune this point lookup; result must equal the
     // oracle's plain equality filter
     "q_manifest_point" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mpt").toString + "/orders"
+      val tbl = scratchDir("graft-mpt") + "/orders"
       LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
         statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
         bloomCols = Seq("o_custkey"))
@@ -750,8 +798,7 @@ object SparkEntry {
     // whose [min,max] overlap the key range are rewritten; the remaining
     // table must equal the oracle's NOT BETWEEN
     "q_manifest_delete" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mdel").toString + "/orders"
+      val tbl = scratchDir("graft-mdel") + "/orders"
       LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
         statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
       LayoutOps.deleteManifestedWhere(s, tbl,
@@ -765,8 +812,7 @@ object SparkEntry {
     // place (only overlapping files rewritten); result must equal the
     // oracle's CASE rewrite of the same rows
     "q_manifest_upsert" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mups").toString + "/orders"
+      val tbl = scratchDir("graft-mups") + "/orders"
       LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
         statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
       val updates = Tables.orders(s, dir)
@@ -784,8 +830,7 @@ object SparkEntry {
     // query's own timestamp literals (session tz UTC) into the stats
     // domain — the time-series retention-scan shape
     "q_manifest_tsrange" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mts").toString + "/orders"
+      val tbl = scratchDir("graft-mts") + "/orders"
       val prev = s.conf.getOption("spark.sql.parquet.outputTimestampType")
       s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       try LayoutOps.writeManifested(Tables.orders(s, dir), tbl,
@@ -810,8 +855,7 @@ object SparkEntry {
     // the per-file blooms — the "read only this user's files" shape; the
     // oracle is the equivalent IN-subquery
     "q_manifest_semijoin" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-msj").toString + "/orders"
+      val tbl = scratchDir("graft-msj") + "/orders"
       LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
         statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
         bloomCols = Seq("o_custkey"))
@@ -831,8 +875,7 @@ object SparkEntry {
     // prunes through the lazy FileIndex; a CoW delete in between proves
     // the curve survives maintenance
     "q_manifest_zorder" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mz").toString + "/orders"
+      val tbl = scratchDir("graft-mz") + "/orders"
       LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 16,
         statsCols = Seq("o_custkey", "o_orderkey"),
         zOrderBy = Seq("o_custkey", "o_orderkey"))
@@ -852,8 +895,7 @@ object SparkEntry {
     // stats + blooms) — no bounds API involved; hash-compared against
     // the relational answer
     "q_manifest_lazy" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mlazy").toString + "/orders"
+      val tbl = scratchDir("graft-mlazy") + "/orders"
       LayoutOps.writeManifested(Tables.orders(s, dir), tbl, numFiles = 8,
         statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
         bloomCols = Seq("o_custkey"))
@@ -870,8 +912,7 @@ object SparkEntry {
     // good generation's listing (zero data I/O); the restored table must
     // equal the oracle computing the ORIGINAL split from the raw table
     "q_manifest_rollback" -> ((s, dir) => {
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft-mrb").toString + "/orders"
+      val tbl = scratchDir("graft-mrb") + "/orders"
       val ord = Tables.orders(s, dir)
       LayoutOps.writeManifested(ord.where(col("o_orderkey") <= 3000),
         tbl, numFiles = 4, statsCols = Seq("o_orderkey"),
@@ -900,7 +941,7 @@ object SparkEntry {
     // batch per append, offsets = generations; the union of all delivered
     // batches must equal the table, hash-compared against the oracle
     "q_manifest_cdc" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-mcdc").toString
+      val base = scratchDir("graft-mcdc")
       val tbl = base + "/orders"
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -923,7 +964,7 @@ object SparkEntry {
           max(col("o_orderkey")).as("max_key"))
     }),
     "q_manifest_stream" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-mstr").toString
+      val base = scratchDir("graft-mstr")
       val tbl = base + "/orders"
       val staging = new java.io.File(base, "staging")
       staging.mkdirs()
@@ -952,10 +993,20 @@ object SparkEntry {
             q.processAllAvailable()
           }
       } finally q.stop()
-      LayoutOps.readManifested(s, tbl)
+      // this gate's scratch tree holds three parquet copies of the
+      // orders split — materialize the (3-row) aggregate and delete the
+      // tree NOW rather than waiting for the JVM-exit hook
+      val agg = LayoutOps.readManifested(s, tbl)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
+      val localRows = agg.collect().toIndexedSeq
+      val schema = agg.schema
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(localRows).asJava),
+        schema)
     }),
     // co-located join: both sides bucketed on the join key at WRITE time,
     // so the repeated join needs no exchange at read (BucketingSpec proves
@@ -963,7 +1014,7 @@ object SparkEntry {
     // pre-paid shuffle is the 100 TB answer to a dimension too big to
     // broadcast that is joined on every query.
     "q_bucketed_join" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-bk").toString
+      val wh = scratchDir("graft-bk")
       s.sql("DROP TABLE IF EXISTS graft_bk_orders")
       s.sql("DROP TABLE IF EXISTS graft_bk_customer")
       Tables.orders(s, dir).write.mode("overwrite")
@@ -1749,6 +1800,24 @@ object SparkEntry {
         |    WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec,
         |  16 * (1 + b3 % 16) AS width,
         |  16 * (1 + b4 % 16) AS height
+        |FROM b""".stripMargin,
+    // video frame decode: frame 0's pixels are md5(text) bytes, frame 1's
+    // are md5(md5(text)) bytes — the AVI walk + per-frame PNG decode must
+    // recover each frame's exact pixel mean
+    "q_video_frames" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h0,
+        |                  md5(md5(text)) AS h1 FROM documents),
+        |u AS (SELECT doc_id, h0, h1,
+        |             unnest(generate_series(0, 1)) AS f FROM d),
+        |v AS (SELECT doc_id, f,
+        |             CASE WHEN f = 0 THEN h0 ELSE h1 END AS h FROM u),
+        |b AS (SELECT doc_id, f,
+        |  avg(CAST(('0x' || substring(h, 2*i+1, 2)) AS INT)) AS m
+        |  FROM (SELECT doc_id, f, h, unnest(generate_series(0, 15)) AS i
+        |        FROM v)
+        |  GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       4 AS width, 4 AS height, round(m, 6) AS mean_pixel
         |FROM b""".stripMargin,
     // mirrors MultimodalOps.frameFeatures' md5 stub kernel: feature[j] =
     // first 24 bits of md5(md5(content) || ':' || frame || ':' || j) / 2^24

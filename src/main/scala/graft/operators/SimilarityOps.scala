@@ -381,28 +381,23 @@ object SimilarityOps {
   /** Effective PQ subspace count. A STORED model defines its own layout:
     * the number of codebooks it was trained with wins over the caller's
     * `m` parameter (the CLI `ann-topk --model` path always passes its
-    * default m=2), and the layout must tile the embedding width — a
-    * mismatched m would otherwise silently score only a prefix of each
-    * vector, or read past the stored subspaces. Validated against the
-    * query vectors (already broadcast-small) so the failure is an
-    * actionable driver-side error, not a wrong answer. */
-  private def pqModelM(books: PqCodebook, stored: Boolean,
-                       queries: DataFrame, qvecCol: String): Int = {
-    val mEff = books.length
-    if (stored) {
-      val dsub = books.head.head._1.length
-      val dims = queries.select(size(asDouble(col(qvecCol))).cast("int"))
-        .take(1)
-      dims.headOption.foreach { r =>
-        val dim = r.getInt(0)
-        require(mEff * dsub == dim,
-          s"stored PQ model layout (m=$mEff x dsub=$dsub) does not tile " +
-          s"query vector dim=$dim; the model was trained for a different " +
-          "embedding width — rebuild it with `ann-build`")
-      }
-    }
-    mEff
-  }
+    * default m=2). Layout-vs-vector-width validation happens lazily
+    * INSIDE the plan via [[pqDimGuard]] — no Spark job fires at
+    * DataFrame-construction time, and the check holds for empty query
+    * sets and the train-on-the-fly path alike. */
+  private def pqModelM(books: PqCodebook): Int = books.length
+
+  /** In-plan vector-width guard: rows whose vector is exactly `dim` wide
+    * pass through unchanged; any other width raises a descriptive error
+    * when the row is actually scanned (native `when`/`raise_error` —
+    * codegen'd, no job at plan time, nothing on the happy path). Without
+    * it a PQ layout that does not tile the embedding would silently score
+    * only a vector prefix. */
+  private def pqDimGuard(v: Column, dim: Int, what: String): Column =
+    when(size(v) === lit(dim), v).otherwise(raise_error(format_string(
+      s"$what vector dim=%s does not tile the PQ model layout " +
+        s"(m x dsub = $dim) — the model was trained for a different " +
+        "embedding width; rebuild it with `ann-build`", size(v))))
 
   private def nearestPqCellFor(df: DataFrame,
       book: Array[(Array[Double], Double)], sv: Column): Column = {
@@ -485,14 +480,19 @@ object SimilarityOps {
           StructField("score", DoubleType), StructField("rn", IntegerType))))
     }
     val dsub = books.head.head._1.length
-    val mEff = pqModelM(books, codebooks.isDefined, queries, qvecCol)
+    val mEff = pqModelM(books)
+    // stored models guard BOTH sides in-plan (the model's layout is
+    // external to this data); trained-on-the-fly models derived dsub from
+    // this corpus, so only the queries need the width check
     val c = corpus.select(col(idCol).cast("long").as("vec_id"),
-      asDouble(col(vecCol)).as("v"))
+      (if (codebooks.isDefined)
+         pqDimGuard(asDouble(col(vecCol)), mEff * dsub, "corpus")
+       else asDouble(col(vecCol))).as("v"))
     val coded = c.select(col("vec_id") +: (0 until mEff).map(j =>
       nearestPqCellFor(c, books(j),
         slice(col("v"), j * dsub + 1, dsub)).as(s"code$j")): _*)
     val q = queries.select(col(qidCol).cast("long").as("query_id"),
-      asDouble(col(qvecCol)).as("qv"))
+      pqDimGuard(asDouble(col(qvecCol)), mEff * dsub, "query").as("qv"))
     val joined = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
     val score = (0 until mEff).map { j =>
       val bookLit = array(books(j).map(e =>
@@ -678,13 +678,19 @@ object SimilarityOps {
     if (books.isEmpty || books.exists(_.isEmpty)) return emptyResult
     def centLit(cv: Array[Double]) = array(cv.map(lit).toIndexedSeq: _*)
     val dsub = books.head.head._1.length
-    val mEff = pqModelM(books, codebooks.isDefined, queries, qvecCol)
+    val mEff = pqModelM(books)
     val coded = resid.select(col("vec_id") +: col("cell") +:
       (0 until mEff).map(j => nearestPqCellFor(resid, books(j),
         slice(col("rv"), j * dsub + 1, dsub)).as(s"code$j")): _*)
     // probe: top-nprobe cells by cosine (ivfTopK's rule), carrying
-    // dot(qv, centroid) forward for the scoring decomposition
-    val q0 = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
+    // dot(qv, centroid) forward for the scoring decomposition; a stored
+    // model's layout is validated in-plan against the query vectors
+    // (residuals share the corpus width, so one guard covers scoring)
+    val q0raw = withNorms(queries, qidCol, qvecCol, "query_id", "qv", "qnrm")
+    val q0 =
+      if (codebooks.isDefined)
+        q0raw.withColumn("qv", pqDimGuard(col("qv"), mEff * dsub, "query"))
+      else q0raw
     val qScored = q0.withColumn("sc", explode(array(
       cents.toSeq.map { case (cid, cv, cnrm) =>
         val d = fastDot(q0, col("qv"), centLit(cv))

@@ -646,18 +646,31 @@ class DedupSimSpec extends SparkSpec {
       slice(col("embedding"), 1, 32).as("embedding"))
     val booksNarrow = SimilarityOps.trainPqCodebooks(narrow, "vec_id",
       "embedding", m = 2, cells = 4, iterations = 2)
-    val e = intercept[IllegalArgumentException] {
-      SimilarityOps.pqTopK(emb, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 5, m = 2,
-        codebooks = Some(booksNarrow)).collect()
+    // the guard is IN the plan (raise_error at scan time — building the
+    // DataFrame fires no job and no error), so the failure surfaces at
+    // execution, wrapped by Spark; walk the cause chain for the message
+    def deepMessage(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = t
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
     }
-    assert(e.getMessage.contains("does not tile"))
-    val e2 = intercept[IllegalArgumentException] {
+    val lazyPlan = SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, m = 2,
+      codebooks = Some(booksNarrow)) // must NOT throw or run a job here
+    val e = intercept[Exception] { lazyPlan.collect() }
+    assert(deepMessage(e).contains("does not tile"), deepMessage(e))
+    val e2 = intercept[Exception] {
       SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5,
         codebooks = Some(booksNarrow)).collect()
     }
-    assert(e2.getMessage.contains("does not tile"))
+    assert(deepMessage(e2).contains("does not tile"), deepMessage(e2))
+    // an EMPTY query set with a WELL-FITTED stored model: no construction-
+    // time job, no error, just an empty result
+    assert(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+      queries.where(col("vec_id") < 0), "vec_id", "embedding", k = 5,
+      m = 2, codebooks = Some(books4)).count() === 0L)
   }
 
   test("pqTopKRerank with a full-depth shortlist equals brute-force top-k") {

@@ -159,6 +159,22 @@ class TextAnalysisSpec extends SparkSpec {
       "mean divides by samples read, not header-declared frames")
   }
 
+  test("pcm16WavBytes (byte-walk encode) is byte-identical to the " +
+      "independent AudioSystem codec across sizes, rates and extremes") {
+    val cases = Seq(
+      Array[Short](100, -200, 32767, -32768, 0, 5, -5, 1000) -> 16000f,
+      Array[Short]() -> 8000f,
+      Array[Short](0) -> 44100f,
+      Array.tabulate(1001)(i => ((i * 31 - 500) % 32768).toShort) -> 22050f)
+    for ((samples, rate) <- cases) {
+      val walked = MultimodalOps.pcm16WavBytes(samples, rate)
+      val spi = MultimodalOps.pcm16Wav(samples, rate)
+      assert(java.util.Arrays.equals(walked, spi),
+        s"n=${samples.length} rate=$rate: byte-walk WAV must equal " +
+          "AudioSystem's output exactly")
+    }
+  }
+
   test("multimodal: MP4 container metadata round-trips through the box walk") {
     import spark.implicits._
     implicit val enc =
@@ -225,6 +241,78 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(MultimodalOps.MediaAsset(8L, "video/mp4", overrun)).toDS())
       .collect().head
     assert(bad.timescale === -1L && bad.duration_ms.isNaN)
+    // a truncated-but-well-framed mvhd/tkhd (fixed offsets land past the
+    // box's own end but inside the FILE) must degrade to the sentinel,
+    // not read the following sibling's bytes as timescale/width
+    val shortMvhd = box("mvhd", Array(1.toByte, 0, 0, 0), u64(0), u64(0))
+    val shortMoov = box("moov", shortMvhd, box("free", Array.fill(64)(0.toByte)))
+    val sm = MultimodalOps.videoContainerMeta(
+      Seq(MultimodalOps.MediaAsset(9L, "video/mp4", ftyp ++ shortMoov)).toDS())
+      .collect().head
+    assert(sm.timescale === -1L && sm.duration_ms.isNaN,
+      "short mvhd reads sibling bytes unless bounds-checked")
+    val shortTkhd = box("tkhd", Array(1.toByte, 0, 0, 7), u64(0), u64(0))
+    val moovST = box("moov", mvhd1,
+      box("trak", shortTkhd, box("free", Array.fill(64)(0.toByte))))
+    val st = MultimodalOps.videoContainerMeta(
+      Seq(MultimodalOps.MediaAsset(10L, "video/mp4", ftyp ++ moovST)).toDS())
+      .collect().head
+    assert(st.width === -1 && st.height === -1 && st.timescale === -1L,
+      "short tkhd degrades the row to the sentinel")
+  }
+
+  test("multimodal: AVI frame decode — MPNG frames roundtrip exactly, " +
+      "MJPG rides the same walk, corruption degrades per contract") {
+    import spark.implicits._
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+    // two lossless PNG frames with known pixels: exact means come back
+    val px0 = Array(0, 255, 7, 19, 128, 200, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val px1 = px0.map(255 - _)
+    val avi = MultimodalOps.framesAvi(Seq(
+      MultimodalOps.grayPng(px0, 4, 4), MultimodalOps.grayPng(px1, 4, 4)),
+      width = 4, height = 4, fps = 10, fourcc = "MPNG")
+    val got = MultimodalOps.decodeVideoFrames(
+      Seq(MultimodalOps.MediaAsset(1L, "video/x-msvideo", avi)).toDS())
+      .collect().sortBy(_.frame_idx)
+    assert(got.length === 2)
+    assert(got(0).width === 4 && got(0).height === 4)
+    assert(got(0).mean_pixel === px0.sum / 16.0)
+    assert(got(1).mean_pixel === px1.sum / 16.0)
+    // MJPG: JPEG stills through the identical walk — lossy, so assert
+    // dimensions, frame count and a loose mean (flat frames compress well)
+    def jpeg(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until 8; x <- 0 until 8) r.setSample(x, y, 0, level)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = MultimodalOps.framesAvi(Seq(jpeg(40), jpeg(200)),
+      width = 8, height = 8, fps = 25, fourcc = "MJPG")
+    val gj = MultimodalOps.decodeVideoFrames(
+      Seq(MultimodalOps.MediaAsset(2L, "video/x-msvideo", mjpeg)).toDS())
+      .collect().sortBy(_.frame_idx)
+    assert(gj.length === 2 && gj.forall(f => f.width === 8 && f.height === 8))
+    assert(math.abs(gj(0).mean_pixel - 40) < 3 &&
+      math.abs(gj(1).mean_pixel - 200) < 3,
+      s"JPEG frames decode to ~their level: ${gj.map(_.mean_pixel).toSeq}")
+    // an unparseable container is ONE sentinel row; one corrupt frame
+    // inside a valid container degrades only that frame
+    val notAvi = MultimodalOps.MediaAsset(3L, "video/x-msvideo",
+      Array[Byte](1, 2, 3, 4))
+    val mixed = MultimodalOps.framesAvi(Seq(
+      MultimodalOps.grayPng(px0, 4, 4), Array[Byte](9, 9, 9)),
+      width = 4, height = 4, fps = 10, fourcc = "MPNG")
+    val gd = MultimodalOps.decodeVideoFrames(Seq(notAvi,
+      MultimodalOps.MediaAsset(4L, "video/x-msvideo", mixed)).toDS())
+      .collect().groupBy(_.asset_id)
+    assert(gd(3L).toSeq.map(f => (f.frame_idx, f.width)) === Seq((-1, -1)))
+    val byFrame = gd(4L).sortBy(_.frame_idx)
+    assert(byFrame(0).mean_pixel === px0.sum / 16.0)
+    assert(byFrame(1).width === -1 && byFrame(1).mean_pixel.isNaN)
   }
 
   test("multimodal: real feature kernels — thumbnail embedding feeds ANN, RMS envelope tracks loudness") {
