@@ -355,36 +355,59 @@ object SparkEntry {
     // same unrolled-training oracles as the individual q_ann_* gates),
     // so the recall numbers themselves are hash-gated.
     "q_ann_recall" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       val emb = Tables.embeddings(s, dir)
-      // the 3-row query set and the brute-force reference are shared by
-      // every method in the sweep: checkpoint each ONCE (tiny relations)
-      // so the seven variant plans don't re-derive them per method
-      val queries = emb.where(col("vec_id") < 3).localCheckpoint()
+      val queries = emb.where(col("vec_id") < 3)
       def pairs(df: DataFrame) = df.select("query_id", "vec_id")
-      val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
-        "embedding", nlist = 8, iterations = 2, roundDecimals = Some(6))
+      // the sweep's wall time is dominated by the independent MODEL
+      // TRAININGS (IVF centroids, PQ codebooks, IVF-PQ residual
+      // codebooks) and the brute-force reference — each a short chain of
+      // driver-blocking jobs. Build them CONCURRENTLY (Spark schedules
+      // jobs from multiple driver threads); every training's math and
+      // output is unchanged, so the hash gate is unaffected.
+      val centsF = Future(SimilarityOps.trainIvfCentroids(emb, "vec_id",
+        "embedding", nlist = 8, iterations = 2, roundDecimals = Some(6)))
+      val pqF = Future(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, m = 2, cells = 4,
+        iterations = 2))
+      // the brute-force top-5 is joined twice downstream (hits and
+      // totals): checkpoint it once, concurrently with the trainings
+      val bruteF = Future(pairs(SimilarityOps.bruteForceTopK(emb, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 5))
+        .withColumn("hit", lit(1)).localCheckpoint())
+      val ivfpqF = centsF.map(cents => SimilarityOps.ivfPqTopK(emb,
+        "vec_id", "embedding", queries, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 2, m = 2, cells = 4, iterations = 2,
+        centroids = Some(cents)))
+      val cents = Await.result(centsF, Duration.Inf)
       def ivfAt(nprobe: Int) = SimilarityOps.ivfTopK(emb, "vec_id",
         "embedding", queries, "vec_id", "embedding", k = 5, nlist = 8,
         nprobe = nprobe, centroids = Some(cents))
-      val variants: Seq[(String, DataFrame)] = Seq(
-        "lsh_p4" -> SimilarityOps.lshTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 5, planes = 4),
-        "lsh_p4_mp" -> SimilarityOps.lshTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 5, planes = 4, probeBits = 4),
-        "ivf_np1" -> ivfAt(1),
-        "ivf_np2" -> ivfAt(2),
-        "ivf_np4" -> ivfAt(4),
-        "pq_m2c4" -> SimilarityOps.pqTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 5, m = 2, cells = 4,
-          iterations = 2),
-        "ivfpq_np2" -> SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
-          m = 2, cells = 4, iterations = 2, centroids = Some(cents)))
-      val brute = pairs(SimilarityOps.bruteForceTopK(emb, "vec_id",
-        "embedding", queries, "vec_id", "embedding", k = 5))
-        .withColumn("hit", lit(1)).localCheckpoint()
-      val union = variants.map { case (n, df) =>
-        pairs(df).withColumn("method", lit(n)) }.reduce(_ unionByName _)
+      // evaluate each variant's (query_id, vec_id) shortlist as its OWN
+      // concurrent action down to a |queries| x k checkpointed relation —
+      // the methods' plans are independent, so the sweep's wall time is
+      // max(variant), not sum(variant); the union then reads 7 tiny
+      // in-memory relations. Content and ordering are deterministic, so
+      // the hash gate is unaffected.
+      def shortlist(n: String, dfF: Future[DataFrame]): Future[DataFrame] =
+        dfF.map(df =>
+          pairs(df).withColumn("method", lit(n)).localCheckpoint())
+      val variantFs: Seq[Future[DataFrame]] = Seq(
+        shortlist("lsh_p4", Future(SimilarityOps.lshTopK(emb, "vec_id",
+          "embedding", queries, "vec_id", "embedding", k = 5, planes = 4))),
+        shortlist("lsh_p4_mp", Future(SimilarityOps.lshTopK(emb, "vec_id",
+          "embedding", queries, "vec_id", "embedding", k = 5, planes = 4,
+          probeBits = 4))),
+        shortlist("ivf_np1", Future(ivfAt(1))),
+        shortlist("ivf_np2", Future(ivfAt(2))),
+        shortlist("ivf_np4", Future(ivfAt(4))),
+        shortlist("pq_m2c4", pqF),
+        shortlist("ivfpq_np2", ivfpqF))
+      val union = variantFs.map(Await.result(_, Duration.Inf))
+        .reduce(_ unionByName _)
+      val brute = Await.result(bruteF, Duration.Inf)
       union.join(broadcast(brute), Seq("query_id", "vec_id"), "left_outer")
         .groupBy("method")
         .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))

@@ -419,11 +419,17 @@ object SimilarityOps {
     * aggregation; empty cells keep their centroid. */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                        m: Int, cells: Int, iterations: Int = 2,
-                       roundDecimals: Option[Int] = Some(6)): PqCodebook = {
+                       roundDecimals: Option[Int] = Some(6),
+                       inputCheckpointed: Boolean = false): PqCodebook = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).cast("long").as("vec_id"),
-      asDouble(col(vecCol)).as("v")).localCheckpoint()
+    // the projection is re-scanned (m subspaces) x (1 + iterations) times:
+    // checkpoint it once — unless the CALLER already materialized exactly
+    // this relation (ivfPqTopK's residuals), where a second checkpoint
+    // would only re-copy the data
+    val c0 = corpus.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val c = if (inputCheckpointed) c0 else c0.localCheckpoint()
     val dimRow = c.select(size(col("v"))).head(1)
     if (dimRow.isEmpty) return Array.empty
     val dim = dimRow(0).getInt(0)
@@ -434,7 +440,15 @@ object SimilarityOps {
         BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble)
       case None => x
     }
-    (0 until m).map { j =>
+    // subspaces train INDEPENDENTLY (each its own seed collect + Lloyd
+    // iterations over its own slice) — run them as concurrent driver
+    // threads so the m training chains overlap instead of serializing.
+    // Per-subspace math, seeding, tie-breaks and rounding are untouched,
+    // so the trained model is bit-identical to the sequential loop.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val trained = (0 until m).map { j => Future {
       val sub = c.select(col("vec_id"),
         slice(col("v"), j * dsub + 1, dsub).as("sv"))
       var book: Array[(Array[Double], Double)] =
@@ -456,7 +470,8 @@ object SimilarityOps {
         }
       }
       book
-    }.toArray
+    }}
+    trained.map(Await.result(_, Duration.Inf)).toArray
   }
 
   /** PQ-ANN top-k by asymmetric distance computation. The index-build
@@ -674,7 +689,8 @@ object SimilarityOps {
     if (cents.isEmpty) return emptyResult
     val resid = residualsFor(corpus, idCol, vecCol, cents).localCheckpoint()
     val books = codebooks.getOrElse(
-      trainPqCodebooks(resid, "vec_id", "rv", m, cells, iterations))
+      trainPqCodebooks(resid, "vec_id", "rv", m, cells, iterations,
+        inputCheckpointed = true))
     if (books.isEmpty || books.exists(_.isEmpty)) return emptyResult
     def centLit(cv: Array[Double]) = array(cv.map(lit).toIndexedSeq: _*)
     val dsub = books.head.head._1.length
