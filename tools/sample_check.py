@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Sampled-hash oracle check for queries whose FULL DuckDB oracle is
+infeasible at a given scale (out-of-memory/disk spill, >600s unrolled
+training SQL). Instead of comparing whole relations, both sides are
+restricted to a deterministic key-range slice and hash-compared with the
+same canonicalization as check.py:
+
+  engine side: the Verify result parquet, filtered to lo <= key <= hi
+  oracle side: SELECT * FROM (<oracle sql>) WHERE key BETWEEN lo AND hi
+
+This is NOT weaker than it looks for the queries it targets: their oracle
+cost lives in the per-row scoring/training expansion, and a key slice
+bounds the OUTPUT comparison while the oracle still computes the full
+relation... which is exactly what times out. So for the unrolled-training
+oracles the slice must be pushed INSIDE via --subst, replacing a marker
+table/CTE bound (see --subst below), or the query stays infeasible and
+this tool reports that honestly.
+
+Usage:
+  python3 tools/sample_check.py <sfDir> <outDir> <query> <keyCol> <lo> <hi>
+      [--timeout S] [--memlimit M] [--subst FROM::TO [...]]
+
+  --subst OLD::NEW   literal replacement applied to the oracle SQL before
+                     wrapping (e.g. shrink an unrolled oracle's doc bound:
+                     "d.doc_id < 100000000::d.doc_id < 500"). Every
+                     substitution must change the SQL or the run aborts —
+                     a stale marker must not silently verify the full
+                     relation.
+
+Exit 0 = sampled hash PASS; 2 = oracle still infeasible (timeout); 1 =
+MISMATCH or usage error.
+"""
+import hashlib
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def digest(df: pd.DataFrame) -> str:
+    rows = df.to_csv(index=False, float_format="%.10g")
+    return hashlib.md5(rows.encode()).hexdigest()
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir, out_dir, query, key, lo, hi = args[:6]
+    opts = sys.argv[1:]
+    timeout = int(opts[opts.index("--timeout") + 1]) \
+        if "--timeout" in opts else 900
+    mem = opts[opts.index("--memlimit") + 1] if "--memlimit" in opts else None
+    substs = []
+    for i, a in enumerate(opts):
+        if a == "--subst":
+            old, new = opts[i + 1].split("::", 1)
+            substs.append((old, new))
+
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[query]
+    for old, new in substs:
+        if old not in sql:
+            sys.exit(f"--subst marker not found in oracle SQL: {old!r}")
+        sql = sql.replace(old, new)
+    wrapped = (f"SELECT * FROM ({sql}) __s "
+               f"WHERE __s.{key} BETWEEN {lo} AND {hi}")
+
+    got = pq.read_table(f"{out_dir}/{query}").to_pandas()
+    got = got[(got[key] >= float(lo)) & (got[key] <= float(hi))]
+
+    con = duckdb.connect()
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("GRAFT_SAMPLE_TMPDIR")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute("SET max_temp_directory_size='200GiB'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    import threading
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        exp = con.sql(wrapped).df()
+    except (duckdb.InterruptException, RuntimeError) as e:
+        print(f"INFEASIBLE {query}: oracle interrupted after {timeout}s "
+              f"({type(e).__name__})")
+        sys.exit(2)
+    finally:
+        timer.cancel()
+
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        print(f"MISMATCH {query}: schema spark={list(g.columns)} "
+              f"oracle={list(e.columns)}")
+        sys.exit(1)
+    if len(g) != len(e):
+        print(f"MISMATCH {query}: rows spark={len(g)} oracle={len(e)}")
+        sys.exit(1)
+    if digest(g) != digest(e):
+        print(f"MISMATCH {query}: hash differs on slice "
+              f"{key} in [{lo},{hi}] ({len(g)} rows)")
+        sys.exit(1)
+    print(f"PASS {query}: sampled hash over {key} in [{lo},{hi}] "
+          f"({len(g)} rows)")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
