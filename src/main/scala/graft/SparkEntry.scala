@@ -500,7 +500,7 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("h"))
         .as[(Long, String)]
         .map { case (id, h) => MultimodalOps.MediaAsset(id, "image/png",
-          MultimodalOps.grayPng(MultimodalOps.hexBytes(h), 4, 4)) }
+          MultimodalOps.grayPngBytes(MultimodalOps.hexBytes(h), 4, 4)) }
       MultimodalOps.decodeImages(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("width"), col("height"),
           round(col("mean_pixel"), 6).as("mean_pixel"))
@@ -573,8 +573,8 @@ object SparkEntry {
         .map { case (id, h0, h1) =>
           MultimodalOps.MediaAsset(id, "video/x-msvideo",
             MultimodalOps.framesAvi(Seq(
-              MultimodalOps.grayPng(MultimodalOps.hexBytes(h0), 4, 4),
-              MultimodalOps.grayPng(MultimodalOps.hexBytes(h1), 4, 4)),
+              MultimodalOps.grayPngBytes(MultimodalOps.hexBytes(h0), 4, 4),
+              MultimodalOps.grayPngBytes(MultimodalOps.hexBytes(h1), 4, 4)),
               width = 4, height = 4, fps = 10, fourcc = "MPNG")) }
       MultimodalOps.decodeVideoFrames(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("frame_idx"),

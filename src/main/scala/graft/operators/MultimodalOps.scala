@@ -123,7 +123,11 @@ object MultimodalOps {
     implicit val enc = Encoders.product[DecodedImage]
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.iterator.map { a =>
-        try {
+        try parseGrayPng(a.content) match {
+          // dominant case first: gray8 PNG via the zlib byte codec — no
+          // per-row ImageIO reader instantiation (see codec block above)
+          case Some((w, h, px)) => DecodedImage(a.asset_id, w, h, grayMean(px))
+          case None =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(a.content))
           if (img == null) DecodedImage(a.asset_id, -1, -1, Double.NaN)
@@ -249,9 +253,147 @@ object MultimodalOps {
     }
   }
 
+  // ---- gray8 PNG byte codec (Deflater/Inflater + CRC32, no ImageIO) ----
+  //
+  // The ImageIO twin of the WAV byte-walk: `ImageIO.read`/`write` pay
+  // stream sniffing, reader/writer instantiation and color-model setup
+  // PER CALL — JVM-global dispatch that made the image/video roundtrip
+  // gates scale with allocator contention instead of bytes (the same
+  // 10-15x decade curve audio had before r8/r9). Gray8 non-interlaced
+  // PNG needs only chunk framing + zlib (both ship in java.util.zip), so
+  // the hot paths use these and fall back to ImageIO for every other
+  // image form. Specs cross-validate BOTH directions against ImageIO
+  // (decode(ImageIO bytes) and ImageIO.read(these bytes) are pixel-exact).
+
+  private val pngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    u32(data.length.toLong) ++ t ++ data ++ u32(crc.getValue)
+  }
+
+  /** Gray8 PNG ENCODE by direct chunk construction: IHDR (8-bit
+    * grayscale, non-interlaced), one zlib IDAT of filter-0 scanlines,
+    * IEND. Any PNG reader decodes it; [[parseGrayPng]] and ImageIO
+    * recover the exact pixels. */
+  def grayPngBytes(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must be width*height")
+    val ihdr = u32(width.toLong) ++ u32(height.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0) // depth 8, gray, deflate, adaptive, none
+    val raw = new Array[Byte](height * (width + 1))
+    var y = 0
+    while (y < height) {
+      raw(y * (width + 1)) = 0 // filter type 0 per scanline
+      var x = 0
+      while (x < width) {
+        raw(y * (width + 1) + 1 + x) = (pixels(y * width + x) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    pngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** Gray8 PNG DECODE: chunk walk + zlib inflate + scanline unfilter
+    * (all five standard filter types, so ImageIO-written gray8 PNGs take
+    * this path too). Returns None for anything that is not a plain 8-bit
+    * grayscale non-interlaced PNG — callers fall back to ImageIO, so
+    * palette/RGB/16-bit/interlaced images behave exactly as before. */
+  private[graft] def parseGrayPng(
+      b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 45 || !b.take(8).sameElements(pngSig)) return None
+    var off = 8
+    var width = -1; var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off + 12 <= b.length) {
+      val len = be32(b, off)
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      if (len > Int.MaxValue - 12 || off + 12 + len > b.length) return None
+      val ds = off + 8
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(b, ds).toInt; height = be32(b, ds + 4).toInt
+          // depth 8, color type 0 (gray), interlace 0 — or bail to SPI
+          if (b(ds + 8) != 8 || b(ds + 9) != 0 || b(ds + 12) != 0)
+            return None
+        case "IDAT" => idat.write(b, ds, len.toInt)
+        case "IEND" =>
+          if (width <= 0 || height <= 0) return None
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(idat.toByteArray)
+          val raw = new Array[Byte](height * (width + 1))
+          var got = 0
+          try {
+            while (got < raw.length && !inf.finished()) {
+              val n = inf.inflate(raw, got, raw.length - got)
+              if (n == 0 && inf.needsInput()) return None // truncated
+              got += n
+            }
+          } catch { case _: java.util.zip.DataFormatException => return None }
+          finally inf.end()
+          if (got != raw.length) return None
+          // unfilter (bpp = 1 byte): Sub/Up/Average/Paeth per PNG spec
+          val px = new Array[Byte](width * height)
+          var y = 0
+          while (y < height) {
+            val ft = raw(y * (width + 1)) & 0xff
+            var x = 0
+            while (x < width) {
+              val cur = raw(y * (width + 1) + 1 + x) & 0xff
+              val left = if (x > 0) px(y * width + x - 1) & 0xff else 0
+              val up = if (y > 0) px((y - 1) * width + x) & 0xff else 0
+              val ul = if (x > 0 && y > 0) px((y - 1) * width + x - 1) & 0xff
+                       else 0
+              val v = ft match {
+                case 0 => cur
+                case 1 => cur + left
+                case 2 => cur + up
+                case 3 => cur + (left + up) / 2
+                case 4 =>
+                  val p = left + up - ul
+                  val pa = math.abs(p - left)
+                  val pb = math.abs(p - up)
+                  val pc = math.abs(p - ul)
+                  cur + (if (pa <= pb && pa <= pc) left
+                         else if (pb <= pc) up else ul)
+                case _ => return None
+              }
+              px(y * width + x) = (v & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          return Some((width, height, px))
+        case _ => () // ancillary chunks skipped
+      }
+      off = ds + len.toInt + 4
+    }
+    None
+  }
+
+  /** Mean of gray8 pixels as the DecodedImage contract computes it. */
+  private def grayMean(px: Array[Byte]): Double = {
+    var s = 0.0; var i = 0
+    while (i < px.length) { s += px(i) & 0xff; i += 1 }
+    if (px.length == 0) Double.NaN else s / px.length
+  }
+
   /** Render a gray8 PNG of the given width x height from `pixels`
-    * (row-major, 0-255) — real `ImageIO` ENCODE, used by the roundtrip
-    * gate and tests to manufacture valid media deterministically. */
+    * (row-major, 0-255) — real `ImageIO` ENCODE. Kept as the INDEPENDENT
+    * codec cross-validating [[grayPngBytes]]/[[parseGrayPng]] in specs;
+    * hot per-row paths use the byte twins. */
   def grayPng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -739,20 +881,31 @@ object MultimodalOps {
       it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
         try {
           aviFrameChunks(a.content).zipWithIndex.map { case ((off, len), i) =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(a.content, off, len))
-            if (img == null) VideoFrame(a.asset_id, i, -1, -1, Double.NaN)
-            else {
-              val r = img.getRaster
-              var s = 0.0
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) { s += r.getSample(x, y, 0); x += 1 }
-                y += 1
+            try {
+              val chunk = java.util.Arrays.copyOfRange(a.content, off, off + len)
+              parseGrayPng(chunk) match {
+                // MPNG gray8 frames: zlib byte codec, no ImageIO dispatch
+                case Some((w, h, px)) =>
+                  VideoFrame(a.asset_id, i, w, h, grayMean(px))
+                case None =>
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(a.content, off, len))
+                  if (img == null) VideoFrame(a.asset_id, i, -1, -1, Double.NaN)
+                  else {
+                    val r = img.getRaster
+                    var s = 0.0
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) { s += r.getSample(x, y, 0); x += 1 }
+                      y += 1
+                    }
+                    VideoFrame(a.asset_id, i, img.getWidth, img.getHeight,
+                      s / (img.getWidth.toLong * img.getHeight))
+                  }
               }
-              VideoFrame(a.asset_id, i, img.getWidth, img.getHeight,
-                s / (img.getWidth.toLong * img.getHeight))
+            } catch { case _: Exception =>
+              VideoFrame(a.asset_id, i, -1, -1, Double.NaN)
             }
           }
         } catch { case _: Exception =>

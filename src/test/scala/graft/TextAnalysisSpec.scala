@@ -159,6 +159,44 @@ class TextAnalysisSpec extends SparkSpec {
       "mean divides by samples read, not header-declared frames")
   }
 
+  test("gray8 PNG byte codec cross-validates against ImageIO in BOTH " +
+      "directions and rejects non-gray forms to the SPI path") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((1, 1), (4, 4), (16, 16), (31, 7))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      // direction 1: byte-codec ENCODE -> ImageIO DECODE pixel-exact
+      val mine = MultimodalOps.grayPngBytes(px, w, h)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(mine))
+      assert(img.getWidth === w && img.getHeight === h)
+      val viaImageIo = for (y <- 0 until h; x <- 0 until w)
+        yield img.getRaster.getSample(x, y, 0)
+      assert(viaImageIo.toSeq === px.toSeq,
+        s"ImageIO must read the byte-codec PNG exactly ($w x $h)")
+      // direction 2: ImageIO ENCODE -> byte-codec DECODE pixel-exact
+      // (ImageIO's encoder picks its own scanline filters, so this
+      // exercises the unfilter path, not just filter type 0)
+      val spi = MultimodalOps.grayPng(px, w, h)
+      val parsed = MultimodalOps.parseGrayPng(spi)
+      assert(parsed.isDefined, "byte codec must read ImageIO gray8 PNGs")
+      val (pw, ph, ppx) = parsed.get
+      assert(pw === w && ph === h)
+      assert(ppx.map(_ & 0xff).toSeq === px.toSeq,
+        s"byte codec must read ImageIO's PNG exactly ($w x $h)")
+      // roundtrip through the byte codec alone
+      val rt = MultimodalOps.parseGrayPng(mine).get
+      assert(rt._3.map(_ & 0xff).toSeq === px.toSeq)
+    }
+    // an RGB PNG is NOT gray8: the byte codec must defer to ImageIO
+    val rgb = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    assert(MultimodalOps.parseGrayPng(bos.toByteArray).isEmpty,
+      "non-gray color types fall back to the SPI path")
+    assert(MultimodalOps.parseGrayPng(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("pcm16WavBytes (byte-walk encode) is byte-identical to the " +
       "independent AudioSystem codec across sizes, rates and extremes") {
     val cases = Seq(

@@ -26,6 +26,15 @@ con = duckdb.connect()
 # identical to the driver's gate.
 if os.environ.get("GRAFT_CHECK_MEMLIMIT"):
     con.execute(f"SET memory_limit='{os.environ['GRAFT_CHECK_MEMLIMIT']}'")
+# Optional spill location/cap for oracles whose intermediates exceed RAM
+# (the 100x ANN training unrolls): lets DuckDB page to disk instead of
+# dying, while capping the spill so a runaway oracle can't fill the box.
+if os.environ.get("GRAFT_CHECK_TMPDIR"):
+    td = os.environ["GRAFT_CHECK_TMPDIR"]
+    os.makedirs(td, exist_ok=True)
+    con.execute(f"SET temp_directory='{td}'")
+    con.execute("SET max_temp_directory_size='"
+                + os.environ.get("GRAFT_CHECK_TMPMAX", "60GiB") + "'")
 for t in TABLES:
     p = f"{sf_dir}/{t}.parquet"
     if os.path.exists(p):
