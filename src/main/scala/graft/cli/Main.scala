@@ -59,6 +59,8 @@ object Main {
       |                       -> thumbnail embeddings / RMS envelopes)
       |       video-meta (--bytes COL: ISO-BMFF box walk -> duration/
       |                   tracks/codec/dimensions container metadata)
+      |       video-frames (--bytes COL: AVI movi walk + per-frame
+      |                     MJPG/MPNG decode -> dims + pixel mean)
       |       ann-topk (--method brute|lsh|ivf|pq|ivfpq --queries PATH --k N
       |                 --model PATH: probe a stored model)
       |       ann-build (--method ivf|pq|ivfpq: train + persist quantizers)
@@ -379,6 +381,16 @@ object Main {
           MultimodalOps.asAssets(spark.read.parquet(in),
             opts.getOrElse("id", "asset_id"),
             opts.getOrElse("bytes", "content"), "video/mp4"))
+          .toDF().write.mode("overwrite").parquet(out)
+      case "video-frames" =>
+        // REAL frame decode for frame-coded AVI (MJPG/MPNG): RIFF movi
+        // walk + per-frame still decode -> one row per frame with
+        // dimensions and pixel mean; unparseable containers keep one
+        // sentinel row, bad frames keep per-frame sentinels
+        MultimodalOps.decodeVideoFrames(
+          MultimodalOps.asAssets(spark.read.parquet(in),
+            opts.getOrElse("id", "asset_id"),
+            opts.getOrElse("bytes", "content"), "video/x-msvideo"))
           .toDF().write.mode("overwrite").parquet(out)
       case "corpus-card" =>
         // one-stop corpus report (the "datasheet" a pipeline operator

@@ -460,6 +460,29 @@ class CliSpec extends SparkSpec {
     assert(feats(2L).forall(_ === 0.0f))
   }
 
+  test("video-frames walks an AVI into per-frame rows with sentinels " +
+      "for corrupt containers") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    val base = Files.createTempDirectory("graft-cli-vf").toString
+    val px = Array.tabulate(16)(i => i * 16)
+    val avi = MultimodalOps.framesAvi(Seq(
+      MultimodalOps.grayPngBytes(px, 4, 4),
+      MultimodalOps.grayPngBytes(px.map(255 - _), 4, 4)),
+      width = 4, height = 4, fps = 10, fourcc = "MPNG")
+    Seq((1L, avi), (2L, Array[Byte](5, 5, 5)))
+      .toDF("asset_id", "content").write.parquet(s"$base/vids")
+    Main.run(spark, "video-frames", Map("input" -> s"$base/vids",
+      "output" -> s"$base/frames"))
+    val rows = spark.read.parquet(s"$base/frames")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getDouble(4))).toMap
+    assert(rows.keySet === Set((1L, 0), (1L, 1), (2L, -1)))
+    assert(rows((1L, 0)) === ((4, px.sum / 16.0)))
+    assert(rows((1L, 1))._2 === px.map(255 - _).sum / 16.0)
+    assert(rows((2L, -1))._1 === -1, "corrupt container keeps a sentinel")
+  }
+
   test("unknown tool raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(spark, "no-such-tool", Map.empty)
