@@ -2515,16 +2515,20 @@ object SparkEntry {
     val dsub = dim / 2
     def svExpr(j: Int) =
       if (j == 0) s"$vcol[1:$dsub]" else s"$vcol[${dsub + 1}:$dim]"
-    def assignFrom(j: Int, centsCte: String): String =
-      s"""(SELECT s.vec_id, s.sv, c.cell,
-         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
-         |      list_dot_product(c.cv, c.cv)
-         |        - 2 * list_dot_product(s.sv, c.cv) ASC, c.cell ASC) AS rc
-         |  FROM sub$j s CROSS JOIN $centsCte c)"""
+    // min-L2 cell pick as a slim GROUP BY argmin — same rewrite (and the
+    // same tie rule: lowest distance, then lowest cell) as [[cellPick]],
+    // replacing the subvector-payload window sort
+    def pickFrom(j: Int, centsCte: String): String =
+      s"""(SELECT s2.vec_id, struct_extract(min(
+         |    {'d': list_dot_product(c.cv, c.cv)
+         |          - 2 * list_dot_product(s2.sv, c.cv),
+         |     'cl': c.cell}), 'cl') AS cell
+         |  FROM sub$j s2 CROSS JOIN $centsCte c GROUP BY s2.vec_id)"""
     def train(j: Int): String = {
       def iteration(i: Int) =
-        s"""a${j}_$i AS (SELECT vec_id, sv, cell FROM
-           |  ${assignFrom(j, s"c${j}_${i - 1}")} WHERE rc = 1),
+        s"""a${j}_$i AS (SELECT s.vec_id, s.sv, p.cell
+           |  FROM sub$j s JOIN ${pickFrom(j, s"c${j}_${i - 1}")} p
+           |  USING (vec_id)),
            |m${j}_$i AS (SELECT cell, list(mx ORDER BY d) AS cv FROM (
            |  SELECT cell, d, round(avg(val), 6) AS mx FROM (
            |    SELECT cell, unnest(sv) AS val,
@@ -2537,8 +2541,7 @@ object SparkEntry {
          |  sv AS cv FROM (SELECT vec_id, sv FROM sub$j ORDER BY vec_id
          |                 LIMIT $cells)),
          |${(1 to iters).map(iteration).mkString(",\n")},
-         |code$j AS (SELECT vec_id, cell FROM
-         |  ${assignFrom(j, s"c${j}_$iters")} WHERE rc = 1)"""
+         |code$j AS (SELECT vec_id, cell FROM ${pickFrom(j, s"c${j}_$iters")})"""
     }
     s"""${train(0)},
        |${train(1)}""".stripMargin
@@ -2550,14 +2553,19 @@ object SparkEntry {
     s"""WITH e AS ($embSql),
        |${pqTrainCtes(cells, iters, dim, "e", "v")},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-       |sc AS (SELECT q.query_id, code0.vec_id,
-       |  round(list_dot_product(q.qv[1:$dsub], cf0.cv) +
-       |        list_dot_product(q.qv[${dsub + 1}:$dim], cf1.cv), 6) AS score
+       |lk0 AS (SELECT q.query_id, c.cell,
+       |  list_dot_product(q.qv[1:$dsub], c.cv) AS dp
+       |  FROM q CROSS JOIN c0_$iters c),
+       |lk1 AS (SELECT q.query_id, c.cell,
+       |  list_dot_product(q.qv[${dsub + 1}:$dim], c.cv) AS dp
+       |  FROM q CROSS JOIN c1_$iters c),
+       |sc AS (SELECT lk0.query_id, code0.vec_id,
+       |  round(lk0.dp + lk1.dp, 6) AS score
        |  FROM code0 JOIN code1 USING (vec_id)
-       |  CROSS JOIN q
-       |  JOIN c0_$iters cf0 ON cf0.cell = code0.cell
-       |  JOIN c1_$iters cf1 ON cf1.cell = code1.cell
-       |  WHERE code0.vec_id <> q.query_id)
+       |  JOIN lk0 ON lk0.cell = code0.cell
+       |  JOIN lk1 ON lk1.cell = code1.cell
+       |    AND lk1.query_id = lk0.query_id
+       |  WHERE code0.vec_id <> lk0.query_id)
        |SELECT query_id, vec_id, score, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, vec_id ASC) AS rn FROM sc)
@@ -2586,17 +2594,22 @@ object SparkEntry {
        |      ORDER BY list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm)
        |        DESC, c.cell ASC) AS rc
        |  FROM q CROSS JOIN cents$iters c) WHERE rc <= $nprobe),
-       |sc AS (SELECT probe.query_id, code0.vec_id,
-       |  round(probe.qdotc +
-       |        list_dot_product(probe.qv[1:$dsub], cf0.cv) +
-       |        list_dot_product(probe.qv[${dsub + 1}:$dim], cf1.cv), 6)
-       |    AS score
+       |lk0 AS (SELECT q.query_id, c.cell,
+       |  list_dot_product(q.qv[1:$dsub], c.cv) AS dp
+       |  FROM q CROSS JOIN c0_$iters c),
+       |lk1 AS (SELECT q.query_id, c.cell,
+       |  list_dot_product(q.qv[${dsub + 1}:$dim], c.cv) AS dp
+       |  FROM q CROSS JOIN c1_$iters c),
+       |resc AS (SELECT vec_id, ccell FROM res),
+       |pr AS (SELECT query_id, cell, qdotc FROM probe),
+       |sc AS (SELECT pr.query_id, code0.vec_id,
+       |  round(pr.qdotc + lk0.dp + lk1.dp, 6) AS score
        |  FROM code0 JOIN code1 USING (vec_id)
-       |  JOIN res ON res.vec_id = code0.vec_id
-       |  JOIN probe ON probe.cell = res.ccell
-       |  JOIN c0_$iters cf0 ON cf0.cell = code0.cell
-       |  JOIN c1_$iters cf1 ON cf1.cell = code1.cell
-       |  WHERE code0.vec_id <> probe.query_id)
+       |  JOIN resc ON resc.vec_id = code0.vec_id
+       |  JOIN pr ON pr.cell = resc.ccell
+       |  JOIN lk0 ON lk0.query_id = pr.query_id AND lk0.cell = code0.cell
+       |  JOIN lk1 ON lk1.query_id = pr.query_id AND lk1.cell = code1.cell
+       |  WHERE code0.vec_id <> pr.query_id)
        |SELECT query_id, vec_id, score, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, vec_id ASC) AS rn FROM sc)
@@ -2608,14 +2621,24 @@ object SparkEntry {
     * tie-break, per-iteration 6-decimal mean quantization — ending with
     * the full-corpus assignment `asg(vec_id, v, nrm, cell)`. Consumed by
     * the trained-IVF probe oracle and the SemDeDup oracle. */
+  /** Max-cosine cell pick as a slim GROUP BY argmin instead of a
+    * payload-carrying window: `min({'nc': -cos, 'cl': cell})` is
+    * lexicographic, so it picks highest cos then lowest cell — exactly
+    * the window's `ORDER BY cos DESC, cell ASC ... rc = 1` — but the
+    * aggregation state is (double, int) per VECTOR, while the window
+    * sorted every (vector x centroid) row with the full embedding list
+    * in the payload. At the 100x fixture that sort was the oracle's
+    * spill driver (>78 GB temp); the argmin form keeps it in RAM. */
+  private def cellPick(centsCte: String): String =
+    s"""(SELECT e2.vec_id, struct_extract(min(
+       |    {'nc': -list_dot_product(e2.v, c.cv) / (e2.nrm * c.cnrm),
+       |     'cl': c.cell}), 'cl') AS cell
+       |  FROM e e2 CROSS JOIN $centsCte c GROUP BY e2.vec_id)"""
+
   private def ivfTrainCtes(nlist: Int, iters: Int): String = {
     def iteration(i: Int): String =
-      s"""asg$i AS (SELECT vec_id, v, nrm, cell FROM (
-         |  SELECT e.vec_id, e.v, e.nrm, c.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)
-         |        DESC, c.cell ASC) AS rc
-         |  FROM e CROSS JOIN cents${i - 1} c) WHERE rc = 1),
+      s"""asg$i AS (SELECT e.vec_id, e.v, e.nrm, p.cell
+         |  FROM e JOIN ${cellPick(s"cents${i - 1}")} p USING (vec_id)),
          |m$i AS (SELECT cell, list(mx ORDER BY d) AS cv FROM (
          |  SELECT cell, d, round(avg(val), 6) AS mx FROM (
          |    SELECT cell, unnest(v) AS val,
@@ -2629,12 +2652,8 @@ object SparkEntry {
        |cents0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
        |           WHERE vec_id < $nlist),
        |${(1 to iters).map(iteration).mkString(",\n")},
-       |asg AS (SELECT vec_id, v, nrm, cell FROM (
-       |  SELECT e.vec_id, e.v, e.nrm, c.cell,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)
-       |        DESC, c.cell ASC) AS rc
-       |  FROM e CROSS JOIN cents$iters c) WHERE rc = 1)""".stripMargin
+       |asg AS (SELECT e.vec_id, e.v, e.nrm, p.cell
+       |  FROM e JOIN ${cellPick(s"cents$iters")} p USING (vec_id))""".stripMargin
   }
 
   private def ivfTrainedOracleSql(nlist: Int, iters: Int, nprobe: Int,
