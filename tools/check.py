@@ -35,6 +35,13 @@ if os.environ.get("GRAFT_CHECK_TMPDIR"):
     con.execute(f"SET temp_directory='{td}'")
     con.execute("SET max_temp_directory_size='"
                 + os.environ.get("GRAFT_CHECK_TMPMAX", "60GiB") + "'")
+# Optional thread cap. DuckDB's per-operator memory scales with thread
+# count (each thread keeps its own hash/sort partitions hot), and the
+# 100x ANN training oracles were OOM-killed at 55GB memory_limit with the
+# default 32 threads — the limit is advisory for some operators. Fewer
+# threads trade wall time for a peak-RSS that actually respects the cap.
+if os.environ.get("GRAFT_CHECK_THREADS"):
+    con.execute(f"SET threads={int(os.environ['GRAFT_CHECK_THREADS'])}")
 for t in TABLES:
     p = f"{sf_dir}/{t}.parquet"
     if os.path.exists(p):
