@@ -98,9 +98,14 @@ object TextAnalysisOps {
     * (word runs + single non-space punctuation — the classic pre-tokenizer
     * shape), and a chars/4 approximation of subword count. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // regexp_count, not size(regexp_extract_all(...)) / size(tokens(...)):
+    // counting must not materialize an array of every match — at 5M docs
+    // that allocation (one String per token per doc) dominated the query
+    // and made it the worst decade-2 scaler on the board (5.0x). \S+ runs
+    // count exactly the non-empty whitespace-split tokens.
     docs.select(col(idCol),
-      size(TextOps.tokens(col(textCol))).as("ws_tokens"),
-      size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+      regexp_count(col(textCol), lit("\\S+")).as("ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
         .as("regex_tokens"),
       ceil(length(col(textCol)).cast("double") / 4).cast("long").as("approx_subwords"))
 
