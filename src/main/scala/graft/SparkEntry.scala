@@ -2029,7 +2029,11 @@ object SparkEntry {
         |      FROM events WHERE user_id < 50)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)""".stripMargin,
     // same LSH candidate pipeline as q_dedup_minhash, refined by edit
-    // distance (both engines implement unit-cost Levenshtein)
+    // distance (both engines implement unit-cost Levenshtein). The oracle
+    // short-circuits identical texts to 0 (levenshtein(a,a) = 0 by
+    // definition): on duplicate-skewed corpora the candidate set is
+    // dominated by exact-duplicate pairs, and computing the O(len^2) DP
+    // for each made the zipf-fixture oracle infeasible.
     "q_levenshtein" -> {
       val mods = DedupOps.minhashMultipliers(12).map(c =>
         s"list_min([${DedupOps.permuteHashSql("x", c)} FOR x IN hs])")
@@ -2048,7 +2052,9 @@ object SparkEntry {
          |pairs AS (SELECT ida, idb
          |  FROM cand JOIN h a ON cand.ida = a.doc_id JOIN h b ON cand.idb = b.doc_id
          |  WHERE $jaccardSql >= 0.5)
-         |SELECT ida, idb, levenshtein(da.text, db.text) AS edit_dist
+         |SELECT ida, idb,
+         |  CASE WHEN da.text = db.text THEN 0
+         |       ELSE levenshtein(da.text, db.text) END AS edit_dist
          |FROM pairs JOIN documents da ON pairs.ida = da.doc_id
          |JOIN documents db ON pairs.idb = db.doc_id""".stripMargin
     },
