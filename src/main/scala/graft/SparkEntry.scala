@@ -355,9 +355,8 @@ object SparkEntry {
     // same unrolled-training oracles as the individual q_ann_* gates),
     // so the recall numbers themselves are hash-gated.
     "q_ann_recall" -> ((s, dir) => {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
       val emb = Tables.embeddings(s, dir)
       val queries = emb.where(col("vec_id") < 3)
       def pairs(df: DataFrame) = df.select("query_id", "vec_id")
@@ -381,7 +380,7 @@ object SparkEntry {
         "vec_id", "embedding", queries, "vec_id", "embedding", k = 5,
         nlist = 8, nprobe = 2, m = 2, cells = 4, iterations = 2,
         centroids = Some(cents)))
-      val cents = Await.result(centsF, Duration.Inf)
+      val cents = SimilarityOps.awaitOrFail(centsF, "IVF centroid training")
       def ivfAt(nprobe: Int) = SimilarityOps.ivfTopK(emb, "vec_id",
         "embedding", queries, "vec_id", "embedding", k = 5, nlist = 8,
         nprobe = nprobe, centroids = Some(cents))
@@ -405,9 +404,10 @@ object SparkEntry {
         shortlist("ivf_np4", Future(ivfAt(4))),
         shortlist("pq_m2c4", pqF),
         shortlist("ivfpq_np2", ivfpqF))
-      val union = variantFs.map(Await.result(_, Duration.Inf))
+      val union = variantFs.map(
+        SimilarityOps.awaitOrFail(_, "ANN variant shortlist"))
         .reduce(_ unionByName _)
-      val brute = Await.result(bruteF, Duration.Inf)
+      val brute = SimilarityOps.awaitOrFail(bruteF, "brute-force reference")
       union.join(broadcast(brute), Seq("query_id", "vec_id"), "left_outer")
         .groupBy("method")
         .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))

@@ -70,15 +70,20 @@ object ClassifierOps {
     * (dims, iterations, lr): per-iteration 6-decimal weight rounding. */
   def trainLogReg(docs: DataFrame, idCol: String, textCol: String,
                   labelCol: Column, dims: Int = 64, iterations: Int = 5,
-                  lr: Double = 1.0): Array[Double] = {
-    val feats = features(docs, idCol, textCol, dims).localCheckpoint()
+                  lr: Double = 1.0,
+                  checkpointDir: Option[String] = None): Array[Double] = {
+    // the GD loop re-reads feats/labels every iteration: with a
+    // checkpointDir the materialization is RELIABLE (survives executor
+    // loss mid-training), else executor-local — see GraphOps.cutLineage
+    val feats = GraphOps.cutLineage(
+      features(docs, idCol, textCol, dims), checkpointDir)
     // Drop null-labeled docs BEFORE counting n: a label expression like
     // `lang = 'en'` evaluates to NULL on null lang, and a null label would
     // both inflate n with zero-gradient rows and poison sum(x*r) to NULL
     // for any bucket touched only by such docs (NPE at the collect).
-    val labels = docs.select(col(idCol).as("id"),
+    val labels = GraphOps.cutLineage(docs.select(col(idCol).as("id"),
       labelCol.cast("double").as("y"))
-      .where(col("y").isNotNull).localCheckpoint()
+      .where(col("y").isNotNull), checkpointDir)
     val n = labels.count().toDouble
     var w = Array.fill(dims + 1)(0.0)
     if (n == 0) return w

@@ -187,24 +187,48 @@ object GraphOps {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** Per-iteration lineage cut for the iterative family (G9). The default
+    * `localCheckpoint()` stores cut blocks on executors — fastest, and the
+    * SURVEY §3.3 parity choice — but on a preemptible cluster an executor
+    * loss mid-loop kills the job (the blocks are unrecoverable). Passing
+    * `checkpointDir` swaps in RELIABLE `checkpoint()` to that
+    * HDFS-compatible directory: cut state survives executor loss, the
+    * production-grade option for long loops at the 100x cluster scale.
+    * Ranks are bit-identical either way — only where the cut's blocks
+    * live changes (GraphOpsSpec proves equality). */
+  private[graft] def cutLineage(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** PageRank over a directed edge relation — G1/G3-G7/G9.
     *
     * @param edges    (src, dst); duplicates are collapsed
     * @param vertices optional explicit vertex set (needed when dangling
     *                 nodes never appear as src/dst); defaults to src∪dst
+    * @param checkpointDir optional reliable-checkpoint directory for the
+    *                 per-iteration lineage cut (see [[cutLineage]])
     * @return (nodeid, rank) with sum(rank) == 1
     */
   def pageRank(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
                vertices: Option[DataFrame] = None, numPartitions: Int = 32,
                dedupeEdges: Boolean = true, rangePartition: Boolean = false,
-               hubDegreeThreshold: Long = 4000000L): DataFrame = {
+               hubDegreeThreshold: Long = 4000000L,
+               checkpointDir: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     // Hub guard: one cheap count pass over the edges; if any source's raw
     // out-degree exceeds the threshold (default 4M ≈ a 32 MB array row),
     // iterate off the flat edge relation instead of adjacency arrays —
     // identical semantics, no giant collect_set row (VERDICT r2 §wrong-3).
     if (maxRawOutDegree(edges) > hubDegreeThreshold)
       return pageRankEdgeScatter(edges, iterations, alpha, vertices,
-        numPartitions, dedupeEdges, rangePartition)
+        numPartitions, dedupeEdges, rangePartition, checkpointDir)
     // ONE shuffle builds the adjacency: collect_set dedupes per source
     // during the aggregation itself (map-side partial included), replacing
     // the old standalone edges.distinct() shuffle + regroup. The vertex set
@@ -248,7 +272,7 @@ object GraphOps {
           when(col("outdeg").isNull, col("rank"))
             .otherwise(col("rank") / col("outdeg")).as("m"))
         .groupBy("dst").agg(sum(col("m")).as("in_mass"))
-        .localCheckpoint()
+        .transform(cut)
       val missing = gathered.where(col("dst").isNull)
         .agg(coalesce(sum(col("in_mass")), lit(0.0))).head().getDouble(0)
       ranks = verts.join(maybeBroadcast(gathered.where(col("dst").isNotNull)),
@@ -259,7 +283,7 @@ object GraphOps {
             .as("rank"))
       }
       // materialize the last (lazy) update before dropping its cached inputs
-      ranks = ranks.localCheckpoint()
+      ranks = cut(ranks)
     }
     // unpersist on the failure path too — no cache-entry leak
     finally { adj.unpersist(); verts.unpersist() }
@@ -276,7 +300,9 @@ object GraphOps {
     */
   private def pageRankEdgeScatter(edges: DataFrame, iterations: Int, alpha: Double,
                                   vertices: Option[DataFrame], numPartitions: Int,
-                                  dedupeEdges: Boolean, rangePartition: Boolean): DataFrame = {
+                                  dedupeEdges: Boolean, rangePartition: Boolean,
+                                  checkpointDir: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     val (verts, n, e, deg) =
       buildEdgeGraph(edges, vertices, numPartitions, dedupeEdges, rangePartition)
     val small = n < aqeIterationCutoff
@@ -296,7 +322,7 @@ object GraphOps {
         .select(lit(null).cast("long").as("dst"), col("r.rank").as("m"))
       val gathered = linked.union(dangling)
         .groupBy("dst").agg(sum(col("m")).as("in_mass"))
-        .localCheckpoint()
+        .transform(cut)
       val missing = gathered.where(col("dst").isNull)
         .agg(coalesce(sum(col("in_mass")), lit(0.0))).head().getDouble(0)
       ranks = verts.join(maybeBroadcast(gathered.where(col("dst").isNotNull)),
@@ -306,7 +332,7 @@ object GraphOps {
             lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) + lit(missing / n)))
             .as("rank"))
       }
-      ranks = ranks.localCheckpoint()
+      ranks = cut(ranks)
     }
     finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
     ranks
@@ -326,14 +352,16 @@ object GraphOps {
                            alpha: Double = 0.15, vertices: Option[DataFrame] = None,
                            numPartitions: Int = 32, dedupeEdges: Boolean = true,
                            rangePartition: Boolean = false,
-                           hubDegreeThreshold: Long = 4000000L): DataFrame = {
+                           hubDegreeThreshold: Long = 4000000L,
+                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     // same hub guard as pageRank: adjacency arrays are per-source rows, so
     // a 100M-out-degree hub OOMs identically here
     if (maxRawOutDegree(edges) > hubDegreeThreshold)
       return personalizedPageRankEdgeScatter(edges, sources, iterations, alpha,
-        vertices, numPartitions, dedupeEdges, rangePartition)
+        vertices, numPartitions, dedupeEdges, rangePartition, checkpointDir)
     val (verts, nVerts, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges,
       rangePartition)
     val small = nVerts < aqeIterationCutoff
@@ -360,7 +388,7 @@ object GraphOps {
           when(col("outdeg").isNull, col("rank"))
             .otherwise(col("rank") / col("outdeg")).as("m"))
         .groupBy("source", "dst").agg(sum(col("m")).as("in_mass"))
-        .localCheckpoint()
+        .transform(cut)
       val missing = gathered0.where(col("dst").isNull)
         .select(col("source"), col("in_mass"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -380,7 +408,7 @@ object GraphOps {
             .as("rank"))
       }
       // materialize the last (lazy) update before dropping its cached inputs
-      state = state.localCheckpoint()
+      state = cut(state)
     }
     finally { adj.unpersist(); verts.unpersist() }
     state
@@ -397,9 +425,11 @@ object GraphOps {
   private def personalizedPageRankEdgeScatter(
       edges: DataFrame, sources: Seq[Long], iterations: Int, alpha: Double,
       vertices: Option[DataFrame], numPartitions: Int,
-      dedupeEdges: Boolean, rangePartition: Boolean): DataFrame = {
+      dedupeEdges: Boolean, rangePartition: Boolean,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     val (verts, nVerts, e, deg) =
       buildEdgeGraph(edges, vertices, numPartitions, dedupeEdges, rangePartition)
     val small = nVerts < aqeIterationCutoff
@@ -421,7 +451,7 @@ object GraphOps {
           lit(null).cast("long").as("dst"), col("st.rank").as("m"))
       val gathered0 = linked.union(dangling)
         .groupBy("source", "dst").agg(sum(col("m")).as("in_mass"))
-        .localCheckpoint()
+        .transform(cut)
       val missing = gathered0.where(col("dst").isNull)
         .select(col("source"), col("in_mass"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -440,7 +470,7 @@ object GraphOps {
                 .otherwise(lit(0.0))))
             .as("rank"))
       }
-      state = state.localCheckpoint()
+      state = cut(state)
     }
     finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
     state
@@ -459,14 +489,16 @@ object GraphOps {
                        vertices: Option[DataFrame] = None,
                        numPartitions: Int = 32,
                        rangePartition: Boolean = false,
-                       hubDegreeThreshold: Long = 4000000L): DataFrame = {
+                       hubDegreeThreshold: Long = 4000000L,
+                       checkpointDir: Option[String] = None): DataFrame = {
     import graft.functions.LogSpace
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     // same hub guard as [[pageRank]]: above the threshold the log-space
     // walk scatters off the flat edge relation (rank - log outdeg per
     // edge) instead of building adjacency array rows
     if (maxRawOutDegree(edges) > hubDegreeThreshold)
       return pageRankLogSpaceEdgeScatter(edges, iterations, alpha, vertices,
-        numPartitions, rangePartition)
+        numPartitions, rangePartition, checkpointDir)
     // same single-pass iteration structure as [[pageRank]] (sentinel
     // scatter, checkpointed gather, driver-scalar dangling mass), with the
     // arithmetic in log space: scatter subtracts log(outdeg), the gather is
@@ -487,7 +519,7 @@ object GraphOps {
           when(col("outdeg").isNull, col("rank"))
             .otherwise(col("rank") - log(col("outdeg").cast("double"))).as("m"))
         .groupBy("dst").agg(LogSpace.logSumExp(col("m")).as("in_mass"))
-        .localCheckpoint()
+        .transform(cut)
       val missingLog = gathered.where(col("dst").isNull)
         .select(col("in_mass")).collect().headOption
         .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
@@ -500,7 +532,7 @@ object GraphOps {
           LogSpace.logAdd(lit(math.log(alpha / n)),
             lit(math.log(1 - alpha)) + linkAndMissing).as("rank"))
       }
-      ranks = ranks.localCheckpoint()
+      ranks = cut(ranks)
     }
     finally { adj.unpersist(); verts.unpersist() }
     ranks
@@ -517,8 +549,10 @@ object GraphOps {
   private def pageRankLogSpaceEdgeScatter(edges: DataFrame, iterations: Int,
                                           alpha: Double, vertices: Option[DataFrame],
                                           numPartitions: Int,
-                                          rangePartition: Boolean): DataFrame = {
+                                          rangePartition: Boolean,
+                                          checkpointDir: Option[String] = None): DataFrame = {
     import graft.functions.LogSpace
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     val (verts, n, e, deg) = buildEdgeGraph(edges, vertices, numPartitions,
       dedupeEdges = true, rangePartition)
     val small = n < aqeIterationCutoff
@@ -538,7 +572,7 @@ object GraphOps {
         .select(lit(null).cast("long").as("dst"), col("r.rank").as("m"))
       val gathered = linked.union(dangling)
         .groupBy("dst").agg(LogSpace.logSumExp(col("m")).as("in_mass"))
-        .localCheckpoint()
+        .transform(cut)
       val missingLog = gathered.where(col("dst").isNull)
         .select(col("in_mass")).collect().headOption
         .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
@@ -551,7 +585,7 @@ object GraphOps {
           LogSpace.logAdd(lit(math.log(alpha / n)),
             lit(math.log(1 - alpha)) + linkAndMissing).as("rank"))
       }
-      ranks = ranks.localCheckpoint()
+      ranks = cut(ranks)
     }
     finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
     ranks
@@ -569,12 +603,14 @@ object GraphOps {
                         maxIterations: Int = 100, alpha: Double = 0.15,
                         vertices: Option[DataFrame] = None,
                         numPartitions: Int = 32,
-                        hubDegreeThreshold: Long = 4000000L): (DataFrame, Int) = {
+                        hubDegreeThreshold: Long = 4000000L,
+                        checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     // same hub guard as [[pageRank]]: convergence mode works on mega-hub
     // graphs too, via the flat-edge scatter (VERDICT r3 missing-1)
     if (maxRawOutDegree(edges) > hubDegreeThreshold)
       return pageRankConvergedEdgeScatter(edges, tol, maxIterations, alpha,
-        vertices, numPartitions)
+        vertices, numPartitions, checkpointDir)
     val verts = vertices.getOrElse(verticesOf(edges))
       .repartition(numPartitions, col("nodeid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -582,7 +618,7 @@ object GraphOps {
     val adj = adjacencyOf(edges, numPartitions, dedupe = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var ranks = cut(verts.withColumn("rank", lit(1.0 / n)))
     var iters = 0
     var delta = Double.MaxValue
     try while (delta > tol && iters < maxIterations) {
@@ -597,7 +633,7 @@ object GraphOps {
           (lit(alpha / n) +
             lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) + lit(missing / n)))
             .as("rank"))
-        .localCheckpoint()
+        .transform(cut)
       delta = next.join(ranks.withColumnRenamed("rank", "prev"), "nodeid")
         .agg(max(abs(col("rank") - col("prev")))).head().getDouble(0)
       ranks = next
@@ -617,13 +653,15 @@ object GraphOps {
   private def pageRankConvergedEdgeScatter(edges: DataFrame, tol: Double,
                                            maxIterations: Int, alpha: Double,
                                            vertices: Option[DataFrame],
-                                           numPartitions: Int): (DataFrame, Int) = {
+                                           numPartitions: Int,
+                                           checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     val (verts, n, e, deg) = buildEdgeGraph(edges, vertices, numPartitions,
       dedupeEdges = true, rangePartition = false)
     val small = n < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
-    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var ranks = cut(verts.withColumn("rank", lit(1.0 / n)))
     var iters = 0
     var delta = Double.MaxValue
     try withIterationAqe(edges, n) {
@@ -638,7 +676,7 @@ object GraphOps {
           .select(lit(null).cast("long").as("dst"), col("r.rank").as("m"))
         val gathered = linked.union(dangling)
           .groupBy("dst").agg(sum(col("m")).as("in_mass"))
-          .localCheckpoint()
+          .transform(cut)
         val missing = gathered.where(col("dst").isNull)
           .agg(coalesce(sum(col("in_mass")), lit(0.0))).head().getDouble(0)
         val next = verts.join(maybeBroadcast(gathered.where(col("dst").isNotNull)),
@@ -647,7 +685,7 @@ object GraphOps {
             (lit(alpha / n) +
               lit(1 - alpha) * (coalesce(col("in_mass"), lit(0.0)) + lit(missing / n)))
               .as("rank"))
-          .localCheckpoint()
+          .transform(cut)
         delta = next.join(ranks.withColumnRenamed("rank", "prev"), "nodeid")
           .agg(max(abs(col("rank") - col("prev")))).head().getDouble(0)
         ranks = next

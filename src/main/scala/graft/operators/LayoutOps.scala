@@ -169,6 +169,16 @@ object LayoutOps {
     * briefly, then failed LOUDLY instead of silently losing data. */
   private[graft] val manifestEof = "#eof"
 
+  /** Manifest format version header, written as the FIRST line of every
+    * manifest/checkpoint so even a truncated head identifies its format.
+    * v2 = trailer-required (every complete payload ends with
+    * [[manifestEof]]). Files WITHOUT this header are legacy objects from
+    * pre-trailer builds: they are accepted when their bytes are stable
+    * across two reads (a legacy manifest never changes after commit; only
+    * an in-flight non-atomic copy does), so persisted tables survive the
+    * upgrade instead of being misdiagnosed as truncated. */
+  private[graft] val manifestVersionLine = "#v=2"
+
   /** Test seam: reproduction specs set this false to read manifests the
     * pre-trailer way (no truncation check), demonstrating the silent
     * short-head loss the trailer exists to prevent. Always true in
@@ -322,12 +332,14 @@ object LayoutOps {
   private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
     var attempt = 0
+    var prevBytes: Array[Byte] = null
     while (true) {
       val in = fs.open(p)
-      val content =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
         finally in.close()
-      val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+      val lines = new String(bytes, "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
       // a complete manifest ends with the [[manifestEof]] trailer; a tail
       // without it is a partial object exposed mid-materialization (e.g.
       // local rename degraded to copy) — wait for the copy to finish, and
@@ -335,12 +347,32 @@ object LayoutOps {
       // drops every file missing from it
       if (!manifestReadValidation || lines.lastOption.contains(manifestEof))
         return lines
+      // no [[manifestVersionLine]] header => a LEGACY (pre-trailer build)
+      // object, which legitimately has no trailer. Committed objects are
+      // immutable, so byte-stability across two reads separates "old
+      // format" from "in-flight copy". Any v2+ head (even a few bytes —
+      // the version line is written first) falls through to the loud
+      // truncation path instead.
+      val legacy = !lines.headOption.exists(_.startsWith("#v"))
+      if (legacy && lines.nonEmpty && prevBytes != null &&
+          java.util.Arrays.equals(prevBytes, bytes))
+        return lines
+      prevBytes = bytes
       attempt += 1
       if (attempt > 8) throw new java.io.IOException(
-        s"$p is truncated — missing the $manifestEof trailer after " +
-          s"$attempt reads. The store exposed a partial manifest object " +
-          "(non-atomic rename, e.g. RawLocalFileSystem's copy fallback). " +
-          "Refusing to read a short head.")
+        if (legacy)
+          s"$p has no $manifestEof trailer and no $manifestVersionLine " +
+            s"header, and never stabilized into a readable legacy object " +
+            s"across $attempt reads (bytes kept changing, or the object " +
+            "is empty) — an in-flight non-atomic copy or a corrupt " +
+            "object, not a committed pre-trailer manifest. Refusing to " +
+            "read a short head."
+        else
+          s"$p is truncated — a $manifestVersionLine manifest missing its " +
+            s"$manifestEof trailer after $attempt reads. The store exposed " +
+            "a partial manifest object (non-atomic rename, e.g. " +
+            "RawLocalFileSystem's copy fallback). Refusing to read a " +
+            "short head.")
       Thread.sleep(25L << math.min(attempt, 5))
     }
     throw new IllegalStateException("unreachable")
@@ -501,7 +533,8 @@ object LayoutOps {
         .filter(g => g > prevGen && g <= gen)
         .flatMap(_ => manifestToken(fs, s.getPath))
     }
-    val payload = (((prevTokens ++ fresh).toSeq.sorted :+ manifestEof)
+    val payload = ((manifestVersionLine +:
+      ((prevTokens ++ fresh).toSeq.sorted :+ manifestEof))
       .mkString("\n") + "\n").getBytes("UTF-8")
     val target = new org.apache.hadoop.fs.Path(md, f"$gen%020d$checkpointSuffix")
     commitArbiter.tryCommit(fs, target, payload): Unit
@@ -554,7 +587,8 @@ object LayoutOps {
       zOrderCols: Seq[String] = Nil): Unit = {
     val md = new org.apache.hadoop.fs.Path(root, manifestsDirName)
     fs.mkdirs(md)
-    val header = token.map(t => s"#token=$t\n").getOrElse("") +
+    val header = s"$manifestVersionLine\n" +
+      token.map(t => s"#token=$t\n").getOrElse("") +
       s"#ts=${System.currentTimeMillis()}\n" +
       schemaDdl.map(s => s"#schema=$s\n").getOrElse("") +
       (if (clusterCols.nonEmpty) s"#cluster=${clusterCols.mkString(",")}\n"

@@ -321,6 +321,13 @@ object MultimodalOps {
       val typ = new String(b, off + 4, 4, "US-ASCII")
       if (len > Int.MaxValue - 12 || off + 12 + len > b.length) return None
       val ds = off + 8
+      // verify the chunk CRC (type + data, per the PNG spec) BEFORE using
+      // the payload: corrupted-but-still-inflatable bytes must fall back
+      // to ImageIO (which rejects them into the (-1,-1,NaN) sentinel),
+      // not silently decode to garbage pixel means
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len.toInt)
+      if (crc.getValue != be32(b, ds + len.toInt)) return None
       typ match {
         case "IHDR" =>
           if (len != 13) return None

@@ -369,6 +369,27 @@ object SimilarityOps {
     * squared norm). Index j of the outer array = subspace j. */
   type PqCodebook = Array[Array[(Array[Double], Double)]]
 
+  /** Await a concurrently-submitted driver job with a FINITE bound.
+    * `Duration.Inf` here would turn a hung Spark job into a silently hung
+    * driver; a generous timeout (default 30 min, `GRAFT_AWAIT_TIMEOUT_S`
+    * to override — model trainings at the 100x fixture finish in minutes)
+    * fails loudly instead, naming which concurrent chain stalled. */
+  private[graft] val awaitTimeout: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(
+      sys.env.getOrElse("GRAFT_AWAIT_TIMEOUT_S", "1800").toLong, "s")
+
+  private[graft] def awaitOrFail[T](f: scala.concurrent.Future[T],
+      what: String,
+      timeout: scala.concurrent.duration.Duration = awaitTimeout): T =
+    try scala.concurrent.Await.result(f, timeout)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"concurrent driver job '$what' did not finish within " +
+            s"$timeout — a hung Spark job chain; raise " +
+            "GRAFT_AWAIT_TIMEOUT_S only if the scale genuinely needs it")
+    }
+
   private def normSq(v: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -392,9 +413,12 @@ object SimilarityOps {
     * when the row is actually scanned (native `when`/`raise_error` —
     * codegen'd, no job at plan time, nothing on the happy path). Without
     * it a PQ layout that does not tile the embedding would silently score
-    * only a vector prefix. */
+    * only a vector prefix. NULL vectors pass through as NULL — corrupt/
+    * missing data are data, not errors (the decode kernels' degradation
+    * contract): their scores come out NULL and rank last, they never
+    * abort the query. Only a present-but-wrong-width vector raises. */
   private def pqDimGuard(v: Column, dim: Int, what: String): Column =
-    when(size(v) === lit(dim), v).otherwise(raise_error(format_string(
+    when(v.isNull, v).when(size(v) === lit(dim), v).otherwise(raise_error(format_string(
       s"$what vector dim=%s does not tile the PQ model layout " +
         s"(m x dsub = $dim) — the model was trained for a different " +
         "embedding width; rebuild it with `ann-build`", size(v))))
@@ -406,7 +430,11 @@ object SimilarityOps {
         array(cv.map(lit).toIndexedSeq: _*))).as("d"), lit(cid).as("cid"))
     }.toIndexedSeq
     val best = if (scored.size == 1) scored.head else least(scored: _*)
-    best.getField("cid")
+    // NULL vector -> NULL code (and downstream a NULL ADC score that
+    // ranks below every real candidate). Without the guard the all-null
+    // distance structs compare by cid alone and a corrupt row would be
+    // coded as cell 0 — a phantom candidate with a REAL score.
+    when(sv.isNull, lit(null).cast("int")).otherwise(best.getField("cid"))
   }
 
   /** Train per-subspace Lloyd codebooks (standard PQ, L2 assignment).
@@ -445,9 +473,8 @@ object SimilarityOps {
     // threads so the m training chains overlap instead of serializing.
     // Per-subspace math, seeding, tie-breaks and rounding are untouched,
     // so the trained model is bit-identical to the sequential loop.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     val trained = (0 until m).map { j => Future {
       val sub = c.select(col("vec_id"),
         slice(col("v"), j * dsub + 1, dsub).as("sv"))
@@ -471,7 +498,8 @@ object SimilarityOps {
       }
       book
     }}
-    trained.map(Await.result(_, Duration.Inf)).toArray
+    trained.zipWithIndex.map { case (f, j) =>
+      awaitOrFail(f, s"PQ subspace-$j codebook training") }.toArray
   }
 
   /** PQ-ANN top-k by asymmetric distance computation. The index-build

@@ -673,6 +673,53 @@ class DedupSimSpec extends SparkSpec {
       m = 2, codebooks = Some(books4)).count() === 0L)
   }
 
+  test("stored-model probe passes NULL vectors through as NULL scores " +
+      "(corrupt data are data) — only wrong-width vectors abort") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val books = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 2, cells = 4, iterations = 2)
+    // one corpus row and one query row with a NULL embedding: both must
+    // flow through the stored-model dim guard as NULLs, never raise
+    val nulled = emb.select(col("vec_id"),
+      when(col("vec_id") === 7L, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val res = SimilarityOps.pqTopK(nulled, "vec_id", "embedding",
+      nulled.where(col("vec_id") < 2), "vec_id", "embedding",
+      k = 5, m = 2, codebooks = Some(books)).collect()
+    assert(res.nonEmpty, "the probe must complete with a null row present")
+    assert(!res.exists(r => r.isNullAt(2)),
+      "a NULL corpus vector scores NULL and ranks below every real " +
+        "candidate — it cannot reach the top-5 of a 500-vector corpus")
+    val nullQuery = SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+      nulled.where(col("vec_id") === 7L), "vec_id", "embedding",
+      k = 5, m = 2, codebooks = Some(books)).collect()
+    assert(nullQuery.forall(r => r.isNullAt(2)),
+      "a NULL query vector yields NULL scores, not an abort")
+    // same guard on the IVF-PQ stored path
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iterations = 2, roundDecimals = Some(6))
+    val rbooks = SimilarityOps.trainPqResidualCodebooks(emb, "vec_id",
+      "embedding", cents, m = 2, cells = 4, iterations = 2)
+    SimilarityOps.ivfPqTopK(nulled, "vec_id", "embedding",
+      nulled.where(col("vec_id") < 2), "vec_id", "embedding", k = 5,
+      centroids = Some(cents), codebooks = Some(rbooks)).collect()
+  }
+
+  test("awaitOrFail bounds a hung concurrent job with a NAMED error " +
+      "instead of hanging the driver forever") {
+    import scala.concurrent.Promise
+    import scala.concurrent.duration._
+    val hung = Promise[Int]().future // poisoned: never completes
+    val e = intercept[IllegalStateException] {
+      SimilarityOps.awaitOrFail(hung, "poisoned training", 200.millis)
+    }
+    assert(e.getMessage.contains("poisoned training"), e.getMessage)
+    assert(e.getMessage.contains("did not finish"), e.getMessage)
+    // a completed future is returned untouched
+    assert(SimilarityOps.awaitOrFail(
+      scala.concurrent.Future.successful(42), "ok", 200.millis) === 42)
+  }
+
   test("pqTopKRerank with a full-depth shortlist equals brute-force top-k") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count().toInt

@@ -89,6 +89,55 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("reliable checkpointing (checkpointDir) yields BIT-IDENTICAL ranks " +
+      "across the whole iterative family, on both scatter paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      def cmp(name: String, local: Array[org.apache.spark.sql.Row],
+              reliable: Array[org.apache.spark.sql.Row]): Unit = {
+        assert(local.length === reliable.length, name)
+        // exact equality, not tolerance: the cut changes WHERE blocks are
+        // stored, never a single arithmetic step
+        assert(local.map(_.toString).sorted.toSeq ===
+          reliable.map(_.toString).sorted.toSeq, name)
+      }
+      def run(ckpt: Option[String], hub: Long) = (
+        GraphOps.pageRank(smallEdges, iterations = 10,
+          vertices = Some(smallVerts), numPartitions = 4,
+          hubDegreeThreshold = hub, checkpointDir = ckpt).collect(),
+        GraphOps.personalizedPageRank(smallEdges, Seq(1L, 4L),
+          iterations = 10, vertices = Some(smallVerts), numPartitions = 4,
+          hubDegreeThreshold = hub, checkpointDir = ckpt).collect(),
+        GraphOps.pageRankLogSpace(smallEdges, iterations = 10,
+          vertices = Some(smallVerts), numPartitions = 4,
+          hubDegreeThreshold = hub, checkpointDir = ckpt).collect(),
+        GraphOps.pageRankConverged(smallEdges, tol = 1e-10,
+          maxIterations = 50, vertices = Some(smallVerts), numPartitions = 4,
+          hubDegreeThreshold = hub, checkpointDir = ckpt)._1.collect())
+      for (hub <- Seq(Long.MaxValue, 1L)) { // adjacency AND edge-scatter
+        val (pr0, ppr0, log0, conv0) = run(None, hub)
+        val (pr1, ppr1, log1, conv1) = run(Some(dir), hub)
+        cmp(s"pageRank hub=$hub", pr0, pr1)
+        cmp(s"ppr hub=$hub", ppr0, ppr1)
+        cmp(s"logspace hub=$hub", log0, log1)
+        cmp(s"converged hub=$hub", conv0, conv1)
+      }
+      // the classifier GD materializations take the same option
+      val docs = Seq((0L, "good clean text", 1.0), (1L, "spam spam", 0.0),
+        (2L, "more clean text here", 1.0), (3L, "spam junk spam", 0.0))
+        .toDF("doc_id", "text", "y")
+      val w0 = graft.operators.ClassifierOps.trainLogReg(docs, "doc_id",
+        "text", col("y"), dims = 16, iterations = 3)
+      val w1 = graft.operators.ClassifierOps.trainLogReg(docs, "doc_id",
+        "text", col("y"), dims = 16, iterations = 3,
+        checkpointDir = Some(dir))
+      assert(w0.toSeq === w1.toSeq, "GD weights bit-identical")
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "reliable checkpoints actually landed in the directory")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("pageRankConverged stops early and matches a long fixed run") {
     val (ranks, iters) = GraphOps.pageRankConverged(smallEdges, tol = 1e-10,
       maxIterations = 200, vertices = Some(smallVerts), numPartitions = 2)

@@ -1580,6 +1580,58 @@ class LayoutOpsSpec extends SparkSpec {
       new java.io.File(baseC))
   }
 
+  test("legacy (pre-trailer) manifests stay readable after the upgrade: " +
+      "no #v header + no #eof trailer is accepted once byte-stable, and " +
+      "an empty legacy object still fails loudly") {
+    import spark.implicits._
+    // strip BOTH the #v=2 header and the #eof trailer from every
+    // manifest/checkpoint object — exactly what a table persisted by a
+    // pre-trailer build looks like on disk after the engine upgrade
+    def downgrade(mt: String): Unit = {
+      val md = new java.io.File(s"$mt/_manifests")
+      md.listFiles().filter(_.getName.endsWith("manifest")).foreach { f =>
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split("\n").filterNot(l => l == "#v=2" || l == "#eof")
+        java.nio.file.Files.write(f.toPath,
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val crc = new java.io.File(md, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete(): Unit
+      }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    try {
+      val mt = s"$base/t"
+      LayoutOps.writeManifested(Seq(1L, 2L).toDF("id"), mt, numFiles = 1)
+      LayoutOps.appendManifested(Seq(3L).toDF("id"), mt, numFiles = 1)
+      downgrade(mt)
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+        "a stable legacy manifest must read completely — not be " +
+          "misdiagnosed as a truncated in-flight object")
+      // appends on top of legacy generations write v2 objects and see
+      // every legacy row (the migration path is: just keep committing)
+      LayoutOps.appendManifested(Seq(4L).toDF("id"), mt, numFiles = 1)
+      assert(LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+
+      // an EMPTY trailer-less object is indistinguishable from a copy
+      // that never wrote a byte: loud failure naming the legacy ambiguity
+      // (gen 2 is the LATEST generation — the one a read plans from)
+      val p = java.nio.file.Paths.get(s"$mt/_manifests", f"${2L}%020d.manifest")
+      java.nio.file.Files.write(p, Array.empty[Byte])
+      val crc = new java.io.File(s"$mt/_manifests",
+        f".${2L}%020d.manifest.crc")
+      if (crc.exists()) crc.delete()
+      val e = intercept[java.io.IOException] {
+        LayoutOps.readManifested(spark, mt).collect()
+      }
+      assert(e.getMessage.contains("legacy"),
+        s"must name the legacy/in-flight ambiguity: ${e.getMessage}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(base))
+  }
+
   test("inherited stats columns exclude the __rows key and bloom-only columns") {
     val entries = Seq(
       "a.parquet\t" +

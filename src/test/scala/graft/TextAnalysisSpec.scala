@@ -197,6 +197,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(MultimodalOps.parseGrayPng(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("parseGrayPng verifies chunk CRCs: corrupted-but-inflatable bytes " +
+      "fall back to the sentinel path instead of decoding garbage") {
+    val px = Array.tabulate(16 * 16)(i => (i * 7) % 256)
+    val good = MultimodalOps.grayPngBytes(px, 16, 16)
+    assert(MultimodalOps.parseGrayPng(good).isDefined)
+    def chunkOffset(b: Array[Byte], typ: String): Int = {
+      val t = typ.getBytes("US-ASCII")
+      (8 until b.length - 4).find(i => b.slice(i, i + 4).sameElements(t))
+        .get - 4
+    }
+    // flip a bit in the stored IDAT CRC: the zlib stream still inflates
+    // perfectly, so ONLY a CRC check can catch this corruption
+    val badCrc = good.clone()
+    val idat = chunkOffset(badCrc, "IDAT")
+    val idatLen = ((badCrc(idat) & 0xff) << 24) | ((badCrc(idat + 1) & 0xff) << 16) |
+      ((badCrc(idat + 2) & 0xff) << 8) | (badCrc(idat + 3) & 0xff)
+    badCrc(idat + 8 + idatLen) = (badCrc(idat + 8 + idatLen) ^ 0x40).toByte
+    assert(MultimodalOps.parseGrayPng(badCrc).isEmpty,
+      "IDAT CRC mismatch must reject, not decode")
+    // flip a bit in the IHDR width field (data corrupt, CRC stale)
+    val badIhdr = good.clone()
+    val ihdr = chunkOffset(badIhdr, "IHDR")
+    badIhdr(ihdr + 8 + 3) = (badIhdr(ihdr + 8 + 3) ^ 0x01).toByte
+    assert(MultimodalOps.parseGrayPng(badIhdr).isEmpty,
+      "IHDR data corruption must be caught by its CRC")
+  }
+
   test("pcm16WavBytes (byte-walk encode) is byte-identical to the " +
       "independent AudioSystem codec across sizes, rates and extremes") {
     val cases = Seq(

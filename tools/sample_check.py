@@ -115,8 +115,19 @@ def main():
         print(f"MISMATCH {query}: hash differs on slice "
               f"{key} in [{lo},{hi}] ({len(g)} rows)")
         sys.exit(1)
-    print(f"PASS {query}: sampled hash over {key} in [{lo},{hi}] "
-          f"({len(g)} rows)")
+    # A --subst run rewrote the oracle SQL, so the oracle computed a
+    # DIFFERENT (shrunken) relation than the engine did: that is only
+    # valid when the sliced output is per-key independent of the removed
+    # rows. Surface it as its own verdict so artifacts can never conflate
+    # a substituted sampled check with full oracle verification.
+    if substs:
+        subs = "; ".join(f"{old!r}->{new!r}" for old, new in substs)
+        print(f"PASS-SAMPLED {query}: sampled hash over {key} in "
+              f"[{lo},{hi}] ({len(g)} rows) WITH oracle substitutions: "
+              f"{subs}")
+    else:
+        print(f"PASS {query}: sampled hash over {key} in [{lo},{hi}] "
+              f"({len(g)} rows)")
     sys.exit(0)
 
 

@@ -67,15 +67,24 @@ def main():
     if r.returncode != 0:
         sys.exit("Verify failed")
 
-    queries, n_pass, n_inf, n_fail = {}, 0, 0, 0
+    queries, n_pass, n_inf, n_fail, n_noorc = {}, 0, 0, 0, 0
     for q in FAMILY:
+        # a FAMILY query with no committed oracle must surface as its own
+        # NO-ORACLE verdict (and fail the gate), never be laundered into
+        # PASS via check.py's SKIP-then-exit-0 path
+        oracle = json.load(open(f"{out}/oracle_sql.json"))
+        if q not in oracle:
+            n_noorc += 1
+            queries[q] = {"verdict": "NO-ORACLE",
+                          "detail": "query missing from oracle_sql.json — "
+                                    "unverifiable, counted as a gate failure"}
+            print(f"NO-ORACLE  {q}", flush=True)
+            continue
         qdir = f"{work}/chk_{q}"
         shutil.rmtree(qdir, ignore_errors=True)
         os.makedirs(qdir)
         os.symlink(f"{out}/{q}", f"{qdir}/{q}")
-        oracle = json.load(open(f"{out}/oracle_sql.json"))
-        json.dump({q: oracle[q]} if q in oracle else {},
-                  open(f"{qdir}/oracle_sql.json", "w"))
+        json.dump({q: oracle[q]}, open(f"{qdir}/oracle_sql.json", "w"))
         try:
             import time
             t0 = time.time()
@@ -86,7 +95,12 @@ def main():
             tail = r.stdout.strip().splitlines()
             line = next((l for l in tail if l.startswith(("PASS", "FAIL",
                                                           "SKIP"))), "")
-            if r.returncode == 0:
+            if line.startswith("SKIP"):
+                # check.py skipped (e.g. result parquet missing): that is
+                # an unverified query, not a PASS
+                verdict = "NO-ORACLE"
+                n_noorc += 1
+            elif r.returncode == 0:
                 verdict = "PASS"
                 n_pass += 1
             else:
@@ -110,14 +124,15 @@ def main():
         "note": "standing per-round skew gate: dedup/span/similarity "
                 "family on a Zipfian duplicate distribution",
         "summary": {"PASS": n_pass, "ORACLE-INFEASIBLE": n_inf,
-                    **({"FAIL": n_fail} if n_fail else {})},
+                    **({"FAIL": n_fail} if n_fail else {}),
+                    **({"NO-ORACLE": n_noorc} if n_noorc else {})},
         "mismatches": n_fail,
         "queries": dict(sorted(queries.items())),
     }
     dst = f"{REPO}/CORRECTNESS_{tag}_zipf.json"
     json.dump(doc, open(dst, "w"), indent=1)
     print(f"\nwrote {dst}: {doc['summary']}")
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if (n_fail or n_noorc) else 0)
 
 
 if __name__ == "__main__":
