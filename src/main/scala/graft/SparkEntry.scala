@@ -581,6 +581,31 @@ object SparkEntry {
           col("width"), col("height"),
           round(col("mean_pixel"), 6).as("mean_pixel"))
     }),
+    // the LOSSY sibling, hash-gated: each doc becomes a 4-frame MJPG-in-
+    // AVI whose frame f is a CONSTANT-gray 8x8 JPEG (quality 1.0) valued
+    // at md5 byte f. Constant DC-only blocks survive the real JPEG
+    // quantize/Huffman/IDCT pipeline EXACTLY for all 256 values
+    // (MultimodalOps.grayJpegBytes, spec-proven), so the decoded mean of
+    // a genuinely lossy codec becomes SQL-recomputable from the hex —
+    // the same movi walk as q_video_frames, ImageIO JPEG decode branch.
+    "q_video_frames_mjpg" -> ((s, dir) => {
+      import s.implicits._
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+      val assets = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .map { case (id, h) =>
+          val b = MultimodalOps.hexBytes(h)
+          MultimodalOps.MediaAsset(id, "video/x-msvideo",
+            MultimodalOps.framesAvi((0 until 4).map(f =>
+              MultimodalOps.grayJpegBytes(Array.fill(64)(b(f)), 8, 8)),
+              width = 8, height = 8, fps = 10, fourcc = "MJPG")) }
+      MultimodalOps.decodeVideoFrames(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("frame_idx"),
+          col("width"), col("height"),
+          round(col("mean_pixel"), 6).as("mean_pixel"))
+    }),
 
     // ---- training-data pipeline: contamination / sampling / sketches ----
     // benchmark-overlap check: docs 0-99 act as the "eval set"
@@ -1842,6 +1867,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(f AS INT) AS frame_idx,
         |       4 AS width, 4 AS height, round(m, 6) AS mean_pixel
         |FROM b""".stripMargin,
+    // MJPG twin: frame f is a constant 8x8 tile valued at md5 byte f, and
+    // constant blocks roundtrip EXACTLY through quality-1.0 JPEG, so the
+    // decoded mean is simply that byte
+    "q_video_frames_mjpg" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |u AS (SELECT doc_id, h,
+        |             unnest(generate_series(0, 3)) AS f FROM d)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       8 AS width, 8 AS height,
+        |       round(CAST(CAST(('0x' || substring(h, 2*f+1, 2)) AS INT)
+        |                  AS DOUBLE), 6) AS mean_pixel
+        |FROM u""".stripMargin,
     // mirrors MultimodalOps.frameFeatures' md5 stub kernel: feature[j] =
     // first 24 bits of md5(md5(content) || ':' || frame || ':' || j) / 2^24
     "q_frame_features" -> {

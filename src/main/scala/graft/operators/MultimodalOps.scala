@@ -414,6 +414,37 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Encode gray8 pixels as a baseline JPEG at an explicit quality
+    * (default 1.0 — all-ones quantization tables). JPEG is LOSSY in
+    * general, but a CONSTANT-valued block is DC-only and at quality 1.0
+    * survives the full quantize/Huffman/IDCT pipeline EXACTLY, for every
+    * value 0..255 (spec-proven) — which is what lets the q_video_frames
+    * MJPG gate put a real lossy-codec decode behind a SQL-recomputable
+    * oracle: the frames are constant tiles, so the decoded mean IS the
+    * encoded value. Non-constant inputs roundtrip approximately, as any
+    * JPEG does. */
+  def grayJpegBytes(pixels: Array[Int], width: Int, height: Int,
+                    quality: Float = 1f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      r.setSample(i % width, i / width, 0, pixels(i)); i += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val os = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(os)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { os.close(); w.dispose() }
+    bos.toByteArray
+  }
+
   /** Render a mono 16-bit little-endian PCM WAV by direct RIFF byte
     * construction — the ENCODE twin of [[parseWavPcm16]]'s decode walk.
     * Produces the canonical 44-byte-header WAVE object, byte-identical to

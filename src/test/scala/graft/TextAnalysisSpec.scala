@@ -380,6 +380,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byFrame(1).width === -1 && byFrame(1).mean_pixel.isNaN)
   }
 
+  test("grayJpegBytes at quality 1.0: constant blocks roundtrip EXACTLY " +
+      "for ALL 256 gray values (the q_video_frames_mjpg gate premise), " +
+      "while non-constant blocks stay genuinely lossy") {
+    import spark.implicits._
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]
+    for (v <- 0 until 256) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        MultimodalOps.grayJpegBytes(Array.fill(64)(v), 8, 8)))
+      val samples = for (y <- 0 until 8; x <- 0 until 8)
+        yield img.getRaster.getSample(x, y, 0)
+      assert(samples.forall(_ == v),
+        s"constant value $v must survive the JPEG pipeline exactly")
+    }
+    // the exactness claim is ONLY for constant (DC-only) blocks: a busy
+    // pseudorandom block must come back changed, proving the gate
+    // exercises a real lossy codec rather than a disguised identity
+    // (note a PURE checkerboard also survives q=1.0 — it excites a single
+    // clean coefficient — so the loss witness needs broadband content)
+    val busy = Array(222, 1, 47, 255, 128, 9, 200, 33, 17, 64, 91, 180, 5,
+      240, 77, 150, 3, 8, 250, 99, 111, 140, 60, 20, 30, 40, 50, 60, 70,
+      80, 90, 100, 101, 102, 103, 104, 105, 106, 107, 108, 210, 220, 230,
+      240, 250, 2, 12, 22, 32, 42, 52, 62, 72, 82, 92, 102, 112, 122, 132,
+      142, 152, 162, 172, 182)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      MultimodalOps.grayJpegBytes(busy, 8, 8)))
+    val busyBack = for (y <- 0 until 8; x <- 0 until 8)
+      yield back.getRaster.getSample(x, y, 0)
+    assert(busyBack.toSeq !== busy.toSeq,
+      "a high-frequency block must show JPEG loss")
+    // end-to-end through the movi walk: 4 constant MJPG frames decode to
+    // exactly their encoded values — the q_video_frames_mjpg contract
+    val vals = Seq(0, 7, 128, 255)
+    val avi = MultimodalOps.framesAvi(vals.map(v =>
+      MultimodalOps.grayJpegBytes(Array.fill(64)(v), 8, 8)),
+      width = 8, height = 8, fps = 10, fourcc = "MJPG")
+    val got = MultimodalOps.decodeVideoFrames(
+      Seq(MultimodalOps.MediaAsset(9L, "video/x-msvideo", avi)).toDS())
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.mean_pixel).toSeq === vals.map(_.toDouble),
+      "decoded means must equal the constant frame values exactly")
+  }
+
   test("multimodal: real feature kernels — thumbnail embedding feeds ANN, RMS envelope tracks loudness") {
     import spark.implicits._
     implicit val enc =
