@@ -45,6 +45,39 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // scale-oracle recipes (model-pinned SQL / iterative closure) for the
+    // queries whose committed oracle is infeasible at 100x/zipf — see
+    // SparkEntry.pinnedOracle and tools/pinned_check.py
+    val pinnedJson = SparkEntry.pinnedOracle.map { case (k, m) =>
+      s"${q(k)}: ${m.map { case (mk, mv) => s"${q(mk)}: ${q(mv)}" }
+        .mkString("{", ",", "}")}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/pinned_oracle.json"), pinnedJson)
+    // SPARK_GRAFT_EXPORT_MODELS=1: export the trained ANN models the
+    // pinned oracles read (`__m_*` views over _models/<name>). Training
+    // is deterministic (6-decimal per-iteration quantization, lowest-id
+    // seeds, lowest-cell ties), so these parquet files are hash-stable
+    // and EQUAL the models the gated queries train internally — the
+    // unrolled oracle proves that equality wherever it is feasible.
+    if (sys.env.get("SPARK_GRAFT_EXPORT_MODELS").contains("1")) {
+      import spark.implicits._
+      import graft.operators.SimilarityOps
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+        "embedding", nlist = 8, iterations = 2, roundDecimals = Some(6))
+      val pqBooks = SimilarityOps.trainPqCodebooks(emb, "vec_id",
+        "embedding", m = 2, cells = 4, iterations = 2)
+      val ivfpqBooks = SimilarityOps.trainPqResidualCodebooks(emb, "vec_id",
+        "embedding", cents, m = 2, cells = 4, iterations = 2)
+      def write(name: String, rows: Seq[(Long, Seq[Double])]): Unit =
+        rows.toDF("cell", "cv").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/_models/$name")
+      write("ivf_cents", cents.toSeq.map { case (c, cv, _) => (c, cv.toSeq) })
+      for ((books, nm) <- Seq((pqBooks, "pq_book"), (ivfpqBooks, "ivfpq_book"));
+           (book, j) <- books.zipWithIndex)
+        write(s"$nm$j",
+          book.toSeq.zipWithIndex.map { case ((cv, _), c) => (c.toLong, cv.toSeq) })
+    }
     spark.stop()
   }
 }
