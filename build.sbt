@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc profiling/tuning flags for a forked run (e.g. event logs:
+  // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.eventLog.enabled=true
+  // -Dspark.eventLog.dir=/tmp/sparklogs") — empty in normal runs
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

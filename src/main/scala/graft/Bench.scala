@@ -21,14 +21,16 @@ object Bench {
       // default 128 MB split target under-parallelizes CPU-dense text
       // kernels by 1-2 orders of magnitude at bench scale: a 10x
       // documents table is ~9 MB compressed = ONE scan partition for 32
-      // cores. 4 MB splits size partitions to the work, per the standard
-      // guidance of tuning files.maxPartitionBytes to the corpus's
-      // compression ratio. No effect on the driver's single-row-group
-      // sf0.1 files (a parquet row group is the minimum split) — only on
-      // multi-row-group scale fixtures, where a real table's many-files
-      // layout is what is being emulated.
+      // cores, and even 4 MB splits left the 100x table (13.7 MB) at
+      // FOUR scan tasks — profiled via event logs as the dominant wall
+      // time of q_dup_span_removal (five 4-task corpus scans, 6-14 s
+      // each). 512 KB splits size partitions to the decompressed work,
+      // per the standard guidance of tuning files.maxPartitionBytes to
+      // the corpus's compression ratio; the floor stays a parquet row
+      // group (fixtures use row_group=10000), so the driver's
+      // single-row-group sf0.1 files are unaffected.
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "512k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: session/codegen/FS init otherwise lands on the

@@ -20,6 +20,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same split sizing as Bench: the text tables compress ~50:1, so
+      // byte-sized default splits starve the CPU-dense kernels of scan
+      // parallelism at the multi-row-group scale fixtures
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "512k"))
     val builder = if (master.startsWith("local-cluster")) {
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",

@@ -115,44 +115,63 @@ object CurationOps {
     // (map-side combine) where a row_number window over h would pack every
     // occurrence of one boilerplate k-gram into a single window partition;
     // the equi-join back on h is AQE-skew-splittable.
+    //
+    // The keeper relation is ONE ROW PER RECURRING HASH — tiny at any
+    // duplication level — while its lineage is two full corpus scans
+    // (window stream + hot-hash build). Materialize it so the removals
+    // join does not replay those scans. (Profiled at the 100x fixture:
+    // materializing `wins` itself — the full duplicate-window STREAM —
+    // measured 2-3x WORSE than recomputing it, 125 s vs 52 s single-run,
+    // because at 100x duplication that stream IS the corpus; the keeper
+    // aggregate is the right boundary, not the stream. Together with the
+    // single-shuffle rmArr below and Bench/Verify's 512k split sizing,
+    // the query's 100x median went 84.9 s -> 41.7 s.)
     val keepers = wins.groupBy(col("h"))
       .agg(min(struct(col(idCol), col("pos"))).as("keeper"))
+      .localCheckpoint()
     val removals = wins.join(keepers, "h")
       .where(struct(col(idCol), col("pos")) =!= col("keeper"))
       .select(col(idCol), col("pos"))
-    // disjoint spans -> one row per removed token position
-    val rmPos = mergeSpans(removals, idCol, k)
-      .select(col(idCol),
-        explode(sequence(col("span_start"), col("span_end"))).as("tpos"))
-    val affectedIds = rmPos.select(col(idCol)).distinct()
+    // Removed token positions, ONE ARRAY PER AFFECTED DOCUMENT, in a
+    // single groupBy(id) shuffle: collect the doc's removal window
+    // positions sorted, then fold the [p, p+k-1] ranges into their
+    // clipped union with a per-row `aggregate` — the same maximal-span
+    // merge as [[mergeSpans]] (ranges at q <= p + k overlap or touch),
+    // without the window-sort shuffle, the span explode, and the second
+    // regroup that [[mergeSpans]]-then-explode-then-collect would cost on
+    // a removal stream that is corpus-sized at heavy duplication.
+    val rmArr = removals.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col(idCol), aggregate(
+        col("ps"),
+        struct(lit(-1).as("last"), array().cast("array<integer>").as("acc")),
+        (st, p) => {
+          val start = greatest(p, st.getField("last") + 1)
+          val end = p + lit(k - 1)
+          struct(end.as("last"),
+            when(start <= end,
+              concat(st.getField("acc"), sequence(start, end)))
+              .otherwise(st.getField("acc")).as("acc"))
+        },
+        st => st.getField("acc")).as("rm"))
 
     val base = df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-    val untouched = base.join(affectedIds, Seq(idCol), "left_anti")
+    // kept token positions = [0, n) \ rm, in order (array_except keeps
+    // left-operand order); a fully-removed doc yields the empty body and
+    // md5("") — the old `emptied` branch — and an untouched doc (rm NULL
+    // -> empty array) keeps everything — the old `untouched` branch.
+    val idxs = when(size(col("toks")) === 0,
+        array().cast("array<integer>"))
+      .otherwise(sequence(lit(0), size(col("toks")) - 1))
+    val keptToks = transform(
+      array_except(idxs, coalesce(col("rm"), array().cast("array<integer>"))),
+      i => element_at(col("toks"), i + 1))
+    base.join(rmArr, Seq(idCol), "left_outer")
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
-        lit(0L).as("n_removed"),
-        md5(concat_ws(" ", col("toks"))).as("clean_digest"))
-
-    val kept = base.join(affectedIds, Seq(idCol))
-      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
-        posexplode(col("toks")))
-      .withColumnsRenamed(Map("pos" -> "tpos", "col" -> "tok"))
-      .join(rmPos, Seq(idCol, "tpos"), "left_anti")
-      .groupBy(col(idCol), col("n_tokens"))
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
-            x => x.getField("tok")))).as("clean_digest"))
+        keptToks.as("kept"))
       .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - col("n_kept")).as("n_removed"), col("clean_digest"))
-    // a document whose every token sits in removed spans drops out of the
-    // grouped relation above — restore it as fully-removed (empty body)
-    val emptied = base.join(affectedIds, Seq(idCol))
-      .join(kept.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
-        size(col("toks")).cast("long").as("n_removed"),
-        md5(lit("")).as("clean_digest"))
-
-    untouched.unionByName(kept).unionByName(emptied)
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_digest"))
   }
 
   /** Corpus-composition report: per group (e.g. source x language) the
