@@ -31,6 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full gate/bench run compiles ~1500 stages of whole-stage-codegen
+  // classes; at the JVM's default 240 MB ReservedCodeCacheSize the JIT
+  // silently stops compiling mid-suite and later CPU-dense queries run
+  // interpreted at ~3x cost (measured: the 47-query 100x prefix fell
+  // 339 s -> 215 s total, q_lm_score_bounded 62 s -> 34.8 s — its
+  // isolated-run value — with this flag alone). 1 GB is reserved
+  // address space, not resident memory.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++
   // ad-hoc profiling/tuning flags for a forked run (e.g. event logs:
   // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.eventLog.enabled=true
