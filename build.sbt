@@ -42,6 +42,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // ad-hoc profiling/tuning flags for a forked run (e.g. event logs:
   // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.eventLog.enabled=true
-  // -Dspark.eventLog.dir=/tmp/sparklogs") — empty in normal runs
+  // -Dspark.eventLog.dir=/tmp/sparklogs") — empty in normal runs.
+  // LIMITATION: flags are split on single spaces, so a flag VALUE may not
+  // contain spaces (no shell-style quoting) — point such values at
+  // space-free paths instead.
   sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
     .map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -17,20 +17,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The pipeline tables compress ~50:1 (duplicate-heavy text), so the
-      // default 128 MB split target under-parallelizes CPU-dense text
-      // kernels by 1-2 orders of magnitude at bench scale: a 10x
-      // documents table is ~9 MB compressed = ONE scan partition for 32
-      // cores, and even 4 MB splits left the 100x table (13.7 MB) at
-      // FOUR scan tasks — profiled via event logs as the dominant wall
-      // time of q_dup_span_removal (five 4-task corpus scans, 6-14 s
-      // each). 512 KB splits size partitions to the decompressed work,
-      // per the standard guidance of tuning files.maxPartitionBytes to
-      // the corpus's compression ratio; the floor stays a parquet row
-      // group (fixtures use row_group=10000), so the driver's
-      // single-row-group sf0.1 files are unaffected.
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "512k"))
+      // Scan splits are sized PER QUERY (graft.ScanPolicy, set before each
+      // query below): 512 KB for the ~50:1-compressed text family whose
+      // CPU-dense kernels need partitions sized to decompressed work, the
+      // wider r9 value for the scan-light set that a global 512 KB floor
+      // regressed 2.4-3.1x at 100x (BENCH_r10_100x vs r9). This initial
+      // value only covers session warm-up.
+      .config("spark.sql.files.maxPartitionBytes", ScanPolicy.textSplit)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: session/codegen/FS init otherwise lands on the
@@ -85,6 +78,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      ScanPolicy.applyFor(spark, name)
       val times = (1 to runsFor(name)).map { i =>
         val t0 = System.nanoTime()
         val ok =

@@ -20,11 +20,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // same split sizing as Bench: the text tables compress ~50:1, so
-      // byte-sized default splits starve the CPU-dense kernels of scan
-      // parallelism at the multi-row-group scale fixtures
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "512k"))
+      // same per-query split sizing as Bench (graft.ScanPolicy, applied
+      // before each query below): text family 512 KB, scan-light set the
+      // wider r9 value — the gate runs under the same confs it benches
+      .config("spark.sql.files.maxPartitionBytes", ScanPolicy.textSplit)
     val builder = if (master.startsWith("local-cluster")) {
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
@@ -54,6 +53,7 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
+      ScanPolicy.applyFor(spark, name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

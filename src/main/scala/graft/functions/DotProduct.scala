@@ -139,6 +139,24 @@ object GraftFunctions {
           "usage: graft_langid(toks, <double literal minRatio>)")
       })
 
+  private[functions] val segmentCountDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_segment_count"),
+      new ExpressionInfo(classOf[SegmentCount].getName, "graft_segment_count"),
+      {
+        // the piece vocabulary arrives as a FOLDABLE array<string> (lit of
+        // a collected, topK-bounded model) — evaluated once at resolution
+        case Seq(w, arr, Literal(l: Int, _))
+            if arr.foldable && arr.dataType.isInstanceOf[ArrayType] =>
+          val ad = arr.eval().asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData]
+          val pieces = (0 until ad.numElements())
+            .map(i => ad.getUTF8String(i).toString)
+          SegmentCount(w, pieces, l)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_segment_count(word, <array<string> literal pieces>, " +
+            "<int literal maxPieceLen>)")
+      })
+
   private[functions] val postingsEncodeDescriptor: Descriptor =
     (new FunctionIdentifier("graft_postings_encode"),
       new ExpressionInfo(classOf[PostingsEncode].getName, "graft_postings_encode"),
@@ -152,7 +170,7 @@ object GraftFunctions {
   private val descriptors: Seq[Descriptor] = Seq(
     dotDescriptor, shingleDescriptor, minhashDescriptor, jaccardDescriptor,
     stopHitsDescriptor, simhashDescriptor, langIdDescriptor,
-    postingsEncodeDescriptor, postingsDecodeDescriptor)
+    segmentCountDescriptor, postingsEncodeDescriptor, postingsDecodeDescriptor)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = descriptors.foreach { d =>

@@ -48,6 +48,32 @@ object Kernels {
     top60(md.digest())
   }
 
+  /** Greedy longest-match subword piece count for one word — the kernel
+    * twin of TextAnalysisOps.segmentWordCounts' relational loop: at each
+    * cursor position take the LONGEST vocabulary piece of character length
+    * <= maxPieceLen (1-char UNK advance when nothing matches). Positions
+    * and lengths are CHARACTER-based (substringSQL), matching the SQL
+    * `substring` the loop and the DuckDB oracle use. */
+  def segmentCount(w: UTF8String,
+                   pieces: java.util.HashSet[UTF8String],
+                   maxPieceLen: Int): Long = {
+    val n = w.numChars()
+    var pos = 1
+    var cnt = 0L
+    while (pos <= n) {
+      var step = 1
+      var l = math.min(maxPieceLen, n - pos + 1)
+      var found = false
+      while (!found && l >= 1) {
+        if (pieces.contains(w.substringSQL(pos, l))) { step = l; found = true }
+        l -= 1
+      }
+      pos += step
+      cnt += 1
+    }
+    cnt
+  }
+
   /** 60-bit hashes of the space-joined token `n`-grams; whole doc as one
     * shingle when shorter than n; optional keep-first-occurrence dedupe.
     * Matches DedupOps.shingles + shingleHashes (null tokens are skipped the
@@ -384,5 +410,48 @@ case class StopwordHits(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Kernels.stopHits($c);")
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
+/** `graft_segment_count(w, pieces, maxPieceLen)` — greedy longest-match
+  * subword segmentation piece count under a DRIVER-HELD piece vocabulary
+  * (the pieces and maxPieceLen are constructor constants, like
+  * [[ShingleHash64]]'s n). The vocabulary of a subword tokenizer is a
+  * bounded MODEL (topK pieces by construction — BPE/SentencePiece vocabs
+  * are 32k-256k entries), so baking it into the expression is the same
+  * broadcast-a-trained-model shape as the ANN centroids/codebooks; the
+  * unbounded-vocabulary fallback remains the relational loop in
+  * TextAnalysisOps.segmentWordCounts, which this expression must equal
+  * row-for-row (TextAnalysisSpec proves it). */
+case class SegmentCount(child: Expression, pieces: Seq[String], maxPieceLen: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if maxPieceLen >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_segment_count requires a string word and maxPieceLen >= 1, " +
+        s"got ${child.dataType.simpleString}, maxPieceLen=$maxPieceLen")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_segment_count"
+
+  // rebuilt lazily per deserialized instance (executors get the Seq, the
+  // set is derived state); UTF8String equality is byte equality
+  @transient private lazy val pieceSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](pieces.size * 2)
+    pieces.foreach(p => s.add(UTF8String.fromString(p)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.segmentCount(input.asInstanceOf[UTF8String], pieceSet, maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("pieceSet", pieceSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Kernels.segmentCount($c, $setRef, $maxPieceLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SegmentCount =
     copy(child = newChild)
 }

@@ -374,9 +374,16 @@ object SimilarityOps {
     * driver; a generous timeout (default 30 min, `GRAFT_AWAIT_TIMEOUT_S`
     * to override — model trainings at the 100x fixture finish in minutes)
     * fails loudly instead, naming which concurrent chain stalled. */
-  private[graft] val awaitTimeout: scala.concurrent.duration.Duration =
-    scala.concurrent.duration.Duration(
-      sys.env.getOrElse("GRAFT_AWAIT_TIMEOUT_S", "1800").toLong, "s")
+  private[graft] lazy val awaitTimeout: scala.concurrent.duration.Duration = {
+    // lazy + explicit parse: a malformed env value must fail with a message
+    // naming the variable at first use, not as an opaque
+    // ExceptionInInitializerError from the object's static init
+    val raw = sys.env.getOrElse("GRAFT_AWAIT_TIMEOUT_S", "1800")
+    val secs = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"GRAFT_AWAIT_TIMEOUT_S must be an integer number of seconds, " +
+        s"got '$raw'"))
+    scala.concurrent.duration.Duration(secs, "s")
+  }
 
   private[graft] def awaitOrFail[T](f: scala.concurrent.Future[T],
       what: String,

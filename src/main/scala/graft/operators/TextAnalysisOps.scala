@@ -331,38 +331,58 @@ object TextAnalysisOps {
                             cmsWidth: Int = 1 << 20): DataFrame = {
     import graft.functions.CmsSketch
     val t = train.getOrElse(docs)
-    def h60(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    def bigram(a: Column, b: Column): Column = concat(a, lit(" "), b)
+    // All item hashes come from the graft_shingle_hash native kernel: a
+    // bigram IS a 2-shingle ("w1 w2", single-space joined), so the kernel
+    // emits exactly the md5-prefix-60 values the oracle computes — but
+    // straight from the token bytes, one codegen'd call per DOCUMENT,
+    // replacing a per-pair md5→hex→substring→conv string chain that was
+    // this query's dominant per-row cost (measured ~20x on the same
+    // kernel-vs-column shape in DedupOps.shingleHashes64).
+    def uniH(toks: Column): Column = DedupOps.shingleHashes64(toks, 1, distinct = false)
+    def biH(toks: Column): Column = DedupOps.shingleHashes64(toks, 2, distinct = false)
+    def withToks(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+    val tt = withToks(t)
     // ONE corpus pass builds the unigram matrix AND the exact vocab
     // scalar (the distinct agg shares the tokenize/hash work via Expand);
     // one more builds the bigram matrix. The 1-row model is materialized
     // (localCheckpoint) so reading the vocab scalar on the driver does
     // not re-run either aggregation when the scoring query executes.
-    val toks = t.select(explode(TextOps.tokens(col(textCol))).as("w"))
-    val uniModel = toks.agg(
-      CmsSketch.cmsMatrix(h60(col("w")), cmsDepth, cmsWidth).as("uni"),
-      countDistinct(col("w")).as("vocab"))
-    val biCms = docTokenPairs(t, idCol, textCol).where(col("w1").isNotNull)
-      .agg(CmsSketch.cmsMatrix(h60(bigram(col("w1"), col("w2"))),
-        cmsDepth, cmsWidth).as("bi"))
+    // size>0 guard: the kernel returns md5("") for an EMPTY token array
+    // (nt < n contract), which must not enter the matrix — explode of an
+    // empty array contributes nothing, matching the old explode(tokens).
+    val uniModel = tt.where(size(col("toks")) > 0)
+      .select(explode(zip_with(col("toks"), uniH(col("toks")),
+        (w, h) => struct(w.as("w"), h.as("h")))).as("x"))
+      .agg(
+        CmsSketch.cmsMatrix(col("x.h"), cmsDepth, cmsWidth).as("uni"),
+        countDistinct(col("x.w")).as("vocab"))
+    val biCms = tt.where(size(col("toks")) >= 2)
+      .select(explode(biH(col("toks"))).as("h"))
+      .agg(CmsSketch.cmsMatrix(col("h"), cmsDepth, cmsWidth).as("bi"))
     val model = uniModel.crossJoin(biCms).localCheckpoint()
     val vocab = model.select(col("vocab")).head.getLong(0)
-    // Hoist the two item hashes into their own projection: estimate()
-    // references its hash operand 3x per depth row (9x at depth 3), and
-    // the md5 chain sits inside a `when` branch where codegen CSE does
-    // not apply — inlined, each scoring row pays ~18 md5 evaluations.
-    // As a non-cheap multiply-referenced alias the projection survives
-    // CollapseProject, so each hash is computed exactly once per pair.
-    val scored = docTokenPairs(docs, idCol, textCol)
-      .select(col("doc_id"), col("w1"),
-        h60(bigram(col("w1"), col("w2"))).as("bh"),
-        h60(col("w1")).as("uh"))
+    // Scoring: per doc, zip the n-1 bigram hashes with the hashes of
+    // their FIRST tokens (slice keeps the arrays the same length so
+    // zip_with never null-pads), explode, probe both matrices. Docs with
+    // <2 tokens keep one NULL row via explode_outer — they must score as
+    // "no evidence" (0 bigrams, NULL avg), not vanish. After the kernel
+    // call the hot path is pure long arithmetic: permute-mod bucket +
+    // element_at per depth row, no strings anywhere.
+    val st = withToks(docs)
+    val pairHashes = when(size(col("toks")) >= 2,
+      zip_with(
+        biH(col("toks")),
+        uniH(slice(col("toks"), lit(1), size(col("toks")) - 1)),
+        (b, u) => struct(b.as("bh"), u.as("uh"))))
+      .otherwise(array().cast("array<struct<bh:bigint,uh:bigint>>"))
+    val scored = st
+      .select(col("doc_id"), explode_outer(pairHashes).as("p"))
       .crossJoin(broadcast(model.drop("vocab")))
-      .withColumn("lp", when(col("w1").isNotNull,
-        log((CmsSketch.estimate(col("bi"), col("bh"), cmsDepth, cmsWidth)
+      .withColumn("lp", when(col("p").isNotNull,
+        log((CmsSketch.estimate(col("bi"), col("p.bh"), cmsDepth, cmsWidth)
             + lit(addK)) /
-          (CmsSketch.estimate(col("uni"), col("uh"), cmsDepth, cmsWidth)
+          (CmsSketch.estimate(col("uni"), col("p.uh"), cmsDepth, cmsWidth)
             + lit(addK) * lit(vocab.toDouble)))))
     scored.groupBy("doc_id")
       .agg(count(col("lp")).as("n_bigrams"),
@@ -426,13 +446,13 @@ object TextAnalysisOps {
       .where(length(col("w")) > 0)
       .select(col("w"), lit(1).as("pos"), lit(0L).as("n"))
       .localCheckpoint()
-    var finished = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("w",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_pieces",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    // Two jobs per round, not four: only `stepped` is materialized
+    // (localCheckpoint — the lineage cut); the finished/active splits are
+    // cheap filters OVER that cut, so checkpointing them separately each
+    // round only added driver latency (this loop runs on the DISTINCT-WORD
+    // relation, where per-round job overhead IS the cost). The final
+    // result unions <= maxWordLen finished filters, each one filter deep.
+    var finishedParts = List.empty[DataFrame]
     while (!state.isEmpty) {
       val stepped = state
         .select(col("w"), col("pos"), col("n"),
@@ -446,12 +466,34 @@ object TextAnalysisOps {
         .select(col("w"), (col("pos") + col("step")).as("pos"),
           (col("n") + 1).as("n"))
         .localCheckpoint()
-      finished = finished.union(
-        stepped.where(col("pos") > length(col("w")))
-          .select(col("w"), col("n"))).localCheckpoint()
-      state = stepped.where(col("pos") <= length(col("w"))).localCheckpoint()
+      finishedParts ::= stepped.where(col("pos") > length(col("w")))
+        .select(col("w"), col("n"))
+      state = stepped.where(col("pos") <= length(col("w")))
     }
-    finished.toDF("w", "n_pieces")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    finishedParts.foldLeft(empty)(_ union _).toDF("w", "n_pieces")
+  }
+
+  /** [[segmentWordCounts]] via the `graft_segment_count` native kernel —
+    * row-identical results (TextAnalysisSpec proves equality against the
+    * relational loop) with the piece vocabulary held as a driver-side
+    * model instead of a per-round broadcast join. A subword vocabulary is
+    * topK-BOUNDED by construction (the tokenizer's model, 32k-256k pieces
+    * in practice), so collecting it is the ANN-centroid shape, not a
+    * corpus-scale collect; `pieces` is the already-collected model. */
+  def segmentWordCountsKernel(words: DataFrame, pieces: Seq[String],
+                              maxPieceLen: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.registerActive()
+    words.select(col("w")).distinct()
+      .where(length(col("w")) > 0)
+      .withColumn("n_pieces", call_function("graft_segment_count", col("w"),
+        lit(pieces.toArray), lit(maxPieceLen)))
   }
 
   /** Per-doc subword token count under a piece vocabulary (e.g. the
@@ -460,10 +502,24 @@ object TextAnalysisOps {
     * [[tokenCounts]]'s chars/4 approximation. */
   def subwordTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                          vocab: DataFrame,
-                         maxPieceLen: Int = 4): DataFrame = {
+                         maxPieceLen: Int = 4,
+                         broadcastVocabLimit: Int = 1 << 20): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("w"))
-    val seg = segmentWordCounts(tokens.select(col("w")), vocab, maxPieceLen)
+    // Segmentation is a pure per-word function of the piece vocabulary.
+    // When the vocabulary fits the driver (it is a topK-bounded tokenizer
+    // MODEL; the limit is a guard, not a truncation), segment each
+    // distinct word in ONE codegen'd pass — the driver-bounded relational
+    // loop (maxWordLen rounds x 2 jobs) remains solely for a vocabulary
+    // too large to collect, and the two paths are row-identical
+    // (TextAnalysisSpec).
+    val pieceRows = vocab.select(col("piece")).distinct()
+      .limit(broadcastVocabLimit + 1).collect()
+    val seg =
+      if (pieceRows.length <= broadcastVocabLimit)
+        segmentWordCountsKernel(tokens.select(col("w")),
+          pieceRows.map(_.getString(0)).toSeq.sorted, maxPieceLen)
+      else segmentWordCounts(tokens.select(col("w")), vocab, maxPieceLen)
     tokens.join(seg, "w")
       .groupBy("id")
       .agg(sum(col("n_pieces")).as("n_subwords"))
