@@ -79,6 +79,15 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       ScanPolicy.applyFor(spark, name)
+      // Release the previous queries' storage blocks (untimed): operators
+      // persist()/localCheckpoint() relations and rely on GC-driven
+      // ContextCleaner for release, which on a 48 GB driver heap may not
+      // run for the whole suite — accumulated blocks squeeze the unified
+      // memory's execution share and inflated later CPU-dense queries
+      // (q_lm_score_bounded measured 36 s mid-suite vs 13.8 s isolated
+      // with identical code and a clean calibration canary).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val times = (1 to runsFor(name)).map { i =>
         val t0 = System.nanoTime()
         val ok =

@@ -54,6 +54,11 @@ object Verify {
     }
     selected.foreach { case (name, fn) =>
       ScanPolicy.applyFor(spark, name)
+      // same inter-query storage release as Bench: persisted/checkpointed
+      // blocks from earlier queries must not squeeze this one's execution
+      // memory (localCheckpoint data is per-query; nothing is shared)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

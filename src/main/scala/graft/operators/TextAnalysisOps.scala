@@ -343,24 +343,33 @@ object TextAnalysisOps {
     def withToks(df: DataFrame): DataFrame =
       df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
     val tt = withToks(t)
-    // ONE corpus pass builds the unigram matrix AND the exact vocab
-    // scalar (the distinct agg shares the tokenize/hash work via Expand);
-    // one more builds the bigram matrix. The 1-row model is materialized
-    // (localCheckpoint) so reading the vocab scalar on the driver does
-    // not re-run either aggregation when the scoring query executes.
+    // Three training passes, each a SINGLE-GROUP aggregation: unigram
+    // matrix, bigram matrix, exact vocab scalar. The vocab countDistinct
+    // must NOT share an Aggregate operator with a cmsMatrix: a combined
+    // agg plans through Expand with the distinct keys as grouping columns,
+    // and an Aggregate that carries a TypedImperativeAggregate (the
+    // d*w-long CMS buffer) materializes that buffer PER GROUP — one 6 MB
+    // zero-array allocation per distinct word, hundreds of GB of pure
+    // garbage at the 100x fixture (measured as this query's 2-8x
+    // run-to-run swings and 47 s training stages; split, the same stages
+    // run ~6 s, stable). Standalone countDistinct plans as two pure
+    // codegen HashAggregates — the extra corpus pass is the cheap part.
+    // The 1-row model is materialized (localCheckpoint) so reading the
+    // vocab scalar on the driver does not re-run the matrix aggregations
+    // when the scoring query executes.
     // size>0 guard: the kernel returns md5("") for an EMPTY token array
     // (nt < n contract), which must not enter the matrix — explode of an
     // empty array contributes nothing, matching the old explode(tokens).
-    val uniModel = tt.where(size(col("toks")) > 0)
-      .select(explode(zip_with(col("toks"), uniH(col("toks")),
-        (w, h) => struct(w.as("w"), h.as("h")))).as("x"))
-      .agg(
-        CmsSketch.cmsMatrix(col("x.h"), cmsDepth, cmsWidth).as("uni"),
-        countDistinct(col("x.w")).as("vocab"))
+    val uniCms = tt.where(size(col("toks")) > 0)
+      .select(explode(uniH(col("toks"))).as("h"))
+      .agg(CmsSketch.cmsMatrix(col("h"), cmsDepth, cmsWidth).as("uni"))
+    val vocabDf = tt.where(size(col("toks")) > 0)
+      .select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
     val biCms = tt.where(size(col("toks")) >= 2)
       .select(explode(biH(col("toks"))).as("h"))
       .agg(CmsSketch.cmsMatrix(col("h"), cmsDepth, cmsWidth).as("bi"))
-    val model = uniModel.crossJoin(biCms).localCheckpoint()
+    val model = uniCms.crossJoin(vocabDf).crossJoin(biCms).localCheckpoint()
     val vocab = model.select(col("vocab")).head.getLong(0)
     // Scoring: per doc, zip the n-1 bigram hashes with the hashes of
     // their FIRST tokens (slice keeps the arrays the same length so
