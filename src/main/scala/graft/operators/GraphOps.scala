@@ -229,19 +229,27 @@ object GraphOps {
     * checkpoint files on its own here (`spark.cleaner.referenceTracking.
     * cleanCheckpoints` defaults to false and is only read at context
     * start), so a long converging loop would otherwise accumulate one
-    * `rdd-*` directory per iteration for the whole job's lifetime. Once
-    * cut N+1 is MATERIALIZED, the loop's state no longer reads cut N's
-    * files, so the cutter deletes exactly the directories the previous
-    * call created and keeps the newest cut alive for the caller. The
-    * created-set is detected by listing the context's checkpoint location
-    * around the cut, which assumes no OTHER reliable-checkpoint loop runs
-    * concurrently on the same SparkContext — the loops here are
-    * driver-sequential, and callers wanting concurrent loops should pass
+    * `rdd-*` directory per cut for the whole job's lifetime.
+    *
+    * Deletion lags by [[LineageCutter.retainedCuts]] generations, not one:
+    * the loops cut up to TWO relations per iteration (the gathered
+    * intermediate and the new ranks) and read at most ONE iteration back
+    * (the convergence delta joins the previous ranks AFTER the new ranks'
+    * cut), so a retained window of 4 cuts keeps everything within two full
+    * iterations alive and deletes strictly older files — which are
+    * unreachable in every loop here (each relation is rebuilt from the
+    * persisted graph + the newest cuts each iteration; proven by the
+    * bit-identical reliable-checkpoint spec running all loops through this
+    * cutter). The created-set is detected by listing the checkpoint
+    * location around the cut, which assumes no OTHER reliable-checkpoint
+    * loop runs concurrently on the same SparkContext — the loops here are
+    * driver-sequential; callers wanting concurrent loops should pass
     * distinct `checkpointDir`s. One-off cuts (nothing superseded) keep
     * using [[cutLineage]]. */
   private[graft] final class LineageCutter(checkpointDir: Option[String])
       extends (DataFrame => DataFrame) {
-    private var prevCreated: Seq[org.apache.hadoop.fs.Path] = Nil
+    private val history =
+      scala.collection.mutable.Queue.empty[Seq[org.apache.hadoop.fs.Path]]
     override def apply(df: DataFrame): DataFrame = checkpointDir match {
       case None => df.localCheckpoint()
       case Some(dir) =>
@@ -255,15 +263,20 @@ object GraphOps {
             .filter(_.startsWith("rdd-")).toSet
         val before = rddDirs()
         val out = df.checkpoint()
-        val created = (rddDirs() -- before).toSeq
-          .map(n => new org.apache.hadoop.fs.Path(cpDir, n))
-        prevCreated.foreach { p =>
-          try fs.delete(p, true)
-          catch { case _: java.io.IOException => () } // best-effort cleanup
-        }
-        prevCreated = created
+        history.enqueue((rddDirs() -- before).toSeq
+          .map(n => new org.apache.hadoop.fs.Path(cpDir, n)))
+        while (history.size > LineageCutter.retainedCuts)
+          history.dequeue().foreach { p =>
+            try fs.delete(p, true)
+            catch { case _: java.io.IOException => () } // best-effort
+          }
         out
     }
+  }
+
+  private[graft] object LineageCutter {
+    /** Cut generations kept on disk before deletion — see class doc. */
+    val retainedCuts = 4
   }
 
   /** PageRank over a directed edge relation — G1/G3-G7/G9.

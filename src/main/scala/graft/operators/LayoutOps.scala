@@ -352,13 +352,14 @@ object LayoutOps {
       // immutable, so byte-stability across two reads separates "old
       // format" from "in-flight copy". Any v2+ head (even a few bytes —
       // the version line is written first) falls through to the loud
-      // truncation path instead; that includes a head that is a strict
-      // PREFIX of the version line ("#", "#v", "#v=", or an empty object)
-      // — a crashed non-atomic copy can leave a byte-stable 1-byte "#"
-      // head, which must fail loudly, not read as an empty legacy table.
-      val head = lines.headOption.getOrElse("")
-      val legacy = !head.startsWith("#v") &&
-        !manifestVersionLine.startsWith(head)
+      // truncation path instead; that includes a NONEMPTY head that is a
+      // strict PREFIX of the version line ("#", "#v", "#v=") — a crashed
+      // non-atomic copy can leave a byte-stable 1-byte "#" head, which
+      // must fail loudly, not read as an empty legacy table. A fully
+      // EMPTY object stays on the legacy-ambiguity failure path below
+      // (also loud — `legacy && lines.nonEmpty` never returns it).
+      val legacy = !lines.headOption.exists(h =>
+        h.startsWith("#v") || manifestVersionLine.startsWith(h))
       if (legacy && lines.nonEmpty && prevBytes != null &&
           java.util.Arrays.equals(prevBytes, bytes))
         return lines

@@ -138,6 +138,27 @@ class GraphOpsSpec extends SparkSpec {
       new java.io.File(dir))
   }
 
+  test("LineageCutter keeps at most the newest cut's rdd-* dirs on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-gc").toString
+    try {
+      GraphOps.pageRank(smallEdges, iterations = 10,
+        vertices = Some(smallVerts), numPartitions = 4,
+        checkpointDir = Some(dir)).collect()
+      // Spark nests checkpoints under <dir>/<uuid>/rdd-N; without the
+      // cutter's lagged delete, this 10-iteration run leaves one rdd-*
+      // dir per cut (11 here). The cutter retains at most the last
+      // LineageCutter.retainedCuts generations.
+      val rddDirs = new java.io.File(dir).listFiles().toSeq
+        .flatMap(u => Option(u.listFiles()).map(_.toSeq).getOrElse(Nil))
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs.nonEmpty, "reliable checkpoints landed")
+      assert(rddDirs.size <= graft.operators.GraphOps.LineageCutter.retainedCuts + 1,
+        s"superseded checkpoints must be deleted, found ${rddDirs.size}: " +
+          rddDirs.map(_.getName).mkString(", "))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("pageRankConverged stops early and matches a long fixed run") {
     val (ranks, iters) = GraphOps.pageRankConverged(smallEdges, tol = 1e-10,
       maxIterations = 200, vertices = Some(smallVerts), numPartitions = 2)

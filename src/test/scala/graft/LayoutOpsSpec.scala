@@ -1580,6 +1580,33 @@ class LayoutOpsSpec extends SparkSpec {
       new java.io.File(baseC))
   }
 
+  test("a byte-stable head that is a strict prefix of #v=2 is torn, not legacy") {
+    import spark.implicits._
+    // a crashed non-atomic copy of a v2 manifest can leave exactly "#" or
+    // "#v" on disk — byte-stable, headerless, trailer-less. Classifying
+    // that as a legacy object would read it as an EMPTY manifest and
+    // silently drop every file it should list.
+    for (head <- Seq("#", "#v", "#v=")) {
+      val base = java.nio.file.Files.createTempDirectory("graft-torn").toString
+      try {
+        val mt = s"$base/t"
+        LayoutOps.writeManifested(Seq(1L, 2L).toDF("id"), mt, numFiles = 1)
+        val p = java.nio.file.Paths.get(s"$mt/_manifests",
+          f"${1L}%020d.manifest")
+        java.nio.file.Files.write(p, head.getBytes("UTF-8"))
+        val crc = new java.io.File(s"$mt/_manifests",
+          f".${1L}%020d.manifest.crc")
+        if (crc.exists()) crc.delete(): Unit
+        val e = intercept[java.io.IOException] {
+          LayoutOps.readManifested(spark, mt).collect()
+        }
+        assert(e.getMessage.contains("truncated"),
+          s"head '$head' must fail as a torn v2 object: ${e.getMessage}")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
+
   test("legacy (pre-trailer) manifests stay readable after the upgrade: " +
       "no #v header + no #eof trailer is accepted once byte-stable, and " +
       "an empty legacy object still fails loudly") {

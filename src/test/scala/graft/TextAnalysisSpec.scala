@@ -607,6 +607,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Map(1L -> 4L, 2L -> 4L))
   }
 
+  test("segmentWordCountsKernel equals the relational loop, including multi-byte words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // multi-byte alphabet exercises the kernel's CHARACTER (not byte)
+    // substring semantics — the loop + DuckDB oracle use SQL substring
+    val alpha = "abĉ日"
+    val words = ((0 until 300).map(_ =>
+      (0 until (1 + rnd.nextInt(9))).map(_ => alpha(rnd.nextInt(4))).mkString)
+      :+ "ĉ日ab日").distinct
+    val pieces = (0 until 50).map(_ =>
+      (0 until (1 + rnd.nextInt(4))).map(_ => alpha(rnd.nextInt(4))).mkString)
+      .distinct
+    val loop = TextAnalysisOps.segmentWordCounts(
+      words.toDF("w"), pieces.toDF("piece"), maxPieceLen = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kernel = TextAnalysisOps.segmentWordCountsKernel(
+      words.toDF("w"), pieces, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kernel === loop)
+  }
+
+  test("subwordTokenCounts: kernel path and forced-loop path are row-identical") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = TextAnalysisOps.vocabInduction(docs, "text",
+      maxPieceLen = 4, topK = 100)
+    def rows(limit: Int) = TextAnalysisOps.subwordTokenCounts(
+      docs, "doc_id", "text", vocab, maxPieceLen = 4,
+      broadcastVocabLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // limit 0 forces the relational loop; the default takes the kernel
+    assert(rows(1 << 20) === rows(0))
+  }
+
   test("vocabInduction is deterministic under repartitioning, rank breaks ties by piece") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def run(d: org.apache.spark.sql.DataFrame) =
