@@ -75,23 +75,35 @@ object Bench {
     })
     val calBound = sys.env.getOrElse("SPARK_GRAFT_CAL_BOUND", "2.0").toDouble
     val calBefore = calibrate()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_STREAMS=N benches N CONCURRENT query streams on the one
+    // session's cluster (real pipelines multiplex queries): a work queue
+    // over the same query list, one spark.newSession() per stream so
+    // per-query session confs stay isolated. Per-query seconds then
+    // include CPU sharing (expected); "value" reports the SWEEP WALL, the
+    // number that actually changes with concurrency.
+    val streams = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAMS", "1").toInt)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      ScanPolicy.applyFor(spark, name)
+    def benchOne(s: SparkSession,
+                 name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Boolean) = {
+      ScanPolicy.applyFor(s, name)
       // Release the previous queries' storage blocks (untimed): operators
       // persist()/localCheckpoint() relations and rely on GC-driven
       // ContextCleaner for release, which on a 48 GB driver heap may not
       // run for the whole suite — accumulated blocks squeeze the unified
       // memory's execution share and inflated later CPU-dense queries
       // (q_lm_score_bounded measured 36 s mid-suite vs 13.8 s isolated
-      // with identical code and a clean calibration canary).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // with identical code and a clean calibration canary). Serial mode
+      // only: under concurrent streams other queries' blocks are live.
+      if (streams == 1)
+        s.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       val times = (1 to runsFor(name)).map { i =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try { fn(s, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
             false
@@ -106,13 +118,41 @@ object Bench {
         times.map(t => f"${t._1}%.3f${if (t._2) "" else "!"}").mkString(" "))
       (name, med, ok)
     }
+    val sweepT0 = System.nanoTime()
+    val results =
+      if (streams == 1) selected.map { case (n, f) => benchOne(spark, n, f) }
+      else {
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+        selected.foreach(queue.add)
+        val out = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, Double, Boolean)]()
+        val ts = (1 to streams).map { i =>
+          val t = new Thread(() => {
+            val s = spark.newSession()
+            // see Verify: the stream session must be the thread's active
+            // session so the kernel registry lands in ITS registry
+            SparkSession.setActiveSession(s)
+            graft.functions.GraftFunctions.register(s)
+            var kv = queue.poll()
+            while (kv != null) { out.add(benchOne(s, kv._1, kv._2)); kv = queue.poll() }
+          }, s"bench-stream-$i")
+          t.start(); t
+        }
+        ts.foreach(_.join())
+        import scala.jdk.CollectionConverters._
+        out.asScala.toSeq.sortBy(_._1)
+      }
+    val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     // a failed query reports -1 (not its elapsed time) so the JSON line is
     // self-describing; "failed" lists the names explicitly
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total =
+      if (streams == 1) results.collect { case (_, v, true) => v }.sum
+      else sweepWall
     val overrides = (noisyGraphQueries ++ noisyTrainQueries).toSeq.sorted
       .filter(n => only.forall(_.contains(n)) && runsFor(n) != runs)
       .map(n => "\"" + n + "\":" + runsFor(n)).mkString("{", ",", "}")
@@ -123,7 +163,7 @@ object Bench {
         f"exceeds the $calBound%.1f s idle-box bound — this run is contended " +
         "and its numbers are not clean evidence; re-run on a quiet box")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"runs_overrides":$overrides,"cal_before":$calBefore,"cal_after":$calAfter,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"runs_overrides":$overrides,"streams":$streams,"cal_before":$calBefore,"cal_after":$calAfter,"contended":$contended,"sf":"$sfDir"}"""
     // stdout AND a file: the driver's tail-based capture truncated the
     // (long) stdout line in round 3 (BENCH_r03.json parsed: null) — the
     // file copy survives any pipe truncation

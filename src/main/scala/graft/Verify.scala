@@ -52,18 +52,57 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      ScanPolicy.applyFor(spark, name)
-      // same inter-query storage release as Bench: persisted/checkpointed
-      // blocks from earlier queries must not squeeze this one's execution
-      // memory (localCheckpoint data is per-query; nothing is shared)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // SPARK_GRAFT_STREAMS=N runs the gate as N CONCURRENT query streams
+    // (real pipelines share one cluster): each stream gets its own
+    // spark.newSession() so per-query session confs (ScanPolicy splits,
+    // the iteration AQE toggle) stay isolated, while executors, caches
+    // and scratch dirs are shared — exactly the surface where cross-query
+    // interference would corrupt results, which the DuckDB hash compare
+    // then catches. Default 1 = the serial gate, byte-for-byte as before.
+    val streams = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAMS", "1").toInt)
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    selected.foreach(kv => queue.add(kv))
+    def drain(s: SparkSession): Unit = {
+      var kv = queue.poll()
+      while (kv != null) {
+        val (name, fn) = kv
+        ScanPolicy.applyFor(s, name)
+        // inter-query storage release (serial mode only): persisted/
+        // checkpointed blocks from earlier queries must not squeeze this
+        // one's execution memory. Under concurrent streams OTHER queries
+        // are still running — releasing their blocks mid-flight is the
+        // kind of interference this mode exists to catch, not cause.
+        if (streams == 1)
+          s.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        try fn(s, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        kv = queue.poll()
       }
+    }
+    if (streams == 1) drain(spark)
+    else {
+      val threads = (1 to streams).map { i =>
+        val t = new Thread(() => {
+          val s = spark.newSession()
+          // the stream's session must be this thread's ACTIVE session:
+          // the kernel Column helpers register graft_* functions into the
+          // active session, and a newSession has its own function
+          // registry (first caught here: 13 queries failed with
+          // UNRESOLVED_ROUTINE graft_shingle_hash under 4 streams). A
+          // production multi-session deployment gets the same effect from
+          // spark.sql.extensions=graft.functions.GraftExtensions.
+          SparkSession.setActiveSession(s)
+          graft.functions.GraftFunctions.register(s)
+          drain(s)
+        }, s"verify-stream-$i")
+        t.start(); t
+      }
+      threads.foreach(_.join())
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -75,6 +75,34 @@ def main():
     if r.returncode != 0:
         sys.exit("Verify failed")
 
+    # STANDING cross-validation: before trusting any pinned recipe at this
+    # scale, prove recipe == COMMITTED oracle at a scale where both run
+    # (sf0.01). A drifted/poisoned recipe fails the whole gate here — the
+    # pinned slots can never pass silently on a recipe that no longer
+    # matches the committed semantics. (Skip knob for local iteration
+    # only: GRAFT_SKIP_XVAL=1.)
+    if os.environ.get("GRAFT_SKIP_XVAL") != "1":
+        xval_sf = os.environ.get("GRAFT_XVAL_SF", "/root/testdata/sf0.01")
+        xval_out = f"{work}/xval_out"
+        shutil.rmtree(xval_out, ignore_errors=True)
+        xenv = dict(os.environ, SPARK_GRAFT_ONLY=",".join(sorted(PINNED)),
+                    SPARK_GRAFT_EXPORT_MODELS="1")
+        r = run(["sbt", "-batch",
+                 f"runMain graft.Verify {xval_sf} {xval_out}"],
+                cwd=REPO, env=xenv)
+        if r.returncode != 0:
+            sys.exit("cross-validation Verify failed")
+        for q in sorted(PINNED):
+            r = run(["python3", f"{REPO}/tools/pinned_check.py", xval_sf,
+                     xval_out, q, "--cross-validate", "--timeout", "900"])
+            if r.returncode != 0:
+                sys.exit(f"XVAL-FAIL {q}: pinned recipe no longer matches "
+                         f"the committed oracle at {xval_sf} — refusing to "
+                         "use it as a scale oracle. Fix the recipe (or the "
+                         "committed oracle) before re-running the gate.")
+            print(f"XVAL-OK  {q} (recipe == committed oracle at {xval_sf})",
+                  flush=True)
+
     queries, n_pass, n_inf, n_fail, n_noorc = {}, 0, 0, 0, 0
     for q in FAMILY:
         if q in PINNED:
