@@ -1447,6 +1447,99 @@ class LayoutOpsSpec extends SparkSpec {
     } finally FauxAtomicCommitFileSystem.injectLatencyMs = 0
   }
 
+  test("S3-shaped store (no rename; HEAD + copy-PUT + DELETE): racing " +
+      "rename-commits DOUBLE-WIN and lose a commit silently, while the " +
+      "conditional-PUT arbiter keeps exactly one winner") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fauxs3c.impl", classOf[FauxS3FileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-s3race").toString
+    val md = new java.io.File(s"$base/_manifests"); md.mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(s"fauxs3c://$base")
+      .getFileSystem(conf)
+    def race(arbiter: LayoutOps.CommitArbiter,
+             target: org.apache.hadoop.fs.Path): Seq[Boolean] = {
+      val start = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val ts = Seq("AAAA", "BBBB").map { payload =>
+        val t = new Thread(() => {
+          start.await()
+          wins.add(arbiter.tryCommit(fs, target,
+            s"#v=2\n$payload\n#eof\n".getBytes("UTF-8")))
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      wins.asScala.toSeq
+    }
+    FauxS3FileSystem.raceWindowMs = 250
+    try {
+      // (a) rename-as-copy: both committers pass the HEAD, both PUT, both
+      // report success — one manifest payload silently vanished. This is
+      // WHY stock-S3A rename does not qualify for RenameCommitArbiter.
+      val t1 = new org.apache.hadoop.fs.Path(
+        s"fauxs3c://$base/_manifests/gen1.manifest")
+      val winsRename = race(LayoutOps.RenameCommitArbiter, t1)
+      assert(winsRename === Seq(true, true),
+        s"the S3-shaped race must double-win under rename-commit: $winsRename")
+      // (b) the SAME race through the conditional-PUT arbiter: the store
+      // precondition (If-None-Match on materialization) + read-back keep
+      // exactly one winner
+      val t2 = new org.apache.hadoop.fs.Path(
+        s"fauxs3c://$base/_manifests/gen2.manifest")
+      val winsPut = race(LayoutOps.ConditionalPutCommitArbiter, t2)
+      assert(winsPut.sorted === Seq(false, true),
+        s"conditional PUT must keep exactly one winner: $winsPut")
+    } finally {
+      FauxS3FileSystem.raceWindowMs = 0
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("multi-writer commit soak on the S3-shaped store: the " +
+      "conditional-PUT arbiter loses nothing with NO rename primitive " +
+      "in the commit path at all") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fauxs3c.impl", classOf[FauxS3FileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-s3soak").toString
+    val mt = s"fauxs3c://$base/t"
+    val prev = LayoutOps.commitArbiter
+    LayoutOps.commitArbiter = LayoutOps.ConditionalPutCommitArbiter
+    try {
+      LayoutOps.writeManifested(Seq(-1L).toDF("id"), mt, numFiles = 1)
+      val writers = 4
+      val commits = 5
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try for (c <- 0 until commits)
+              LayoutOps.appendManifested(Seq(w * 1000L + c).toDF("id"), mt,
+                numFiles = 1, maxCommitRetries = 500)
+            catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errs.isEmpty, s"soak writers failed: ${errs.toArray.mkString("; ")}")
+      val got = LayoutOps.readManifested(spark, mt)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = (-1L +: (for {
+        w <- 0 until writers; c <- 0 until commits
+      } yield w * 1000L + c)).sorted
+      assert(got === want, "zero lost rows, zero duplicates on S3 shape")
+      val gens = LayoutOps.historyManifested(spark, mt)
+        .map(_.trim.split("\\s+")(1).toLong)
+      assert(gens === (0L to (writers * commits).toLong),
+        s"one generation per commit, contiguous: $gens")
+    } finally {
+      LayoutOps.commitArbiter = prev
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("multi-writer soak on the DEGRADED store (rename falls back to a " +
       "visible trickled copy, like RawLocalFileSystem under I/O pressure): " +
       "short heads are detected and waited out, zero rows lost") {
