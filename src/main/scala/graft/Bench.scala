@@ -89,18 +89,22 @@ object Bench {
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Boolean) = {
       ScanPolicy.applyFor(s, name)
-      // Release the previous queries' storage blocks (untimed): operators
-      // persist()/localCheckpoint() relations and rely on GC-driven
-      // ContextCleaner for release, which on a 48 GB driver heap may not
-      // run for the whole suite — accumulated blocks squeeze the unified
-      // memory's execution share and inflated later CPU-dense queries
-      // (q_lm_score_bounded measured 36 s mid-suite vs 13.8 s isolated
-      // with identical code and a clean calibration canary). Serial mode
-      // only: under concurrent streams other queries' blocks are live.
-      if (streams == 1)
-        s.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
       val times = (1 to runsFor(name)).map { i =>
+        // Release every prior persisted/checkpointed block BEFORE each
+        // run's timer starts — BLOCKING, so the removal cost can never
+        // bleed into the measurement. Two measured effects drove this:
+        // (a) runs of the SAME query accumulate their predecessors'
+        // corpus-scale localCheckpoint blocks (q_lm_score ran 10.4 s on
+        // run 1 and 30.2 s on run 3 of identical work at 100x); (b) an
+        // ASYNC release storm from a heavy query's blocks landed inside
+        // the alphabetically-following queries' timings (the manifest
+        // family read 3-4x high in the first r11 suite run). Spark's own
+        // GC-driven ContextCleaner does neither job on a 48 GB heap that
+        // never collects. Serial mode only: under concurrent streams
+        // other queries' blocks are live.
+        if (streams == 1)
+          s.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         val ok =
           try { fn(s, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -75,7 +75,7 @@ object Verify {
         // kind of interference this mode exists to catch, not cause.
         if (streams == 1)
           s.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+            .foreach(_.unpersist(blocking = true))
         try fn(s, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
