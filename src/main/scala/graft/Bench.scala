@@ -67,6 +67,7 @@ object Bench {
     // produced 2-6.5x phantom "regressions" on untouched code) — the JSON
     // then carries "contended":true so a grader can discard the run.
     def calibrate(): Double = median((1 to 3).map { _ =>
+      spark.sparkContext.setJobDescription("calibrate")
       val t0 = System.nanoTime()
       // hash() keeps the kernel CPU-bound; summing INT hashes into a long
       // cannot overflow ANSI arithmetic (2^27 * 2^31 << 2^63)
@@ -89,6 +90,9 @@ object Bench {
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Boolean) = {
       ScanPolicy.applyFor(s, name)
+      // label every job this query submits (guide §1.5) — event-log
+      // profiling then attributes jobs/stages to queries by description
+      s.sparkContext.setJobDescription(name)
       val times = (1 to runsFor(name)).map { i =>
         // Release every prior persisted/checkpointed block BEFORE each
         // run's timer starts — BLOCKING, so the removal cost can never
