@@ -335,8 +335,14 @@ object DedupOps {
       val nbrMin = sym.join(labels, sym("v") === labels("id"))
         .groupBy(sym("u").as("nid"))
         .agg(min(col("cluster_id")).as("nmin"))
+      // the round's INPUT label rides along as __prev so the convergence
+      // probe is a filter-count over this round's checkpoint — the old
+      // shape re-joined `next` against `labels` for the same answer, one
+      // extra join (plus its broadcast build) per round. Label values and
+      // the changed-row predicate are unchanged, so the stopping round —
+      // and therefore the result — is identical.
       val stepped = labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("__prev"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
       // pointer jump: follow the label one hop (label(label(v))) — labels
@@ -346,12 +352,11 @@ object DedupOps {
         .join(labels.as("l"), col("s.cluster_id") === col("l.id"), "left_outer")
         .select(col("s.id").as("id"),
           least(col("s.cluster_id"),
-            coalesce(col("l.cluster_id"), col("s.cluster_id"))).as("cluster_id"))
+            coalesce(col("l.cluster_id"), col("s.cluster_id"))).as("cluster_id"),
+          col("s.__prev").as("__prev"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .where(col("n.cluster_id") =!= col("p.cluster_id")).count()
-      labels = next
+      val changed = next.where(col("cluster_id") =!= col("__prev")).count()
+      labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0L
       it += 1
     }
