@@ -299,11 +299,17 @@ object GraphOps {
     * @return (nodeid, rank) with sum(rank) == 1
     */
   def pageRank(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
-               vertices: Option[DataFrame] = None, numPartitions: Int = 32,
+               vertices: Option[DataFrame] = None, numPartitions: Int = 0,
                dedupeEdges: Boolean = true, rangePartition: Boolean = false,
                hubDegreeThreshold: Long = 4000000L,
                checkpointDir: Option[String] = None): DataFrame = {
     val cut = new LineageCutter(checkpointDir)
+    // numPartitions <= 0 (the default) derives the graph partition count
+    // from the cluster (defaultParallelism) — partitioning scales with the
+    // deployment instead of being a constant tuned for one box (guide §2);
+    // pass an explicit positive value to pin it.
+    val parts = if (numPartitions > 0) numPartitions
+      else edges.sparkSession.sparkContext.defaultParallelism
     // Hub guard: one cheap count pass over the edges; if any source's raw
     // out-degree exceeds the threshold (default 4M ≈ a 32 MB array row),
     // iterate off the flat edge relation instead of adjacency arrays —
@@ -311,12 +317,12 @@ object GraphOps {
     val (maxDeg, _) = degreeStats(edges)
     if (maxDeg > hubDegreeThreshold)
       return pageRankEdgeScatter(edges, iterations, alpha, vertices,
-        numPartitions, dedupeEdges, rangePartition, checkpointDir)
+        parts, dedupeEdges, rangePartition, checkpointDir)
     // ONE shuffle builds the adjacency: collect_set dedupes per source
     // during the aggregation itself (map-side partial included), replacing
     // the old standalone edges.distinct() shuffle + regroup. The vertex set
     // then derives from the (much smaller) adjacency relation.
-    val (verts, n, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges,
+    val (verts, n, adj) = buildGraph(edges, vertices, parts, dedupeEdges,
       rangePartition)
     val small = n < aqeIterationCutoff
     // on a SMALL graph the per-iteration relations are a few MB: hint both
@@ -433,20 +439,26 @@ object GraphOps {
     */
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long], iterations: Int,
                            alpha: Double = 0.15, vertices: Option[DataFrame] = None,
-                           numPartitions: Int = 32, dedupeEdges: Boolean = true,
+                           numPartitions: Int = 0, dedupeEdges: Boolean = true,
                            rangePartition: Boolean = false,
                            hubDegreeThreshold: Long = 4000000L,
                            checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val cut = new LineageCutter(checkpointDir)
+    // numPartitions <= 0 (the default) derives the graph partition count
+    // from the cluster (defaultParallelism) — partitioning scales with the
+    // deployment instead of being a constant tuned for one box (guide §2);
+    // pass an explicit positive value to pin it.
+    val parts = if (numPartitions > 0) numPartitions
+      else edges.sparkSession.sparkContext.defaultParallelism
     // same hub guard as pageRank: adjacency arrays are per-source rows, so
     // a 100M-out-degree hub OOMs identically here
     val (maxDeg, _) = degreeStats(edges)
     if (maxDeg > hubDegreeThreshold)
       return personalizedPageRankEdgeScatter(edges, sources, iterations, alpha,
-        vertices, numPartitions, dedupeEdges, rangePartition, checkpointDir)
-    val (verts, nVerts, adj) = buildGraph(edges, vertices, numPartitions, dedupeEdges,
+        vertices, parts, dedupeEdges, rangePartition, checkpointDir)
+    val (verts, nVerts, adj) = buildGraph(edges, vertices, parts, dedupeEdges,
       rangePartition)
     val small = nVerts < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -571,7 +583,7 @@ object GraphOps {
     */
   def pageRankLogSpace(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
                        vertices: Option[DataFrame] = None,
-                       numPartitions: Int = 32,
+                       numPartitions: Int = 0,
                        rangePartition: Boolean = false,
                        hubDegreeThreshold: Long = 4000000L,
                        checkpointDir: Option[String] = None): DataFrame = {
@@ -580,15 +592,21 @@ object GraphOps {
     // same hub guard as [[pageRank]]: above the threshold the log-space
     // walk scatters off the flat edge relation (rank - log outdeg per
     // edge) instead of building adjacency array rows
+    // numPartitions <= 0 (the default) derives the graph partition count
+    // from the cluster (defaultParallelism) — partitioning scales with the
+    // deployment instead of being a constant tuned for one box (guide §2);
+    // pass an explicit positive value to pin it.
+    val parts = if (numPartitions > 0) numPartitions
+      else edges.sparkSession.sparkContext.defaultParallelism
     val (maxDeg, _) = degreeStats(edges)
     if (maxDeg > hubDegreeThreshold)
       return pageRankLogSpaceEdgeScatter(edges, iterations, alpha, vertices,
-        numPartitions, rangePartition, checkpointDir)
+        parts, rangePartition, checkpointDir)
     // same single-pass iteration structure as [[pageRank]] (sentinel
     // scatter, checkpointed gather, driver-scalar dangling mass), with the
     // arithmetic in log space: scatter subtracts log(outdeg), the gather is
     // a grouped log-sum-exp (its merge = the reference's combiner)
-    val (verts, n, adj) = buildGraph(edges, vertices, numPartitions,
+    val (verts, n, adj) = buildGraph(edges, vertices, parts,
       dedupeEdges = true, rangePartition)
     val small = n < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -687,21 +705,27 @@ object GraphOps {
   def pageRankConverged(edges: DataFrame, tol: Double = 1e-7,
                         maxIterations: Int = 100, alpha: Double = 0.15,
                         vertices: Option[DataFrame] = None,
-                        numPartitions: Int = 32,
+                        numPartitions: Int = 0,
                         hubDegreeThreshold: Long = 4000000L,
                         checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val cut = new LineageCutter(checkpointDir)
     // same hub guard as [[pageRank]]: convergence mode works on mega-hub
     // graphs too, via the flat-edge scatter (VERDICT r3 missing-1)
+    // numPartitions <= 0 (the default) derives the graph partition count
+    // from the cluster (defaultParallelism) — partitioning scales with the
+    // deployment instead of being a constant tuned for one box (guide §2);
+    // pass an explicit positive value to pin it.
+    val parts = if (numPartitions > 0) numPartitions
+      else edges.sparkSession.sparkContext.defaultParallelism
     val (maxDeg, _) = degreeStats(edges)
     if (maxDeg > hubDegreeThreshold)
       return pageRankConvergedEdgeScatter(edges, tol, maxIterations, alpha,
-        vertices, numPartitions, checkpointDir)
+        vertices, parts, checkpointDir)
     val verts = vertices.getOrElse(verticesOf(edges))
-      .repartition(numPartitions, col("nodeid"))
+      .repartition(parts, col("nodeid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
-    val adj = adjacencyOf(edges, numPartitions, dedupe = true)
+    val adj = adjacencyOf(edges, parts, dedupe = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // r11: this loop previously ran WITHOUT the small-regime treatment every
     // other iterative loop here has (AQE re-planning + 32 shuffle partitions
