@@ -25,7 +25,7 @@ object LogSpace {
       .otherwise(mx + log1p(exp(mn - mx)))
   }
 
-  private def logAddScalar(a: Double, b: Double): Double = {
+  private[graft] def logAddScalar(a: Double, b: Double): Double = {
     val (mx, mn) = if (a >= b) (a, b) else (b, a)
     if (mn == Double.NegativeInfinity) mx
     else mx + math.log1p(math.exp(mn - mx))

@@ -181,12 +181,343 @@ object GraphOps {
   /** Max raw out-degree AND total raw edge count in one partially-aggregated
     * count pass — the max is an upper bound on the deduped out-degree, so the
     * hub guard triggers conservatively without paying a distinct; the total
-    * (also an upper bound on the deduped edge count) gates the loop-invariant
-    * build-side localization below. One pass serves both guards. */
+    * drives the data-derived partition clamp in [[resolveParts]]. One pass
+    * serves both decisions. */
   private def degreeStats(edges: DataFrame): (Long, Long) = {
     val r = edges.groupBy("src").agg(count(lit(1)).as("d"))
       .agg(max(col("d")), sum(col("d"))).head()
     if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  /** Raw edges a graph partition should carry when the caller does not pin
+    * the count: small enough that the cluster cap (not this constant) rules
+    * at any real scale, large enough that a bench-scale graph is not sliced
+    * into per-iteration scheduling confetti. */
+  private val edgesPerPartition = 262144L
+
+  /** Graph partition count (guide §2: partitioning must scale with BOTH the
+    * deployment and the data). An explicit positive `numPartitions` pins it.
+    * Otherwise the cluster cap is max(defaultParallelism,
+    * spark.sql.shuffle.partitions) — defaultParallelism alone can be tiny on
+    * a dynamic-allocation cluster before executors register (ADVICE r11) —
+    * clamped so each partition carries at least [[edgesPerPartition]] raw
+    * edges. r11 derived parts from defaultParallelism alone, which handed a
+    * 2e4-node sf0.1 graph 32-partition relations whose per-iteration
+    * scheduling dwarfed the work (the r11 32-core anti-scaling:
+    * PERF_r11.json scaling 0.11-0.58 across the whole iterative family). */
+  private def resolveParts(spark: SparkSession, numPartitions: Int,
+                           totalRawEdges: Long): Int =
+    if (numPartitions > 0) numPartitions
+    else {
+      val cap = math.max(spark.sparkContext.defaultParallelism,
+        spark.conf.get("spark.sql.shuffle.partitions", "200").toInt).toLong
+      math.max(1L, math.min(cap,
+        (totalRawEdges + edgesPerPartition - 1) / edgesPerPartition)).toInt
+    }
+
+  // ---------------------------------------------------------------------
+  // Localized iteration regime (small graphs)
+  // ---------------------------------------------------------------------
+  //
+  // Below this vertex count the per-iteration rank state lives on the
+  // DRIVER and re-enters each scatter as a graft.functions.MapLookup table
+  // (a constructor constant riding the stage's task-binary broadcast),
+  // instead of as a checkpointed relation joined back against the graph.
+  // What that buys, per iteration (event-log evidence in
+  // OPTIMIZATION_r12.md): the old regime ran ~4 jobs — a broadcast-exchange
+  // build of the loop-invariant adjacency (re-collected EVERY step; Spark
+  // caches broadcast exchanges per query execution, and every iteration is
+  // a new execution), the scatter/gather + its lineage-cut, a driver scalar
+  // read of the dangling mass, and a broadcast build of the fresh gather
+  // for the rank update. The localized regime runs ONE: the scatter/gather,
+  // collected straight to the driver (<= n rows of 16 bytes). Dangling
+  // mass, the rank update and the convergence delta are driver arithmetic
+  // over <= n doubles — the same reduction the reference performs through
+  // reducer side-files read by its driver (RunPageRankBasic.java:515-523).
+  // Lineage is O(1) by construction (every iteration's plan reads only the
+  // persisted graph relation plus constant tables), so the per-iteration
+  // lineage cut disappears too; only the FINAL relation is cut, which keeps
+  // the public result a checkpoint scan exactly as before.
+  //
+  // The update arithmetic mirrors the join regime's column expressions
+  // operation for operation (same IEEE ops in the same order; JVM >= 17
+  // doubles are strictfp), so ranks agree to the ulp and the 9-decimal
+  // gate output is unchanged. Above the cutoff nothing changes: the state
+  // is corpus-sized there and the join regime (AQE, planner-chosen
+  // strategies, distributed checkpoints) is the only thing that scales.
+  // The graph side NEVER moves to the driver in either regime — adjacency/
+  // edge relations stay persisted and distributed, so the driver holds at
+  // most 3 arrays of n longs/doubles, strictly less than ONE of the old
+  // regime's per-iteration adjacency broadcast builds.
+
+  /** System-property override for the localized-regime vertex cutoff
+    * (default [[aqeIterationCutoff]]). Tests force the distributed join
+    * regime onto small graphs with -Dgraft.graph.localizedCutoff=0. */
+  private def localizedCutoff: Long =
+    sys.props.get("graft.graph.localizedCutoff").map(_.toLong)
+      .getOrElse(aqeIterationCutoff)
+
+  /** Driver-held graph skeleton for the localized regime: sorted vertex
+    * ids, per-source out-degrees (raw list length — duplicates included
+    * when dedupe=false, matching the reference), dangling positions. */
+  private final class DriverGraph(val vertIds: Array[Long],
+                                  val srcIds: Array[Long],
+                                  val outdegs: Array[Long]) {
+    /** position of each source in vertIds; < 0 marks a PHANTOM source (an
+      * edge src outside an explicit vertex set): it has no rank row and
+      * sends no mass — exactly the unmatched side of the ranks⋈adj join
+      * this regime replaces. */
+    private val srcPos: Array[Int] =
+      srcIds.map(s => java.util.Arrays.binarySearch(vertIds, s))
+    /** positions (in vertIds) of dangling vertices — no out-edges; their
+      * whole rank is the "missing mass" routed through the driver. */
+    val danglingPos: Array[Int] = vertIds.indices
+      .filter(i => java.util.Arrays.binarySearch(srcIds, vertIds(i)) < 0)
+      .toArray
+    def rankIndexOf(nodeid: Long): Int =
+      java.util.Arrays.binarySearch(vertIds, nodeid)
+    /** Scatter mass table src -> f(rank(src), outdeg(src)); phantom
+      * sources are excluded (their lookup misses -> NULL m -> sum skips
+      * the row, like the old join's unmatched side). */
+    def massMap(ranks: Array[Double],
+                f: (Double, Long) => Double): graft.functions.LongDoubleMap = {
+      val ks = Array.newBuilder[Long]
+      val vs = Array.newBuilder[Double]
+      var j = 0
+      while (j < srcIds.length) {
+        if (srcPos(j) >= 0) { ks += srcIds(j); vs += f(ranks(srcPos(j)), outdegs(j)) }
+        j += 1
+      }
+      new graft.functions.LongDoubleMap(ks.result(), vs.result())
+    }
+    def danglingSum(ranks: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < danglingPos.length) { s += ranks(danglingPos(i)); i += 1 }
+      s
+    }
+    def danglingLogSum(ranks: Array[Double]): Double = {
+      var s = Double.NegativeInfinity
+      var i = 0
+      while (i < danglingPos.length) {
+        s = graft.functions.LogSpace.logAddScalar(s, ranks(danglingPos(i)))
+        i += 1
+      }
+      s
+    }
+  }
+
+  /** One-time driver collect of the graph skeleton (two <= n-row jobs over
+    * already-persisted relations). `deg` is (src, outdeg). */
+  private def collectDriverGraph(verts: DataFrame, deg: DataFrame): DriverGraph = {
+    val vertIds = verts.select(col("nodeid")).collect().map(_.getLong(0))
+    java.util.Arrays.sort(vertIds)
+    val degRows = deg.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    new DriverGraph(vertIds, degRows.map(_._1), degRows.map(_._2))
+  }
+
+  /** Collect a gathered (key, in_mass) relation into a lookup table. A
+    * NULL in_mass group (every contributor was a phantom source) is
+    * skipped: absent == "no mass", same as the old outer join + coalesce. */
+  private def collectInMass(gathered: DataFrame): graft.functions.LongDoubleMap =
+    graft.functions.LongDoubleMap.fromPairs(
+      gathered.collect().iterator
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => (r.getLong(0), r.getDouble(1))).toArray)
+
+  private def emptyMap = new graft.functions.LongDoubleMap(Array.empty, Array.empty)
+
+  /** Localized fixed-iteration PageRank loop: ONE distributed job per
+    * iteration (scatter/gather, collected), zero per-iteration broadcast
+    * builds or cuts. `scatter(mm)` must yield (dst, m) rows off the
+    * persisted graph relation. */
+  private def localizedPageRank(scatter: graft.functions.LongDoubleMap => DataFrame,
+                                verts: DataFrame, g: DriverGraph, n: Long,
+                                iterations: Int, alpha: Double,
+                                cut: DataFrame => DataFrame,
+                                tag: String): DataFrame = {
+    if (iterations <= 0)
+      return cut(verts.withColumn("rank", lit(1.0 / n)))
+    var ranks = Array.fill(g.vertIds.length)(1.0 / n)
+    var inMass = emptyMap
+    var missing = 0.0
+    for (it <- 1 to iterations) {
+      val mm = g.massMap(ranks, (r, d) => r / d.toDouble)
+      missing = g.danglingSum(ranks)
+      val gathered = scatter(mm).groupBy("dst").agg(sum(col("m")).as("in_mass"))
+      explainIterOnce(tag, gathered, it)
+      inMass = collectInMass(gathered)
+      // same IEEE ops in the same order as the join regime's update column
+      val aN = alpha / n
+      val oneMinus = 1 - alpha
+      val mN = missing / n
+      val next = new Array[Double](ranks.length)
+      var i = 0
+      while (i < next.length) {
+        next(i) = aN + oneMinus * (inMass.getOrElse(g.vertIds(i), 0.0) + mN)
+        i += 1
+      }
+      ranks = next
+    }
+    // the final relation plans the SAME update expression as the join
+    // regime, with the last gather re-entering as a lookup table
+    cut(verts.select(verts("nodeid"),
+      (lit(alpha / n) + lit(1 - alpha) *
+        (coalesce(graft.functions.MapLookup.lookup(inMass, verts("nodeid")),
+          lit(0.0)) + lit(missing / n))).as("rank")))
+  }
+
+  /** Localized convergence loop: [[localizedPageRank]]'s iteration plus the
+    * L∞ delta, computed on the driver from the same per-node doubles the
+    * old distributed max-abs join aggregated — identical stopping rule. */
+  private def localizedPageRankConverged(
+      scatter: graft.functions.LongDoubleMap => DataFrame,
+      verts: DataFrame, g: DriverGraph, n: Long, tol: Double,
+      maxIterations: Int, alpha: Double, cut: DataFrame => DataFrame,
+      tag: String): (DataFrame, Int) = {
+    var ranks = Array.fill(g.vertIds.length)(1.0 / n)
+    var inMass = emptyMap
+    var missing = 0.0
+    var iters = 0
+    var delta = Double.MaxValue
+    while (delta > tol && iters < maxIterations) {
+      val mm = g.massMap(ranks, (r, d) => r / d.toDouble)
+      missing = g.danglingSum(ranks)
+      val gathered = scatter(mm).groupBy("dst").agg(sum(col("m")).as("in_mass"))
+      explainIterOnce(tag, gathered, iters + 1)
+      inMass = collectInMass(gathered)
+      val aN = alpha / n
+      val oneMinus = 1 - alpha
+      val mN = missing / n
+      var d = 0.0
+      val next = new Array[Double](ranks.length)
+      var i = 0
+      while (i < next.length) {
+        next(i) = aN + oneMinus * (inMass.getOrElse(g.vertIds(i), 0.0) + mN)
+        val ad = math.abs(next(i) - ranks(i))
+        if (ad > d) d = ad
+        i += 1
+      }
+      delta = d
+      ranks = next
+      iters += 1
+    }
+    val out =
+      if (iters == 0) cut(verts.withColumn("rank", lit(1.0 / n)))
+      else cut(verts.select(verts("nodeid"),
+        (lit(alpha / n) + lit(1 - alpha) *
+          (coalesce(graft.functions.MapLookup.lookup(inMass, verts("nodeid")),
+            lit(0.0)) + lit(missing / n))).as("rank")))
+    (out, iters)
+  }
+
+  /** Localized log-space loop: scatter mass is rank - log(outdeg)
+    * (StrictMath.log — what Catalyst's `log` compiles to), the gather is
+    * the grouped log-sum-exp, the driver update is the scalar mirror of
+    * the logAdd column expression. */
+  private def localizedPageRankLogSpace(
+      scatter: graft.functions.LongDoubleMap => DataFrame,
+      verts: DataFrame, g: DriverGraph, n: Long, iterations: Int,
+      alpha: Double, cut: DataFrame => DataFrame, tag: String): DataFrame = {
+    import graft.functions.LogSpace
+    val logN = math.log(n.toDouble)
+    if (iterations <= 0)
+      return cut(verts.withColumn("rank", lit(-logN)))
+    var ranks = Array.fill(g.vertIds.length)(-logN)
+    var inMass = emptyMap
+    var missingLog = Double.NegativeInfinity
+    for (it <- 1 to iterations) {
+      val mm = g.massMap(ranks, (r, d) => r - StrictMath.log(d.toDouble))
+      missingLog = g.danglingLogSum(ranks)
+      val gathered = scatter(mm).groupBy("dst")
+        .agg(LogSpace.logSumExp(col("m")).as("in_mass"))
+      explainIterOnce(tag, gathered, it)
+      inMass = collectInMass(gathered)
+      val logAN = math.log(alpha / n)
+      val log1mA = math.log(1 - alpha)
+      val mLog = missingLog - logN
+      val next = new Array[Double](ranks.length)
+      var i = 0
+      while (i < next.length) {
+        val in = inMass.getOrElse(g.vertIds(i), Double.NegativeInfinity)
+        next(i) = LogSpace.logAddScalar(logAN,
+          log1mA + LogSpace.logAddScalar(in, mLog))
+        i += 1
+      }
+      ranks = next
+    }
+    val negInf = lit(Double.NegativeInfinity)
+    val in = coalesce(
+      graft.functions.MapLookup.lookup(inMass, verts("nodeid")), negInf)
+    cut(verts.select(verts("nodeid"),
+      graft.functions.LogSpace.logAdd(lit(math.log(alpha / n)),
+        lit(math.log(1 - alpha)) +
+          graft.functions.LogSpace.logAdd(in, lit(missingLog - logN)))
+        .as("rank")))
+  }
+
+  /** Localized personalized loop: the |sources| independent walks share
+    * one gather job per iteration (a union of per-source scatters grouped
+    * by (source, dst)); teleport and per-source dangling mass are driver
+    * arithmetic, mirroring the join regime's update column per source. */
+  private def localizedPpr(
+      scatterFor: (Long, graft.functions.LongDoubleMap) => DataFrame,
+      verts: DataFrame, g: DriverGraph, sources: Seq[Long], iterations: Int,
+      alpha: Double, cut: DataFrame => DataFrame, tag: String): DataFrame = {
+    val nSrc = sources.length
+    if (iterations <= 0) {
+      val init = sources.map(k => verts.select(lit(k).as("source"),
+        verts("nodeid"),
+        when(verts("nodeid") === lit(k), lit(1.0)).otherwise(lit(0.0))
+          .as("rank")))
+      return cut(init.reduce(_.union(_)))
+    }
+    val srcIdx = sources.map(k => g.rankIndexOf(k)).toArray
+    var ranks: Array[Array[Double]] = Array.tabulate(nSrc)(ki =>
+      Array.tabulate(g.vertIds.length)(i => if (srcIdx(ki) == i) 1.0 else 0.0))
+    var inMass: Array[graft.functions.LongDoubleMap] = Array.fill(nSrc)(emptyMap)
+    val miss = new Array[Double](nSrc)
+    for (it <- 1 to iterations) {
+      val scatters = sources.indices.map { ki =>
+        scatterFor(sources(ki), g.massMap(ranks(ki), (r, d) => r / d.toDouble))
+      }
+      sources.indices.foreach(ki => miss(ki) = g.danglingSum(ranks(ki)))
+      val gathered = scatters.reduce(_.union(_))
+        .groupBy("source", "dst").agg(sum(col("m")).as("in_mass"))
+      explainIterOnce(tag, gathered, it)
+      val rows = gathered.collect()
+      inMass = sources.indices.map { ki =>
+        graft.functions.LongDoubleMap.fromPairs(rows.iterator
+          .filter(r => !r.isNullAt(0) && r.getLong(0) == sources(ki) &&
+            !r.isNullAt(1) && !r.isNullAt(2))
+          .map(r => (r.getLong(1), r.getDouble(2))).toArray)
+      }.toArray
+      val oneMinus = 1 - alpha
+      val next = Array.tabulate(nSrc) { ki =>
+        val a = new Array[Double](g.vertIds.length)
+        var i = 0
+        while (i < a.length) {
+          val jump = if (i == srcIdx(ki)) alpha else 0.0
+          val extra = if (i == srcIdx(ki)) miss(ki) else 0.0
+          a(i) = jump + oneMinus *
+            (inMass(ki).getOrElse(g.vertIds(i), 0.0) + extra)
+          i += 1
+        }
+        a
+      }
+      ranks = next
+    }
+    val outs = sources.indices.map { ki =>
+      val k = sources(ki)
+      val in = coalesce(
+        graft.functions.MapLookup.lookup(inMass(ki), verts("nodeid")), lit(0.0))
+      verts.select(lit(k).as("source"), verts("nodeid"),
+        (when(verts("nodeid") === lit(k), lit(alpha)).otherwise(lit(0.0)) +
+          lit(1 - alpha) * (in +
+            when(verts("nodeid") === lit(k), lit(miss(ki))).otherwise(lit(0.0))))
+          .as("rank"))
+    }
+    cut(outs.reduce(_.union(_)))
   }
 
   /** First-iteration plan dump for the loop bodies (measurement aid: the
@@ -304,17 +635,13 @@ object GraphOps {
                hubDegreeThreshold: Long = 4000000L,
                checkpointDir: Option[String] = None): DataFrame = {
     val cut = new LineageCutter(checkpointDir)
-    // numPartitions <= 0 (the default) derives the graph partition count
-    // from the cluster (defaultParallelism) — partitioning scales with the
-    // deployment instead of being a constant tuned for one box (guide §2);
-    // pass an explicit positive value to pin it.
-    val parts = if (numPartitions > 0) numPartitions
-      else edges.sparkSession.sparkContext.defaultParallelism
     // Hub guard: one cheap count pass over the edges; if any source's raw
     // out-degree exceeds the threshold (default 4M ≈ a 32 MB array row),
     // iterate off the flat edge relation instead of adjacency arrays —
     // identical semantics, no giant collect_set row (VERDICT r2 §wrong-3).
-    val (maxDeg, _) = degreeStats(edges)
+    // The same pass yields the raw edge total that sizes the partitioning.
+    val (maxDeg, totalEdges) = degreeStats(edges)
+    val parts = resolveParts(edges.sparkSession, numPartitions, totalEdges)
     if (maxDeg > hubDegreeThreshold)
       return pageRankEdgeScatter(edges, iterations, alpha, vertices,
         parts, dedupeEdges, rangePartition, checkpointDir)
@@ -324,6 +651,17 @@ object GraphOps {
     // then derives from the (much smaller) adjacency relation.
     val (verts, n, adj) = buildGraph(edges, vertices, parts, dedupeEdges,
       rangePartition)
+    if (n < localizedCutoff)
+      return try withIterationAqe(edges, n) {
+        val g = collectDriverGraph(verts, adj.select(col("src"), col("outdeg")))
+        val scatter = (mm: graft.functions.LongDoubleMap) =>
+          adj.select(explode(col("adj")).as("dst"),
+            graft.functions.MapLookup.lookup(mm, col("src")).as("m"))
+        localizedPageRank(scatter, verts, g, n, iterations, alpha, cut,
+          "pagerank.gathered")
+      } finally { adj.unpersist(); verts.unpersist() }
+    // join regime (big graphs; tests force it via the cutoff override) —
+    // the broadcast hints below still key off the AQE cutoff
     val small = n < aqeIterationCutoff
     // on a SMALL graph the per-iteration relations are a few MB: hint both
     // joins broadcast (the checkpointed gather's rewritten stats look huge
@@ -394,6 +732,17 @@ object GraphOps {
     val cut = new LineageCutter(checkpointDir)
     val (verts, n, e, deg) =
       buildEdgeGraph(edges, vertices, numPartitions, dedupeEdges, rangePartition)
+    if (n < localizedCutoff)
+      return try withIterationAqe(edges, n) {
+        val g = collectDriverGraph(verts, deg)
+        // hub-safe scatter: the mass table carries rank/outdeg per source
+        // (driver arithmetic over n entries), the persisted flat edge
+        // relation fans it out — no adjacency arrays anywhere
+        val scatter = (mm: graft.functions.LongDoubleMap) =>
+          e.select(col("dst"), graft.functions.MapLookup.lookup(mm, col("src")).as("m"))
+        localizedPageRank(scatter, verts, g, n, iterations, alpha, cut,
+          "pagerank_edge.gathered")
+      } finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
     val small = n < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
@@ -446,20 +795,24 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val cut = new LineageCutter(checkpointDir)
-    // numPartitions <= 0 (the default) derives the graph partition count
-    // from the cluster (defaultParallelism) — partitioning scales with the
-    // deployment instead of being a constant tuned for one box (guide §2);
-    // pass an explicit positive value to pin it.
-    val parts = if (numPartitions > 0) numPartitions
-      else edges.sparkSession.sparkContext.defaultParallelism
     // same hub guard as pageRank: adjacency arrays are per-source rows, so
     // a 100M-out-degree hub OOMs identically here
-    val (maxDeg, _) = degreeStats(edges)
+    val (maxDeg, totalEdges) = degreeStats(edges)
+    val parts = resolveParts(spark, numPartitions, totalEdges)
     if (maxDeg > hubDegreeThreshold)
       return personalizedPageRankEdgeScatter(edges, sources, iterations, alpha,
         vertices, parts, dedupeEdges, rangePartition, checkpointDir)
     val (verts, nVerts, adj) = buildGraph(edges, vertices, parts, dedupeEdges,
       rangePartition)
+    if (nVerts < localizedCutoff)
+      return try withIterationAqe(edges, nVerts) {
+        val g = collectDriverGraph(verts, adj.select(col("src"), col("outdeg")))
+        val scatterFor = (k: Long, mm: graft.functions.LongDoubleMap) =>
+          adj.select(lit(k).as("source"), explode(col("adj")).as("dst"),
+            graft.functions.MapLookup.lookup(mm, col("src")).as("m"))
+        localizedPpr(scatterFor, verts, g, sources, iterations, alpha, cut,
+          "ppr.gathered")
+      } finally { adj.unpersist(); verts.unpersist() }
     val small = nVerts < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val srcDf = sources.toDF("source")
@@ -528,6 +881,15 @@ object GraphOps {
     val cut = new LineageCutter(checkpointDir)
     val (verts, nVerts, e, deg) =
       buildEdgeGraph(edges, vertices, numPartitions, dedupeEdges, rangePartition)
+    if (nVerts < localizedCutoff)
+      return try withIterationAqe(edges, nVerts) {
+        val g = collectDriverGraph(verts, deg)
+        val scatterFor = (k: Long, mm: graft.functions.LongDoubleMap) =>
+          e.select(lit(k).as("source"), col("dst"),
+            graft.functions.MapLookup.lookup(mm, col("src")).as("m"))
+        localizedPpr(scatterFor, verts, g, sources, iterations, alpha, cut,
+          "ppr_edge.gathered")
+      } finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
     val small = nVerts < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val srcDf = sources.toDF("source")
@@ -592,22 +954,25 @@ object GraphOps {
     // same hub guard as [[pageRank]]: above the threshold the log-space
     // walk scatters off the flat edge relation (rank - log outdeg per
     // edge) instead of building adjacency array rows
-    // numPartitions <= 0 (the default) derives the graph partition count
-    // from the cluster (defaultParallelism) — partitioning scales with the
-    // deployment instead of being a constant tuned for one box (guide §2);
-    // pass an explicit positive value to pin it.
-    val parts = if (numPartitions > 0) numPartitions
-      else edges.sparkSession.sparkContext.defaultParallelism
-    val (maxDeg, _) = degreeStats(edges)
+    val (maxDeg, totalEdges) = degreeStats(edges)
+    val parts = resolveParts(edges.sparkSession, numPartitions, totalEdges)
     if (maxDeg > hubDegreeThreshold)
       return pageRankLogSpaceEdgeScatter(edges, iterations, alpha, vertices,
         parts, rangePartition, checkpointDir)
-    // same single-pass iteration structure as [[pageRank]] (sentinel
-    // scatter, checkpointed gather, driver-scalar dangling mass), with the
+    // same single-pass iteration structure as [[pageRank]] with the
     // arithmetic in log space: scatter subtracts log(outdeg), the gather is
     // a grouped log-sum-exp (its merge = the reference's combiner)
     val (verts, n, adj) = buildGraph(edges, vertices, parts,
       dedupeEdges = true, rangePartition)
+    if (n < localizedCutoff)
+      return try withIterationAqe(edges, n) {
+        val g = collectDriverGraph(verts, adj.select(col("src"), col("outdeg")))
+        val scatter = (mm: graft.functions.LongDoubleMap) =>
+          adj.select(explode(col("adj")).as("dst"),
+            graft.functions.MapLookup.lookup(mm, col("src")).as("m"))
+        localizedPageRankLogSpace(scatter, verts, g, n, iterations, alpha,
+          cut, "pagerank_log.gathered")
+      } finally { adj.unpersist(); verts.unpersist() }
     val small = n < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val negInf = lit(Double.NegativeInfinity)
@@ -658,6 +1023,14 @@ object GraphOps {
     val cut = new LineageCutter(checkpointDir)
     val (verts, n, e, deg) = buildEdgeGraph(edges, vertices, numPartitions,
       dedupeEdges = true, rangePartition)
+    if (n < localizedCutoff)
+      return try withIterationAqe(edges, n) {
+        val g = collectDriverGraph(verts, deg)
+        val scatter = (mm: graft.functions.LongDoubleMap) =>
+          e.select(col("dst"), graft.functions.MapLookup.lookup(mm, col("src")).as("m"))
+        localizedPageRankLogSpace(scatter, verts, g, n, iterations, alpha,
+          cut, "pagerank_log_edge.gathered")
+      } finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
     val small = n < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val negInf = lit(Double.NegativeInfinity)
@@ -711,31 +1084,31 @@ object GraphOps {
     val cut = new LineageCutter(checkpointDir)
     // same hub guard as [[pageRank]]: convergence mode works on mega-hub
     // graphs too, via the flat-edge scatter (VERDICT r3 missing-1)
-    // numPartitions <= 0 (the default) derives the graph partition count
-    // from the cluster (defaultParallelism) — partitioning scales with the
-    // deployment instead of being a constant tuned for one box (guide §2);
-    // pass an explicit positive value to pin it.
-    val parts = if (numPartitions > 0) numPartitions
-      else edges.sparkSession.sparkContext.defaultParallelism
-    val (maxDeg, _) = degreeStats(edges)
+    val (maxDeg, totalEdges) = degreeStats(edges)
+    val parts = resolveParts(edges.sparkSession, numPartitions, totalEdges)
     if (maxDeg > hubDegreeThreshold)
       return pageRankConvergedEdgeScatter(edges, tol, maxIterations, alpha,
         vertices, parts, checkpointDir)
-    val verts = vertices.getOrElse(verticesOf(edges))
-      .repartition(parts, col("nodeid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = verts.count()
-    val adj = adjacencyOf(edges, parts, dedupe = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // r11: this loop previously ran WITHOUT the small-regime treatment every
-    // other iterative loop here has (AQE re-planning + 32 shuffle partitions
-    // per tiny iteration step, planner-chosen join strategies, per-iteration
-    // 32-task broadcast builds of the loop-invariant adjacency) — profiled at
-    // sf0.1 as the most job-heavy query of the whole bench (~47 jobs/run).
-    // Same fixes, same guards: AQE toggle via withIterationAqe, explicit
-    // broadcast hints. Stream sides and shuffle map partitioning are
-    // untouched, so ranks and the iteration count are unchanged
-    // (gate-verified vs the self-terminating recursive-CTE oracle).
+    // r12: setup unified onto buildGraph (one aggregation shuffle builds
+    // the deduped adjacency; the old adjacencyOf path paid a standalone
+    // edges.distinct() shuffle first). Adjacency array ORDER can differ
+    // from the old build, which reorders per-key float sums — within the
+    // oracle's 9-decimal tolerance, like every regime note below.
+    val (verts, n, adj) = buildGraph(edges, vertices, parts,
+      dedupeEdges = true, rangePartition = false)
+    if (n < localizedCutoff)
+      return try withIterationAqe(edges, n) {
+        val g = collectDriverGraph(verts, adj.select(col("src"), col("outdeg")))
+        val scatter = (mm: graft.functions.LongDoubleMap) =>
+          adj.select(explode(col("adj")).as("dst"),
+            graft.functions.MapLookup.lookup(mm, col("src")).as("m"))
+        localizedPageRankConverged(scatter, verts, g, n, tol, maxIterations,
+          alpha, cut, "pagerank_conv.gathered")
+      } finally { adj.unpersist(); verts.unpersist() }
+    // join regime (r11 shape): AQE toggle via withIterationAqe, explicit
+    // broadcast hints — ranks and iteration count agree with the oracle
+    // within its tolerance (map-task boundaries can reorder float partial
+    // sums, so bit-identity across regimes is NOT claimed — ADVICE r11)
     val small = n < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
@@ -782,6 +1155,14 @@ object GraphOps {
     val cut = new LineageCutter(checkpointDir)
     val (verts, n, e, deg) = buildEdgeGraph(edges, vertices, numPartitions,
       dedupeEdges = true, rangePartition = false)
+    if (n < localizedCutoff)
+      return try withIterationAqe(edges, n) {
+        val g = collectDriverGraph(verts, deg)
+        val scatter = (mm: graft.functions.LongDoubleMap) =>
+          e.select(col("dst"), graft.functions.MapLookup.lookup(mm, col("src")).as("m"))
+        localizedPageRankConverged(scatter, verts, g, n, tol, maxIterations,
+          alpha, cut, "pagerank_conv_edge.gathered")
+      } finally { e.unpersist(); deg.unpersist(); verts.unpersist() }
     val small = n < aqeIterationCutoff
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
@@ -822,16 +1203,45 @@ object GraphOps {
 
   /** Graph summary counters — A8 (the reference's job counters:
     * BuildPageRankRecords.java:97-102 NODES/EDGES, RunPageRankBasic
-    * massMessages). One aggregation pass instead of side-channel counters.
-    */
-  def graphStats(edges: DataFrame, vertices: Option[DataFrame] = None): Map[String, Long] = {
-    val verts = vertices.getOrElse(verticesOf(edges))
-    val nEdges = edges.count()
-    val nNodes = verts.count()
-    val nDangling = verts.join(edges.select(col("src")).distinct(),
-      verts("nodeid") === col("src"), "left_anti").count()
-    Map("nodes" -> nNodes, "edges" -> nEdges, "dangling" -> nDangling)
-  }
+    * massMessages).
+    *
+    * r12: the derived-vertices case runs ONE job (two-level aggregation)
+    * instead of three counting actions (edges.count, distinct-union count,
+    * anti-join count — 11 jobs/run with AQE at sf0.1): each edge emits its
+    * endpoints tagged (isSrc, edge-weight-on-src), the per-id level folds
+    * duplicates, the global level counts nodes / sums edges / counts ids
+    * that never appear as a source. Same three counters, one pass
+    * (guide §2.4 — the union+distinct+anti were three shuffles over the
+    * same relation). */
+  def graphStats(edges: DataFrame, vertices: Option[DataFrame] = None): Map[String, Long] =
+    vertices match {
+      case None =>
+        val r = edges.select(explode(array(
+            struct(col("src").as("id"), lit(1).as("isSrc"), lit(1L).as("w")),
+            struct(col("dst").as("id"), lit(0).as("isSrc"), lit(0L).as("w"))))
+            .as("e"))
+          .select(col("e.id").as("id"), col("e.isSrc").as("isSrc"),
+            col("e.w").as("w"))
+          .groupBy("id")
+          .agg(max(col("isSrc")).as("hasOut"), sum(col("w")).as("cnt"))
+          .agg(count(lit(1)).as("nodes"),
+            coalesce(sum(col("cnt")), lit(0L)).as("edges"),
+            count(when(col("hasOut") === 0, 1)).as("dangling"))
+          .head()
+        Map("nodes" -> r.getLong(0), "edges" -> r.getLong(1),
+          "dangling" -> r.getLong(2))
+      case Some(v) =>
+        // explicit vertex set: edges.count plus ONE outer-join aggregation
+        // (nodes + dangling together) instead of count + anti-join count
+        val nEdges = edges.count()
+        val srcs = edges.select(col("src")).distinct()
+        val r = v.join(srcs, v("nodeid") === col("src"), "left_outer")
+          .agg(count(lit(1)).as("nodes"),
+            count(when(col("src").isNull, 1)).as("dangling"))
+          .head()
+        Map("nodes" -> r.getLong(0), "edges" -> nEdges,
+          "dangling" -> r.getLong(1))
+    }
 
   /** Global top-k by rank — T3 (plans as TakeOrderedAndProject). */
   def topK(ranks: DataFrame, k: Int): DataFrame =

@@ -79,6 +79,70 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass conserved")
   }
 
+  test("localized regime == distributed join regime across the whole " +
+      "iterative family, both scatter paths (r12)") {
+    // graft.graph.localizedCutoff=0 forces the big-graph JOIN regime onto
+    // the small fixture; the default runs the localized driver-state
+    // regime. Both must land on the same ranks AND the same convergence
+    // iteration count — this is the regime-equivalence gate for the r12
+    // restructure, and it keeps the join regime test-covered now that
+    // every small-graph test exercises the localized path.
+    def runAll() = (
+      GraphOps.pageRank(smallEdges, iterations = 10,
+        vertices = Some(smallVerts), numPartitions = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+      GraphOps.pageRank(smallEdges, iterations = 10,
+        vertices = Some(smallVerts), numPartitions = 4,
+        hubDegreeThreshold = 1L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+      GraphOps.pageRankLogSpace(smallEdges, iterations = 10,
+        vertices = Some(smallVerts), numPartitions = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+      GraphOps.personalizedPageRank(smallEdges, Seq(1L, 4L), iterations = 10,
+        vertices = Some(smallVerts), numPartitions = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap,
+      GraphOps.pageRankConverged(smallEdges, tol = 1e-10, maxIterations = 200,
+        vertices = Some(smallVerts), numPartitions = 4))
+    val (prL, prEdgeL, logL, pprL, (convL, itersL)) = runAll()
+    sys.props("graft.graph.localizedCutoff") = "0"
+    try {
+      val (prJ, prEdgeJ, logJ, pprJ, (convJ, itersJ)) = runAll()
+      def cmp[K](name: String, a: Map[K, Double], b: Map[K, Double]): Unit = {
+        assert(a.keySet === b.keySet, name)
+        for ((k, v) <- a) assert(math.abs(b(k) - v) < 1e-12, s"$name $k")
+      }
+      cmp("pageRank", prL, prJ)
+      cmp("pageRank edge-scatter", prEdgeL, prEdgeJ)
+      cmp("logSpace", logL, logJ)
+      cmp("ppr", pprL, pprJ)
+      assert(itersL === itersJ, "convergence iteration count")
+      val cL = convL.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val cJ = convJ.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      cmp("converged", cL, cJ)
+    } finally sys.props.remove("graft.graph.localizedCutoff")
+  }
+
+  test("MapLookup kernel: eval and codegen agree, misses are NULL (r12)") {
+    import graft.functions.{LongDoubleMap, MapLookup}
+    val t = LongDoubleMap.fromPairs(Array(5L -> 0.5, 1L -> 0.25, 9L -> 0.125))
+    assert(t.getOrElse(5L, -1.0) === 0.5)
+    assert(t.getOrElse(2L, -1.0) === -1.0, "driver-side miss")
+    val df = spark.range(0, 12).select(col("id"))
+    // codegen path (projection over a range scan compiles)
+    val got = df.select(col("id"), MapLookup.lookup(t, col("id")).as("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === Some(0.25) && got(5L) === Some(0.5) && got(9L) === Some(0.125))
+    assert(got(0L) === None && got(2L) === None && got(11L) === None)
+    // interpreted path must agree
+    val bound = MapLookup(org.apache.spark.sql.catalyst.expressions
+      .BoundReference(0, org.apache.spark.sql.types.LongType, nullable = false), t)
+    for (k <- 0L to 11L) {
+      val row = org.apache.spark.sql.catalyst.InternalRow(k)
+      val e = bound.eval(row)
+      assert(Option(e).map(_.asInstanceOf[Double]) === got(k), s"key $k")
+    }
+  }
+
   test("personalizedPageRank matches sequential oracle on a small graph") {
     val got = GraphOps.personalizedPageRank(smallEdges, Seq(1L, 4L), iterations = 10,
       vertices = Some(smallVerts), numPartitions = 4)
